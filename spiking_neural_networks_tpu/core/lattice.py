@@ -1,0 +1,232 @@
+"""Single-lattice simulation runtime.
+
+TPU-native rebuild of the reference's `Lattice` CPU runtime
+(`/root/reference/backend/src/neuron/mod.rs:556-1219`) and its OpenCL mirror
+(`gpu_lattices/mod.rs:327-1064`), redesigned for XLA:
+
+* the cell grid is one struct-of-arrays state pytree resident in HBM;
+* the reference's two-phase step — Phase A gathers all synaptic inputs from
+  the *previous* state (neuron/mod.rs:1035-1050), Phase B updates all
+  neurons — becomes gather ops + a fused vectorized model step;
+* `run_lattice(iterations)` is a `lax.scan` jitted once per (model config,
+  graph type, flags); state is donated so iteration is fully in-place on
+  device, eliminating the reference GPU path's per-run host round trip
+  (gpu_lattices/mod.rs:792/887);
+* histories are scan outputs, pulled to host in chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.graph import (DenseGraph, SparseGraph, StencilGraph, connect_dense,
+                         radius_offsets)
+from ..models.base import NEVER, get_neurotransmitter_concentrations
+from .history import GridVoltageHistory
+from .plasticity import STDP
+
+
+class Lattice:
+    """A 2-D grid of one neuron model plus a weighted synapse graph.
+
+    API mirrors the reference `Lattice` (populate / connect / apply /
+    run_lattice / histories, neuron/mod.rs:556-1219).
+    """
+
+    def __init__(self, model, id=0):
+        self.model = model
+        self.id = id
+        self.state = None
+        self.graph = None
+        self.rows = self.cols = 0
+        self.electrical_synapse = True
+        self.chemical_synapse = False
+        self.do_plasticity = False
+        self.plasticity = STDP()
+        self.update_grid_history = False
+        self.grid_history = GridVoltageHistory()
+        self.update_graph_history = False
+        self.graph_history = []
+        self.internal_clock = 0
+        self.key = jax.random.PRNGKey(0)
+        self.history_chunk = 1024
+        self.in_network = False
+
+    # -- construction ---------------------------------------------------------
+    @property
+    def n(self):
+        return self.rows * self.cols
+
+    def populate(self, rows, cols, **overrides):
+        """`Lattice::populate` (neuron/mod.rs:1105-1126): (re)build the cell
+        grid from the base model; state fields can be overridden per neuron."""
+        if self.in_network and (rows, cols) != (self.rows, self.cols):
+            raise ValueError("dimensions must match when lattice is in a network")
+        self.rows, self.cols = rows, cols
+        self.state = self.model.init_state(rows * cols, **overrides)
+        self.graph = DenseGraph.empty(self.n)
+
+    def connect(self, connecting_conditional, weight_logic=None):
+        """`Lattice::connect` (neuron/mod.rs:1134-1157). O(N^2) host-side;
+        for big lattices prefer `connect_stencil` / `set_graph`."""
+        self.graph = connect_dense(self.rows, self.cols,
+                                   connecting_conditional, weight_logic)
+
+    def connect_stencil(self, radius=None, offsets=None, weight_fn=None,
+                        keep_prob=1.0, seed=0):
+        """Translation-local connectivity as a `StencilGraph` — the fast path
+        for the reference's radius-style `connection_conditional`
+        (backend/examples/lattice/main.rs:18-23)."""
+        if offsets is None:
+            offsets = radius_offsets(radius)
+        self.graph = StencilGraph.build(self.rows, self.cols, offsets,
+                                        weight_fn=weight_fn,
+                                        keep_prob=keep_prob, seed=seed)
+
+    def set_graph(self, graph):
+        if graph.n_post != self.n:
+            raise ValueError("graph does not match lattice dimensions")
+        self.graph = graph
+
+    # -- per-neuron mutation (`apply` / `apply_given_position`,
+    #    neuron/mod.rs:424-452) ------------------------------------------------
+    def apply(self, fn):
+        """fn(state dict) -> state dict, operating on whole (N,) arrays."""
+        self.state = dict(fn(dict(self.state)))
+
+    def apply_given_position(self, fn):
+        """fn(rr, cc, state) -> state; rr/cc are (N,) position index arrays."""
+        rr, cc = np.meshgrid(np.arange(self.rows), np.arange(self.cols),
+                             indexing="ij")
+        self.state = dict(fn(jnp.asarray(rr.reshape(-1)),
+                             jnp.asarray(cc.reshape(-1)), dict(self.state)))
+
+    def set_dt(self, dt):
+        """`Lattice::set_dt` (neuron/mod.rs:649-652)."""
+        self.state["dt"] = jnp.full_like(self.state["dt"], dt)
+        self.plasticity.set_dt(dt)
+
+    def reset_timing(self):
+        """`impl_reset_timing!` (neuron/mod.rs:405-420)."""
+        self.internal_clock = 0
+        self.state["last_firing_time"] = jnp.full_like(
+            self.state["last_firing_time"], NEVER)
+
+    def reset_history(self):
+        self.grid_history.reset()
+        self.graph_history.clear()
+
+    # -- simulation -------------------------------------------------------------
+    def _history_items(self):
+        if not self.update_grid_history:
+            return ()
+        return (("grid", self.grid_history),)
+
+    def _plasticity_apply(self):
+        return self.plasticity
+
+    def run_lattice(self, iterations):
+        """`RunLattice::run_lattice` (neuron/mod.rs:1209-1219)."""
+        if iterations == 0 or (not self.electrical_synapse
+                               and not self.chemical_synapse):
+            return
+        remaining = iterations
+        while remaining > 0:
+            chunk = min(remaining, self.history_chunk) \
+                if (self.update_grid_history or self.update_graph_history) \
+                else remaining
+            self._run_chunk(chunk)
+            remaining -= chunk
+
+    def _run_chunk(self, length):
+        runner = _build_lattice_runner(
+            self.model, type(self.graph), self.electrical_synapse,
+            self.chemical_synapse, self.do_plasticity, type(self.plasticity),
+            tuple((name, h.kind, _freeze(h)) for name, h in self._history_items()),
+            self.update_graph_history, (self.rows, self.cols), length)
+        pparams = {k: jnp.float32(v) for k, v in self.plasticity.params.items()}
+        state, graph, key, clock, ys = runner(
+            self.state, self.graph, self.key,
+            jnp.int32(self.internal_clock), pparams)
+        self.state, self.graph, self.key = state, graph, key
+        self.internal_clock += length
+        for name, hist in self._history_items():
+            hist.extend(ys[name])
+        if self.update_graph_history:
+            self.graph_history.extend(np.asarray(ys["__weights__"]))
+
+    # -- views ---------------------------------------------------------------
+    def voltages(self):
+        return np.asarray(self.state["v"]).reshape(self.rows, self.cols)
+
+    def field(self, name):
+        arr = np.asarray(self.state[name])
+        if arr.ndim == 1 and arr.shape[0] == self.n:
+            return arr.reshape(self.rows, self.cols)
+        return arr
+
+
+def _freeze(hist):
+    """Hashable signature of a history readout (for the jit cache)."""
+    if hasattr(hist, "reference_voltage"):
+        return (hist.kind, hist.reference_voltage, hist.distance,
+                hist.conductivity)
+    return (hist.kind,)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_lattice_runner(model, graph_cls, electrical, chemical,
+                          do_plasticity, plasticity_cls, history_sig,
+                          graph_history, shape, length):
+    from .history import HISTORY_KINDS
+
+    # Rebuild readout objects from their frozen signatures.
+    readouts = []
+    for name, kind, sig in history_sig:
+        cls = HISTORY_KINDS[kind]
+        h = cls(*sig[1:]) if len(sig) > 1 else cls()
+        readouts.append((name, h))
+
+    plasticity = plasticity_cls()
+
+    def one_step(pparams, carry, _):
+        state, graph, key, clock = carry
+
+        if electrical:
+            sub_v = jnp.ones_like(state["v"])
+            elec = graph.gather_electrical(
+                state["v"], sub_v, state["v"], state["gap_conductance"])
+        else:
+            elec = jnp.zeros_like(state["v"])
+
+        if chemical:
+            t, mask = get_neurotransmitter_concentrations(state)
+            t_in, t_valid = graph.gather_chemical(t, mask.astype(jnp.float32))
+            state, spikes = model.step(state, elec, t_in, t_valid)
+        else:
+            state, spikes = model.step(state, elec)
+
+        state["last_firing_time"] = jnp.where(
+            spikes, clock, state["last_firing_time"])
+
+        if do_plasticity:
+            graph = plasticity.apply(graph, state, pparams)
+
+        clock = clock + 1
+
+        ys = {name: h.readout(state, shape) for name, h in readouts}
+        if graph_history:
+            ys["__weights__"] = graph.weights
+        return (state, graph, key, clock), ys
+
+    def run(state, graph, key, clock, pparams):
+        step = functools.partial(one_step, pparams)
+        (state, graph, key, clock), ys = jax.lax.scan(
+            step, (state, graph, key, clock), None, length=length)
+        return state, graph, key, clock, ys
+
+    return jax.jit(run, donate_argnums=(0, 1))

@@ -1,0 +1,355 @@
+"""Synaptic connectivity graphs and on-device input-gather ops.
+
+TPU-native redesign of the reference's graph layer
+(`/root/reference/backend/src/graph/mod.rs`: `AdjacencyMatrix` :139,
+`AdjacencyList` :974) and the per-neuron input gathers
+(`/root/reference/backend/src/neuron/mod.rs:702-846`).
+
+Three device-resident representations, all registered as pytrees so they can
+live in a `lax.scan` carry (plasticity mutates weights on-device):
+
+* :class:`DenseGraph`   — (N_pre, N_post) weight + mask matrices.  The gather
+  is a matmul → MXU.  Right choice for small/densely connected lattices and a
+  direct analog of the reference's `AdjacencyMatrix`.
+* :class:`SparseGraph`  — COO edge list (src, dst, w) + `segment_sum`.  For
+  large sparse topologies of arbitrary shape.
+* :class:`StencilGraph` — per-neuron per-offset weights for translation-local
+  connectivity on a (rows, cols) grid.  The gather is a handful of rolled
+  fused VPU multiply-adds: zero gathers, zero scatters — the speed-of-light
+  layout for the reference's "connect within radius r" lattices.
+
+Semantics preserved from the reference (neuron/mod.rs:710-729):
+
+* electrical input to j = g_j * sum_i w_ij * (v_i - v_j) / max(indegree_j, 1)
+  — note the *averaging* over presynaptic count.
+* chemical input per type k = sum_i w_ij * t_ik / (count of presynaptic i
+  that carry type k), with a validity flag when that count is zero
+  (`aggregate_neurotransmitter_concentrations`,
+  iterate_and_spike/mod.rs:2846-2866).
+
+For mixed neuron/spike-train source populations (network case,
+neuron/mod.rs:2115-2167) the electrical gather takes per-source values
+``a_src`` and a per-source flag ``sub_v``: a neuron source contributes
+``w * (v_src - v_post)`` (sub_v=1) while a spike-train source contributes
+``w * effect_src`` (sub_v=0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+
+def _f32(x):
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dense graph
+# ---------------------------------------------------------------------------
+
+
+@register_pytree_node_class
+class DenseGraph:
+    """Dense (N_pre, N_post) weight matrix; ``mask[i, j]`` marks edge i -> j."""
+
+    def __init__(self, weights, mask):
+        self.weights = weights
+        self.mask = mask
+
+    # -- pytree plumbing ----------------------------------------------------
+    def tree_flatten(self):
+        return (self.weights, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def empty(cls, n_pre, n_post=None):
+        n_post = n_pre if n_post is None else n_post
+        return cls(jnp.zeros((n_pre, n_post), jnp.float32),
+                   jnp.zeros((n_pre, n_post), bool))
+
+    @property
+    def n_pre(self):
+        return self.weights.shape[0]
+
+    @property
+    def n_post(self):
+        return self.weights.shape[1]
+
+    def in_degree(self):
+        return jnp.sum(self.mask, axis=0).astype(jnp.float32)
+
+    # -- gathers ------------------------------------------------------------
+    def gather_electrical(self, a_src, sub_v, v_post, g_post):
+        w = jnp.where(self.mask, self.weights, 0.0)
+        # sum_i w_ij * a_i  and  sum_i w_ij * sub_i  (two MXU matvecs)
+        wa = a_src @ w
+        wsub = sub_v @ w
+        cnt = jnp.maximum(self.in_degree(), 1.0)
+        return g_post * (wa - v_post * wsub) / cnt
+
+    def gather_chemical(self, t_src, nt_mask_src):
+        w = jnp.where(self.mask, self.weights, 0.0)
+        sums = w.T @ (t_src * nt_mask_src)                      # (N_post, K)
+        cnts = self.mask.T.astype(jnp.float32) @ nt_mask_src     # (N_post, K)
+        t_in = sums / jnp.maximum(cnts, 1.0)
+        return t_in, cnts > 0.0
+
+    # -- plasticity ---------------------------------------------------------
+    def apply_edge_update(self, edge_dw, pre_vals, post_vals):
+        """Apply ``edge_dw(w, pre, post) -> dw`` over all edges.
+
+        ``pre_vals`` / ``post_vals`` are dicts of per-node (N,) arrays; they
+        are broadcast to the (N_pre, N_post) edge plane.
+        """
+        pre = {k: v[:, None] for k, v in pre_vals.items()}
+        post = {k: v[None, :] for k, v in post_vals.items()}
+        dw = edge_dw(self.weights, pre, post)
+        return DenseGraph(jnp.where(self.mask, self.weights + dw, self.weights),
+                          self.mask)
+
+
+# ---------------------------------------------------------------------------
+# Sparse COO graph
+# ---------------------------------------------------------------------------
+
+
+@register_pytree_node_class
+class SparseGraph:
+    """COO edge list: ``src``, ``dst`` int32 (E,), ``weights`` f32 (E,).
+
+    ``n_pre`` / ``n_post`` are static.  The reference's input averaging
+    requires per-destination in-degree, precomputed as ``in_deg``.
+    """
+
+    def __init__(self, src, dst, weights, n_pre, n_post, in_deg=None):
+        self.src = src
+        self.dst = dst
+        self.weights = weights
+        self.n_pre = int(n_pre)
+        self.n_post = int(n_post)
+        if in_deg is None:
+            in_deg = jax.ops.segment_sum(
+                jnp.ones_like(weights), dst, num_segments=self.n_post)
+        self.in_deg = in_deg
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.weights, self.in_deg), (self.n_pre, self.n_post)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        src, dst, w, in_deg = children
+        return cls(src, dst, w, aux[0], aux[1], in_deg)
+
+    @classmethod
+    def from_arrays(cls, src, dst, weights, n_pre, n_post=None):
+        n_post = n_pre if n_post is None else n_post
+        order = np.argsort(np.asarray(dst), kind="stable")
+        return cls(jnp.asarray(np.asarray(src)[order], jnp.int32),
+                   jnp.asarray(np.asarray(dst)[order], jnp.int32),
+                   _f32(np.asarray(weights)[order]), n_pre, n_post)
+
+    def in_degree(self):
+        return self.in_deg
+
+    def gather_electrical(self, a_src, sub_v, v_post, g_post):
+        contrib = self.weights * (a_src[self.src] - sub_v[self.src] * v_post[self.dst])
+        summed = jax.ops.segment_sum(contrib, self.dst, num_segments=self.n_post)
+        cnt = jnp.maximum(self.in_deg, 1.0)
+        return g_post * summed / cnt
+
+    def gather_chemical(self, t_src, nt_mask_src):
+        vals = self.weights[:, None] * t_src[self.src] * nt_mask_src[self.src]
+        sums = jax.ops.segment_sum(vals, self.dst, num_segments=self.n_post)
+        cnts = jax.ops.segment_sum(nt_mask_src[self.src], self.dst,
+                                   num_segments=self.n_post)
+        t_in = sums / jnp.maximum(cnts, 1.0)
+        return t_in, cnts > 0.0
+
+    def apply_edge_update(self, edge_dw, pre_vals, post_vals):
+        pre = {k: v[self.src] for k, v in pre_vals.items()}
+        post = {k: v[self.dst] for k, v in post_vals.items()}
+        dw = edge_dw(self.weights, pre, post)
+        return SparseGraph(self.src, self.dst, self.weights + dw,
+                           self.n_pre, self.n_post, self.in_deg)
+
+
+# ---------------------------------------------------------------------------
+# Stencil graph (translation-local connectivity on a 2-D grid)
+# ---------------------------------------------------------------------------
+
+
+def radius_offsets(radius, include_self=False):
+    """All (dr, dc) with Euclidean distance <= radius (the reference example's
+    `connection_conditional`, backend/examples/lattice/main.rs:18-23)."""
+    r = int(np.ceil(radius))
+    out = []
+    for dr in range(-r, r + 1):
+        for dc in range(-r, r + 1):
+            if not include_self and dr == 0 and dc == 0:
+                continue
+            if np.sqrt(dr * dr + dc * dc) <= radius:
+                out.append((dr, dc))
+    return tuple(out)
+
+
+@register_pytree_node_class
+class StencilGraph:
+    """Local connectivity: dst (r, c) receives from src (r + dr, c + dc).
+
+    ``weights``: (n_offsets, rows, cols) f32 — per-destination per-offset
+    weight; ``mask`` same shape bool.  Out-of-grid offsets are masked at
+    construction.  The gather is `n_offsets` shifted multiply-adds; XLA fuses
+    them into one VPU pass over the grid with no gather/scatter.
+    """
+
+    def __init__(self, offsets, weights, mask, in_deg=None):
+        self.offsets = tuple(map(tuple, offsets))
+        self.weights = weights
+        self.mask = mask
+        if in_deg is None:
+            in_deg = jnp.sum(mask, axis=0).astype(jnp.float32)
+        self.in_deg = in_deg
+
+    def tree_flatten(self):
+        return (self.weights, self.mask, self.in_deg), self.offsets
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        w, m, d = children
+        return cls(aux, w, m, d)
+
+    @property
+    def shape(self):
+        return self.weights.shape[1:]
+
+    @property
+    def n_pre(self):
+        r, c = self.shape
+        return r * c
+
+    n_post = n_pre
+
+    @classmethod
+    def build(cls, rows, cols, offsets, weight_fn=None, keep_prob=1.0, seed=0):
+        """Construct local connectivity.
+
+        ``weight_fn(dr, dc, rr, cc)`` -> weight array (vectorized over the
+        destination grids rr, cc); default 1.  ``keep_prob`` drops edges
+        i.i.d. (the reference example's 80%-chance connect).
+        """
+        offsets = tuple(map(tuple, offsets))
+        n_off = len(offsets)
+        w = np.zeros((n_off, rows, cols), np.float32)
+        m = np.zeros((n_off, rows, cols), bool)
+        rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+        rng = np.random.default_rng(seed)
+        for o, (dr, dc) in enumerate(offsets):
+            sr, sc = rr + dr, cc + dc
+            valid = (sr >= 0) & (sr < rows) & (sc >= 0) & (sc < cols)
+            if keep_prob < 1.0:
+                valid &= rng.random((rows, cols)) <= keep_prob
+            if weight_fn is None:
+                wo = np.ones((rows, cols), np.float32)
+            else:
+                wo = np.asarray(weight_fn(dr, dc, rr, cc), np.float32)
+            w[o] = np.where(valid, wo, 0.0)
+            m[o] = valid
+        return cls(offsets, jnp.asarray(w), jnp.asarray(m))
+
+    def in_degree(self):
+        return self.in_deg.reshape(-1)
+
+    @staticmethod
+    def _shift(x, dr, dc):
+        """x shifted so that out[r, c] = x[r + dr, c + dc] (zeros off-grid)."""
+        out = jnp.roll(x, (-dr, -dc), axis=(0, 1))
+        return out
+
+    def gather_electrical(self, a_src, sub_v, v_post, g_post):
+        rows, cols = self.shape
+        a = a_src.reshape(rows, cols)
+        sub = sub_v.reshape(rows, cols)
+        v = v_post.reshape(rows, cols)
+        acc = jnp.zeros((rows, cols), jnp.float32)
+        for o, (dr, dc) in enumerate(self.offsets):
+            w = self.weights[o]
+            acc = acc + w * (self._shift(a, dr, dc) - self._shift(sub, dr, dc) * v)
+        cnt = jnp.maximum(self.in_deg, 1.0)
+        out = g_post.reshape(rows, cols) * acc / cnt
+        return out.reshape(-1)
+
+    def gather_chemical(self, t_src, nt_mask_src):
+        rows, cols = self.shape
+        k = t_src.shape[-1]
+        t = t_src.reshape(rows, cols, k)
+        ms = nt_mask_src.reshape(rows, cols, k)
+        sums = jnp.zeros((rows, cols, k), jnp.float32)
+        cnts = jnp.zeros((rows, cols, k), jnp.float32)
+        for o, (dr, dc) in enumerate(self.offsets):
+            w = self.weights[o][:, :, None]
+            em = self.mask[o][:, :, None]
+            ts = jnp.roll(t, (-dr, -dc), axis=(0, 1))
+            msk = jnp.roll(ms, (-dr, -dc), axis=(0, 1))
+            sums = sums + w * ts * msk
+            cnts = cnts + em * msk
+        t_in = sums / jnp.maximum(cnts, 1.0)
+        return t_in.reshape(-1, k), (cnts > 0.0).reshape(-1, k)
+
+    def apply_edge_update(self, edge_dw, pre_vals, post_vals):
+        rows, cols = self.shape
+        post = {k: v.reshape(rows, cols) for k, v in post_vals.items()}
+        new_w = []
+        for o, (dr, dc) in enumerate(self.offsets):
+            pre = {k: jnp.roll(v.reshape(rows, cols), (-dr, -dc), axis=(0, 1))
+                   for k, v in pre_vals.items()}
+            dw = edge_dw(self.weights[o], pre, post)
+            new_w.append(jnp.where(self.mask[o], self.weights[o] + dw,
+                                   self.weights[o]))
+        return StencilGraph(self.offsets, jnp.stack(new_w), self.mask, self.in_deg)
+
+
+# ---------------------------------------------------------------------------
+# Host-side builders mirroring Lattice::connect (neuron/mod.rs:1134-1157)
+# ---------------------------------------------------------------------------
+
+
+def positions(rows, cols):
+    """All (r, c) grid positions, row-major (matches graph node ordering)."""
+    rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    return np.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)
+
+
+def connect_dense(rows, cols, connecting_conditional, weight_logic=None):
+    """Evaluate a pairwise predicate over all position pairs -> DenseGraph.
+
+    The predicate / weight function take ((r1, c1), (r2, c2)) like the
+    reference's `connect`.  O(N^2) host work — use for small lattices only;
+    large lattices should use `StencilGraph.build` or explicit edge lists.
+    """
+    pos = positions(rows, cols)
+    n = len(pos)
+    mask = np.zeros((n, n), bool)
+    w = np.zeros((n, n), np.float32)
+    for i in range(n):
+        pi = (int(pos[i, 0]), int(pos[i, 1]))
+        for j in range(n):
+            pj = (int(pos[j, 0]), int(pos[j, 1]))
+            if connecting_conditional(pi, pj):
+                mask[i, j] = True
+                w[i, j] = 1.0 if weight_logic is None else weight_logic(pi, pj)
+    return DenseGraph(jnp.asarray(w), jnp.asarray(mask))
+
+
+def dense_to_sparse(graph):
+    mask = np.asarray(graph.mask)
+    w = np.asarray(graph.weights)
+    src, dst = np.nonzero(mask)
+    return SparseGraph.from_arrays(src, dst, w[src, dst],
+                                   graph.n_pre, graph.n_post)

@@ -1,0 +1,208 @@
+"""Lattice runtime golden tests vs the scalar two-phase simulator, plus
+graph-backend equivalence and structural invariants (mirrors the reference's
+backend/tests tier: gpu_accuracy.rs, grid_formation_invariant.rs,
+size_zero_cases.rs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spiking_neural_networks_tpu as snn
+from spiking_neural_networks_tpu.ops.graph import (
+    DenseGraph, dense_to_sparse, StencilGraph, radius_offsets)
+from reference_impl import RefIzhikevich, run_ref_lattice, f32, AMPA, NMDA, GABA
+
+
+def make_dense_weights(n, density, seed, wmin=0.5, wmax=1.5, self_loops=False):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((n, n)) < density
+    if not self_loops:
+        np.fill_diagonal(mask, False)
+    w = rng.uniform(wmin, wmax, (n, n)).astype(np.float32)
+    return mask, np.where(mask, w, 0.0).astype(np.float32)
+
+
+def build_lattice(rows, cols, mask, w, v_init, electrical, chemical,
+                  with_receptors=False):
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(rows, cols)
+    lat.graph = DenseGraph(jnp.asarray(w), jnp.asarray(mask))
+    lat.electrical_synapse = electrical
+    lat.chemical_synapse = chemical
+    lat.apply(lambda s: {**s, "v": jnp.asarray(v_init)})
+    if with_receptors:
+        s = lat.state
+        s = lat.model.insert_receptor(s, "AMPA")
+        s = lat.model.insert_receptor(s, "NMDA")
+        s = lat.model.insert_neurotransmitter(s, "AMPA")
+        s = lat.model.insert_neurotransmitter(s, "NMDA")
+        lat.state = s
+    lat.update_grid_history = True
+    return lat
+
+
+def build_ref(n, mask, w, v_init, with_receptors=False):
+    neurons = []
+    for i in range(n):
+        nr = RefIzhikevich(gap_conductance=10.0)
+        nr.v = f32(v_init[i])
+        if with_receptors:
+            import reference_impl as RI
+            nr.receptors = RI.ReceptorSet((AMPA, NMDA), "approximate")
+            nr.nts = RI.NTSet((AMPA, NMDA), "approximate")
+        neurons.append(nr)
+    weights = [[float(w[i][j]) if mask[i][j] else None for j in range(n)]
+               for i in range(n)]
+    return neurons, weights
+
+
+@pytest.mark.parametrize("electrical,chemical", [
+    (True, False), (False, True), (True, True)])
+def test_lattice_matches_scalar_reference(electrical, chemical):
+    rows, cols, iters = 3, 3, 300
+    n = rows * cols
+    mask, w = make_dense_weights(n, 0.5, seed=1)
+    rng = np.random.default_rng(2)
+    v_init = rng.uniform(-65, 30, n).astype(np.float32)
+
+    lat = build_lattice(rows, cols, mask, w, v_init, electrical, chemical,
+                        with_receptors=chemical)
+    lat.apply(lambda s: {**s, "gap_conductance":
+                         jnp.full_like(s["gap_conductance"], 10.0)})
+    lat.run_lattice(iters)
+    got = np.stack(lat.grid_history.history).reshape(iters, n)
+
+    neurons, weights = build_ref(n, mask, w, v_init, with_receptors=chemical)
+    want, _ = run_ref_lattice(neurons, weights, iters,
+                              electrical=electrical, chemical=chemical)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+def test_graph_backend_equivalence():
+    """Dense, sparse, and stencil backends produce identical trajectories for
+    the same radius-2 connectivity."""
+    rows = cols = 6
+    n = rows * cols
+    offsets = radius_offsets(2.0)
+
+    # Build the same connectivity as dense mask
+    pos = [(r, c) for r in range(rows) for c in range(cols)]
+    mask = np.zeros((n, n), bool)
+    w = np.zeros((n, n), np.float32)
+    rng = np.random.default_rng(3)
+    wmap = {}
+    for o, (dr, dc) in enumerate(offsets):
+        wmap[(dr, dc)] = rng.uniform(0.5, 1.5, (rows, cols)).astype(np.float32)
+    for j, (r, c) in enumerate(pos):
+        for (dr, dc) in offsets:
+            sr, sc = r + dr, c + dc
+            if 0 <= sr < rows and 0 <= sc < cols:
+                i = sr * cols + sc
+                mask[i, j] = True
+                w[i, j] = wmap[(dr, dc)][r, c]
+
+    v_init = np.random.default_rng(4).uniform(-65, 30, n).astype(np.float32)
+
+    results = {}
+    for backend in ("dense", "sparse", "stencil"):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(rows, cols, v=v_init, gap_conductance=10.0)
+        dense = DenseGraph(jnp.asarray(w), jnp.asarray(mask))
+        if backend == "dense":
+            lat.graph = dense
+        elif backend == "sparse":
+            lat.graph = dense_to_sparse(dense)
+        else:
+            lat.graph = StencilGraph.build(
+                rows, cols, offsets,
+                weight_fn=lambda dr, dc, rr, cc: wmap[(dr, dc)])
+        lat.update_grid_history = True
+        lat.run_lattice(200)
+        results[backend] = np.stack(lat.grid_history.history)
+
+    np.testing.assert_allclose(results["dense"], results["sparse"],
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(results["dense"], results["stencil"],
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_stdp_lattice_matches_scalar_reference():
+    rows, cols, iters = 3, 3, 200
+    n = rows * cols
+    mask, w = make_dense_weights(n, 0.6, seed=5)
+    v_init = np.random.default_rng(6).uniform(-65, 30, n).astype(np.float32)
+
+    lat = build_lattice(rows, cols, mask, w, v_init, True, False)
+    lat.apply(lambda s: {**s, "gap_conductance":
+                         jnp.full_like(s["gap_conductance"], 10.0)})
+    lat.do_plasticity = True
+    lat.plasticity = snn.STDP()
+    lat.run_lattice(iters)
+    got_v = np.stack(lat.grid_history.history).reshape(iters, n)
+    got_w = np.asarray(lat.graph.weights)
+
+    neurons, weights = build_ref(n, mask, w, v_init)
+    stdp = dict(a_plus=2.0, a_minus=2.0, tau_plus=4.5, tau_minus=4.5, dt=0.1)
+    want_v, want_w = run_ref_lattice(neurons, weights, iters, electrical=True,
+                                     stdp=stdp, do_plasticity=True)
+    np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=5e-3)
+    want_w_arr = np.array([[want_w[i][j] if want_w[i][j] is not None else 0.0
+                            for j in range(n)] for i in range(n)], np.float32)
+    np.testing.assert_allclose(got_w, want_w_arr, rtol=1e-4, atol=1e-3)
+
+
+def test_no_connections_behaves_like_isolated():
+    """Zero in-degree => averaged input is 0 (divide by max(count,1))."""
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(2, 2)
+    lat.update_grid_history = True
+    lat.run_lattice(100)
+    got = np.stack(lat.grid_history.history).reshape(100, 4)
+
+    ref = RefIzhikevich()
+    want = []
+    for _ in range(100):
+        ref.iterate_and_spike(0.0)
+        want.append(ref.v)
+    for col in range(4):
+        np.testing.assert_allclose(got[:, col], want, rtol=1e-5, atol=1e-4)
+
+
+def test_populate_dimensions_and_reset():
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(4, 7)
+    assert lat.state["v"].shape == (28,)
+    assert lat.voltages().shape == (4, 7)
+    lat.run_lattice(10)
+    assert lat.internal_clock == 10
+    lat.reset_timing()
+    assert lat.internal_clock == 0
+    assert int(lat.state["last_firing_time"].max()) == -1
+
+
+def test_zero_iterations_and_no_synapses():
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(2, 2)
+    lat.run_lattice(0)
+    lat.electrical_synapse = False
+    lat.chemical_synapse = False
+    lat.run_lattice(10)
+    assert lat.internal_clock == 0
+
+
+def test_last_firing_time_tracking():
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(1, 1)
+    lat.update_grid_history = True
+    # strong drive: neuron spikes periodically; lft equals the step index of
+    # the most recent spike
+    lat.apply(lambda s: {**s, "v": jnp.full_like(s["v"], 20.0)})
+
+    ref = RefIzhikevich()
+    ref.v = f32(20.0)
+    lft = None
+    lat.run_lattice(300)
+    for it in range(300):
+        if ref.iterate_and_spike(0.0):
+            lft = it
+    assert int(lat.state["last_firing_time"][0]) == (lft if lft is not None else -1)
