@@ -33,6 +33,7 @@ from .models.spike_train import (
     BCMPoissonSpikeTrain,
 )
 from .core.lattice import Lattice
+from .core.network import SpikeTrainLattice, LatticeNetwork
 from .core.plasticity import STDP, BCM, RewardModulatedSTDP
 from .core import history
 from .ops.graph import DenseGraph, SparseGraph, StencilGraph, radius_offsets

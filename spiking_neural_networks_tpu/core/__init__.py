@@ -1,1 +1,1 @@
-from . import history, plasticity, lattice
+from . import history, plasticity, lattice, network

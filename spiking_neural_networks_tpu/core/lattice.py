@@ -143,11 +143,14 @@ class Lattice:
             remaining -= chunk
 
     def _run_chunk(self, length):
+        # Static fast path: no neurotransmitters inserted -> skip the masked
+        # no-op (N, K) concentration update inside the scan entirely.
+        skip_nt = not bool(np.asarray(self.state["nt$mask"]).any())
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),
             tuple((name, h.kind, _freeze(h)) for name, h in self._history_items()),
-            self.update_graph_history, (self.rows, self.cols), length)
+            self.update_graph_history, (self.rows, self.cols), length, skip_nt)
         pparams = {k: jnp.float32(v) for k, v in self.plasticity.params.items()}
         state, graph, key, clock, ys = runner(
             self.state, self.graph, self.key,
@@ -181,7 +184,7 @@ def _freeze(hist):
 @functools.lru_cache(maxsize=None)
 def _build_lattice_runner(model, graph_cls, electrical, chemical,
                           do_plasticity, plasticity_cls, history_sig,
-                          graph_history, shape, length):
+                          graph_history, shape, length, skip_nt=False):
     from .history import HISTORY_KINDS
 
     # Rebuild readout objects from their frozen signatures.
@@ -206,9 +209,10 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
         if chemical:
             t, mask = get_neurotransmitter_concentrations(state)
             t_in, t_valid = graph.gather_chemical(t, mask.astype(jnp.float32))
-            state, spikes = model.step(state, elec, t_in, t_valid)
+            state, spikes = model.step(state, elec, t_in, t_valid,
+                                       skip_nt=skip_nt)
         else:
-            state, spikes = model.step(state, elec)
+            state, spikes = model.step(state, elec, skip_nt=skip_nt)
 
         state["last_firing_time"] = jnp.where(
             spikes, clock, state["last_firing_time"])

@@ -1,0 +1,623 @@
+"""Multi-lattice network runtime: lattices + spike-train lattices + connecting
+edges, flattened into one global index space on device.
+
+TPU-native rebuild of `LatticeNetwork` (`/root/reference/backend/src/neuron/
+mod.rs:1538-2717`) and `SpikeTrainLattice` (:1292-1428).  The reference's own
+GPU path already proves the layout used here: all lattices concatenated into a
+single flat node space with spike-train flags (`InterleavingGraphGPU`,
+graph/mod.rs:579-612).  We go further: the whole network — neuron states,
+spike-train states, and a single COO edge list covering intra-lattice and
+connecting edges — lives in the `lax.scan` carry, so a full `run_lattices`
+is one device program with no host round trips.
+
+Step semantics preserved (neuron/mod.rs:2420-2479):
+  1. Phase A: gather electrical + chemical inputs from the *previous* state;
+     spike-train sources contribute `w * g_post * refractoriness_effect`
+     (no v_post subtraction), neuron sources `w * g_post * (v_pre - v_post)`,
+     averaged together over the total in-degree (:2115-2167).
+  2. Phase B: all neurons advance; last-firing-times set from the network
+     clock; per-lattice histories update.
+  3. Deferred plasticity across + within lattices (:2458-2461): edge (i, j)
+     is updated once per spiking endpoint whose lattice has plasticity on.
+  4. Clock increments; lattice clocks sync (:2467-2471).
+  5. Spike-train lattices iterate LAST (:2473-2476) with their pre-increment
+     clock as the firing timestamp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.base import NEVER, get_neurotransmitter_concentrations
+from ..models.spike_train import refractoriness_effect
+from ..ops.graph import DenseGraph, SparseGraph, StencilGraph, positions
+from .history import GridVoltageHistory
+from .lattice import Lattice, _freeze
+from .plasticity import STDP
+
+
+class SpikeTrainLattice:
+    """A grid of spike-train generators (no incoming connections allowed).
+
+    Mirrors `SpikeTrainLattice` (neuron/mod.rs:1292-1428)."""
+
+    def __init__(self, model, id=0):
+        self.model = model
+        self.id = id
+        self.state = None
+        self.rows = self.cols = 0
+        self.update_grid_history = False
+        self.grid_history = GridVoltageHistory()
+        self.internal_clock = 0
+        self.key = jax.random.PRNGKey(0)
+        self.history_chunk = 1024
+        self.in_network = False
+
+    @property
+    def n(self):
+        return self.rows * self.cols
+
+    def populate(self, rows, cols, **overrides):
+        if self.in_network and (rows, cols) != (self.rows, self.cols):
+            raise ValueError("dimensions must match when lattice is in a network")
+        self.rows, self.cols = rows, cols
+        self.state = self.model.init_state(rows * cols, **overrides)
+
+    def apply(self, fn):
+        self.state = dict(fn(dict(self.state)))
+
+    def apply_given_position(self, fn):
+        rr, cc = np.meshgrid(np.arange(self.rows), np.arange(self.cols),
+                             indexing="ij")
+        self.state = dict(fn(jnp.asarray(rr.reshape(-1)),
+                             jnp.asarray(cc.reshape(-1)), dict(self.state)))
+
+    def set_dt(self, dt):
+        """`SpikeTrainLattice::set_dt` — note PoissonNeuron rescales its
+        chance_of_firing by dt ratio (spike_train/mod.rs:340-350)."""
+        if "chance_of_firing" in self.state:
+            scalar = dt / self.state["dt"]
+            self.state["chance_of_firing"] = self.state["chance_of_firing"] * scalar
+        self.state["dt"] = jnp.full_like(self.state["dt"], dt)
+
+    def reset_timing(self):
+        self.internal_clock = 0
+        self.state["last_firing_time"] = jnp.full_like(
+            self.state["last_firing_time"], NEVER)
+
+    def reset_history(self):
+        self.grid_history.reset()
+
+    def run_lattice(self, iterations):
+        """Standalone run (`RunSpikeTrainLattice`, neuron/mod.rs:1419-1428)."""
+        remaining = iterations
+        while remaining > 0:
+            chunk = min(remaining, self.history_chunk) \
+                if self.update_grid_history else remaining
+            self._run_chunk(chunk)
+            remaining -= chunk
+
+    def _run_chunk(self, length):
+        runner = _build_st_runner(
+            self.model,
+            tuple((("grid", self.grid_history.kind, _freeze(self.grid_history)),)
+                  if self.update_grid_history else ()),
+            (self.rows, self.cols), length)
+        state, key, clock, ys = runner(self.state, self.key,
+                                       jnp.int32(self.internal_clock))
+        self.state, self.key = state, key
+        self.internal_clock += length
+        if self.update_grid_history:
+            self.grid_history.extend(ys["grid"])
+
+    def voltages(self):
+        return np.asarray(self.state["v"]).reshape(self.rows, self.cols)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_st_runner(model, history_sig, shape, length):
+    from .history import HISTORY_KINDS
+    readouts = []
+    for name, kind, sig in history_sig:
+        cls = HISTORY_KINDS[kind]
+        readouts.append((name, cls(*sig[1:]) if len(sig) > 1 else cls()))
+
+    def one_step(carry, _):
+        state, key, clock = carry
+        state, spikes, key = model.step(state, key, clock)
+        state["last_firing_time"] = jnp.where(
+            spikes, clock, state["last_firing_time"])
+        clock = clock + 1
+        ys = {name: h.readout(state, shape) for name, h in readouts}
+        return (state, key, clock), ys
+
+    def run(state, key, clock):
+        (state, key, clock), ys = jax.lax.scan(
+            one_step, (state, key, clock), None, length=length)
+        return state, key, clock, ys
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Network
+# ---------------------------------------------------------------------------
+
+
+def _graph_to_coo(graph):
+    """Extract (src, dst, w) host arrays from any lattice graph backend."""
+    if isinstance(graph, DenseGraph):
+        mask = np.asarray(graph.mask)
+        w = np.asarray(graph.weights)
+        src, dst = np.nonzero(mask)
+        return src, dst, w[src, dst], ("dense", None)
+    if isinstance(graph, SparseGraph):
+        return (np.asarray(graph.src), np.asarray(graph.dst),
+                np.asarray(graph.weights), ("sparse", None))
+    if isinstance(graph, StencilGraph):
+        rows, cols = graph.shape
+        mask = np.asarray(graph.mask)
+        w = np.asarray(graph.weights)
+        srcs, dsts, ws, prov = [], [], [], []
+        rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+        for o, (dr, dc) in enumerate(graph.offsets):
+            m = mask[o]
+            r, c = rr[m], cc[m]
+            srcs.append((r + dr) * cols + (c + dc))
+            dsts.append(r * cols + c)
+            ws.append(w[o][m])
+            prov.append(np.stack([np.full(r.shape, o), r, c], axis=-1))
+        return (np.concatenate(srcs), np.concatenate(dsts),
+                np.concatenate(ws), ("stencil", np.concatenate(prov)))
+    raise TypeError(f"unsupported graph type {type(graph)}")
+
+
+def _write_back_graph(graph, src, dst, w, prov):
+    kind, extra = prov
+    if kind == "dense":
+        weights = np.asarray(graph.weights).copy()
+        weights[src, dst] = w
+        return DenseGraph(jnp.asarray(weights), graph.mask)
+    if kind == "sparse":
+        order = np.argsort(dst, kind="stable")
+        return SparseGraph(jnp.asarray(src[order], jnp.int32),
+                           jnp.asarray(dst[order], jnp.int32),
+                           jnp.asarray(w[order], jnp.float32),
+                           graph.n_pre, graph.n_post)
+    if kind == "stencil":
+        weights = np.asarray(graph.weights).copy()
+        weights[extra[:, 0], extra[:, 1], extra[:, 2]] = w
+        return StencilGraph(graph.offsets, jnp.asarray(weights), graph.mask,
+                            graph.in_deg)
+    raise TypeError(kind)
+
+
+class LatticeNetwork:
+    """Lattices + spike-train lattices connected by inter-lattice edges.
+
+    All lattices must share one neuron model config and all spike-train
+    lattices one spike-train model config (the reference has the same
+    constraint via its single `T`/`W` type parameters,
+    neuron/mod.rs:1538-1547).
+    """
+
+    def __init__(self):
+        self.lattices = {}
+        self.spike_train_lattices = {}
+        # (pre_id, post_id) -> host COO (src_local, dst_local, w)
+        self.connections = {}
+        self.electrical_synapse = True
+        self.chemical_synapse = False
+        self.update_connecting_graph_history = False
+        self.connecting_graph_history = []
+        self.internal_clock = 0
+        self.history_chunk = 1024
+        self.key = jax.random.PRNGKey(0)
+
+    # -- construction ----------------------------------------------------------
+    @classmethod
+    def generate_network(cls, lattices=(), spike_train_lattices=()):
+        """`LatticeNetwork::generate_network` (neuron/mod.rs:1625-1640)."""
+        net = cls()
+        for lat in lattices:
+            net.add_lattice(lat)
+        for st in spike_train_lattices:
+            net.add_spike_train_lattice(st)
+        return net
+
+    def _check_id(self, id):
+        if id in self.lattices or id in self.spike_train_lattices:
+            raise ValueError(f"id {id} already present in network")
+
+    def add_lattice(self, lattice):
+        self._check_id(lattice.id)
+        if self.lattices:
+            first = next(iter(self.lattices.values()))
+            if first.model != lattice.model:
+                raise ValueError("all lattices must share one neuron model config")
+        lattice.in_network = True
+        self.lattices[lattice.id] = lattice
+
+    def add_spike_train_lattice(self, lattice):
+        self._check_id(lattice.id)
+        if self.spike_train_lattices:
+            first = next(iter(self.spike_train_lattices.values()))
+            if first.model != lattice.model:
+                raise ValueError(
+                    "all spike-train lattices must share one model config")
+        lattice.in_network = True
+        self.spike_train_lattices[lattice.id] = lattice
+
+    def get_lattice(self, id):
+        return self.lattices[id]
+
+    def get_spike_train_lattice(self, id):
+        return self.spike_train_lattices[id]
+
+    def set_dt(self, dt):
+        for lat in self.lattices.values():
+            lat.set_dt(dt)
+        for st in self.spike_train_lattices.values():
+            st.set_dt(dt)
+
+    def reset_timing(self):
+        self.internal_clock = 0
+        for lat in self.lattices.values():
+            lat.reset_timing()
+        for st in self.spike_train_lattices.values():
+            st.reset_timing()
+
+    # -- connectivity -----------------------------------------------------------
+    def connect(self, presynaptic_id, postsynaptic_id, connecting_conditional,
+                weight_logic=None):
+        """Connect two different lattices (`LatticeNetwork::connect`,
+        neuron/mod.rs:1845-1940): overwrites existing pre->post edges;
+        spike-train lattices cannot be postsynaptic."""
+        if postsynaptic_id in self.spike_train_lattices:
+            raise ValueError("spike-train lattices cannot be postsynaptic")
+        if postsynaptic_id not in self.lattices:
+            raise KeyError(f"unknown postsynaptic id {postsynaptic_id}")
+        if presynaptic_id == postsynaptic_id:
+            return self.connect_internally(
+                presynaptic_id, connecting_conditional, weight_logic)
+        pre = self.lattices.get(presynaptic_id) \
+            or self.spike_train_lattices.get(presynaptic_id)
+        if pre is None:
+            raise KeyError(f"unknown presynaptic id {presynaptic_id}")
+        post = self.lattices[postsynaptic_id]
+
+        pre_pos = positions(pre.rows, pre.cols)
+        post_pos = positions(post.rows, post.cols)
+        src, dst, w = [], [], []
+        for i, p1 in enumerate(pre_pos):
+            t1 = (int(p1[0]), int(p1[1]))
+            for j, p2 in enumerate(post_pos):
+                t2 = (int(p2[0]), int(p2[1]))
+                if connecting_conditional(t1, t2):
+                    src.append(i)
+                    dst.append(j)
+                    w.append(1.0 if weight_logic is None else weight_logic(t1, t2))
+        self.connections[(presynaptic_id, postsynaptic_id)] = (
+            np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            np.asarray(w, np.float32))
+
+    def connect_vectorized(self, presynaptic_id, postsynaptic_id, fn):
+        """Fast path: fn(pre_r, pre_c, post_r, post_c) -> weight array with
+        NaN/None semantics (NaN = no edge), fully vectorized over the
+        (N_pre, N_post) position product."""
+        pre = self.lattices.get(presynaptic_id) \
+            or self.spike_train_lattices.get(presynaptic_id)
+        post = self.lattices[postsynaptic_id]
+        pre_pos = positions(pre.rows, pre.cols)
+        post_pos = positions(post.rows, post.cols)
+        w = np.asarray(fn(pre_pos[:, None, 0], pre_pos[:, None, 1],
+                          post_pos[None, :, 0], post_pos[None, :, 1]),
+                       np.float32)
+        src, dst = np.nonzero(~np.isnan(w))
+        self.connections[(presynaptic_id, postsynaptic_id)] = (
+            src, dst, w[src, dst])
+
+    def connect_internally(self, id, connecting_conditional, weight_logic=None):
+        """`connect_interally` (neuron/mod.rs:2050-2084)."""
+        self.lattices[id].connect(connecting_conditional, weight_logic)
+
+    # -- flattening --------------------------------------------------------------
+    def _compile(self):
+        lat_ids = sorted(self.lattices)
+        st_ids = sorted(self.spike_train_lattices)
+        n_offset, st_offset = {}, {}
+        off = 0
+        for i in lat_ids:
+            n_offset[i] = off
+            off += self.lattices[i].n
+        n_neurons = off
+        for i in st_ids:
+            st_offset[i] = off
+            off += self.spike_train_lattices[i].n
+        n_total = off
+
+        # edges: intra-lattice + connecting, one COO list over global ids
+        src_all, dst_all, w_all = [], [], []
+        provenance = []  # (kind, owner_key, count, extra)
+        plastic_all = []
+        for i in lat_ids:
+            lat = self.lattices[i]
+            src, dst, w, prov = _graph_to_coo(lat.graph)
+            src_all.append(src + n_offset[i])
+            dst_all.append(dst + n_offset[i])
+            w_all.append(w)
+            plastic_all.append(np.full(len(w), bool(lat.do_plasticity)))
+            provenance.append(("intra", i, len(w), prov, src, dst))
+        for (pre_id, post_id), (src, dst, w) in sorted(self.connections.items()):
+            base = n_offset.get(pre_id, st_offset.get(pre_id))
+            src_all.append(src + base)
+            dst_all.append(dst + n_offset[post_id])
+            w_all.append(w)
+            # connecting edges participate in plasticity when the
+            # postsynaptic lattice has it enabled (neuron/mod.rs:2444-2461)
+            plastic_all.append(
+                np.full(len(w), bool(self.lattices[post_id].do_plasticity)))
+            provenance.append(("connecting", (pre_id, post_id), len(w), None,
+                               src, dst))
+
+        if src_all:
+            src = np.concatenate(src_all)
+            dst = np.concatenate(dst_all)
+            w = np.concatenate(w_all).astype(np.float32)
+            plastic = np.concatenate(plastic_all)
+        else:
+            src = np.zeros(0, np.int64)
+            dst = np.zeros(0, np.int64)
+            w = np.zeros(0, np.float32)
+            plastic = np.zeros(0, bool)
+
+        # per-node plasticity trigger flag (spiking neuron in a plastic
+        # lattice triggers updates on its in/out edges); spike trains never
+        # trigger (they are not iterated in the plasticity sweep)
+        node_plastic = np.zeros(n_total, np.float32)
+        for i in lat_ids:
+            if self.lattices[i].do_plasticity:
+                node_plastic[n_offset[i]:n_offset[i] + self.lattices[i].n] = 1.0
+
+        nstate = {}
+        first = self.lattices[lat_ids[0]]
+        for k in first.state:
+            nstate[k] = jnp.concatenate(
+                [self.lattices[i].state[k] for i in lat_ids], axis=0)
+        st_state = None
+        if st_ids:
+            st0 = self.spike_train_lattices[st_ids[0]]
+            st_state = {}
+            for k in st0.state:
+                st_state[k] = jnp.concatenate(
+                    [self.spike_train_lattices[i].state[k] for i in st_ids],
+                    axis=0)
+
+        in_deg = np.zeros(n_neurons, np.float32)
+        np.add.at(in_deg, dst, 1.0)
+
+        return dict(
+            lat_ids=lat_ids, st_ids=st_ids, n_offset=n_offset,
+            st_offset=st_offset, n_neurons=n_neurons, n_total=n_total,
+            src=jnp.asarray(src, jnp.int32), dst=jnp.asarray(dst, jnp.int32),
+            w=jnp.asarray(w), plastic=jnp.asarray(plastic),
+            node_plastic=jnp.asarray(node_plastic),
+            in_deg=jnp.asarray(in_deg),
+            nstate=nstate, st_state=st_state, provenance=provenance,
+            host_src=src, host_dst=dst,
+        )
+
+    def _history_signature(self, plan):
+        sig = []
+        for i in plan["lat_ids"]:
+            lat = self.lattices[i]
+            if lat.update_grid_history:
+                sig.append((("lat", i), lat.grid_history.kind,
+                            _freeze(lat.grid_history),
+                            (lat.rows, lat.cols),
+                            plan["n_offset"][i], lat.n))
+        for i in plan["st_ids"]:
+            st = self.spike_train_lattices[i]
+            if st.update_grid_history:
+                sig.append((("st", i), st.grid_history.kind,
+                            _freeze(st.grid_history),
+                            (st.rows, st.cols),
+                            plan["st_offset"][i] - plan["n_neurons"], st.n))
+        return tuple(sig)
+
+    def _plasticity(self):
+        for i in sorted(self.lattices):
+            if self.lattices[i].do_plasticity:
+                return self.lattices[i].plasticity
+        return STDP()
+
+    # -- simulation ---------------------------------------------------------------
+    def run_lattices(self, iterations):
+        """`RunNetwork::run_lattices` (neuron/mod.rs:2667-2674)."""
+        if iterations == 0:
+            return
+        if not self.electrical_synapse and not self.chemical_synapse:
+            return
+        plan = self._compile()
+        any_history = any(l.update_grid_history for l in self.lattices.values()) \
+            or any(s.update_grid_history
+                   for s in self.spike_train_lattices.values()) \
+            or self.update_connecting_graph_history
+        remaining = iterations
+        while remaining > 0:
+            chunk = min(remaining, self.history_chunk) if any_history else remaining
+            plan = self._run_chunk(plan, chunk)
+            remaining -= chunk
+        self._write_back(plan)
+
+    def _run_chunk(self, plan, length):
+        neuron_model = next(iter(self.lattices.values())).model
+        st_model = (next(iter(self.spike_train_lattices.values())).model
+                    if plan["st_ids"] else None)
+        do_plasticity = any(l.do_plasticity for l in self.lattices.values())
+        plasticity = self._plasticity()
+        skip_nt = not bool(np.asarray(plan["nstate"]["nt$mask"]).any())
+        hist_sig = self._history_signature(plan)
+
+        runner = _build_network_runner(
+            neuron_model, st_model, self.electrical_synapse,
+            self.chemical_synapse, do_plasticity, type(plasticity),
+            hist_sig, plan["n_neurons"], plan["n_total"], skip_nt,
+            self.update_connecting_graph_history, length)
+
+        pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
+        carry, ys = runner(
+            plan["nstate"], plan["st_state"], plan["w"], self.key,
+            jnp.int32(self.internal_clock),
+            dict(src=plan["src"], dst=plan["dst"], plastic=plan["plastic"],
+                 node_plastic=plan["node_plastic"], in_deg=plan["in_deg"]),
+            pparams)
+        plan["nstate"], plan["st_state"], plan["w"], self.key = (
+            carry[0], carry[1], carry[2], carry[3])
+        self.internal_clock += length
+
+        for (key_id, kind, fsig, shape, off, n) in hist_sig:
+            scope, i = key_id
+            hist = (self.lattices[i].grid_history if scope == "lat"
+                    else self.spike_train_lattices[i].grid_history)
+            hist.extend(ys[key_id])
+        if self.update_connecting_graph_history:
+            self.connecting_graph_history.extend(np.asarray(ys["__w__"]))
+        return plan
+
+    def _write_back(self, plan):
+        # states back into the individual lattices
+        for i in plan["lat_ids"]:
+            lat = self.lattices[i]
+            off = plan["n_offset"][i]
+            lat.state = {k: v[off:off + lat.n] for k, v in plan["nstate"].items()}
+            lat.internal_clock = self.internal_clock
+        for i in plan["st_ids"]:
+            st = self.spike_train_lattices[i]
+            off = plan["st_offset"][i] - plan["n_neurons"]
+            st.state = {k: v[off:off + st.n] for k, v in plan["st_state"].items()}
+            st.internal_clock = self.internal_clock
+        # weights back into graphs / connection lists
+        w = np.asarray(plan["w"])
+        offset = 0
+        for entry in plan["provenance"]:
+            kind, owner, count, prov, src, dst = entry
+            wslice = w[offset:offset + count]
+            if kind == "intra":
+                lat = self.lattices[owner]
+                lat.graph = _write_back_graph(lat.graph, src, dst, wslice, prov)
+            else:
+                self.connections[owner] = (src, dst, wslice.copy())
+            offset += count
+
+
+@functools.lru_cache(maxsize=None)
+def _build_network_runner(neuron_model, st_model, electrical, chemical,
+                          do_plasticity, plasticity_cls, history_sig,
+                          n_neurons, n_total, skip_nt, w_history, length):
+    from .history import HISTORY_KINDS
+
+    readouts = []
+    for (key_id, kind, fsig, shape, off, n) in history_sig:
+        cls = HISTORY_KINDS[kind]
+        h = cls(*fsig[1:]) if len(fsig) > 1 else cls()
+        readouts.append((key_id, h, shape, off, n))
+
+    def one_step(edges, pparams, carry, _):
+        nstate, st_state, w, key, clock = carry
+        src, dst = edges["src"], edges["dst"]
+        cnt = jnp.maximum(edges["in_deg"], 1.0)
+
+        # ---- Phase A: gathers from previous state ----
+        if st_state is not None:
+            st_effect = refractoriness_effect(
+                st_model.refractoriness, st_state, clock)
+            a_src = jnp.concatenate([nstate["v"], st_effect])
+            sub_v = jnp.concatenate(
+                [jnp.ones_like(nstate["v"]), jnp.zeros_like(st_effect)])
+        else:
+            a_src = nstate["v"]
+            sub_v = jnp.ones_like(a_src)
+
+        if electrical:
+            contrib = w * (a_src[src] - sub_v[src] * nstate["v"][dst])
+            summed = jax.ops.segment_sum(contrib, dst, num_segments=n_neurons)
+            elec = nstate["gap_conductance"] * summed / cnt
+        else:
+            elec = jnp.zeros_like(nstate["v"])
+
+        if chemical:
+            t_n, m_n = get_neurotransmitter_concentrations(nstate)
+            if st_state is not None:
+                t_s, m_s = get_neurotransmitter_concentrations(st_state)
+                t_src = jnp.concatenate([t_n, t_s])
+                m_src = jnp.concatenate([m_n, m_s]).astype(jnp.float32)
+            else:
+                t_src, m_src = t_n, m_n.astype(jnp.float32)
+            vals = w[:, None] * t_src[src] * m_src[src]
+            sums = jax.ops.segment_sum(vals, dst, num_segments=n_neurons)
+            cnts = jax.ops.segment_sum(m_src[src], dst, num_segments=n_neurons)
+            t_in = sums / jnp.maximum(cnts, 1.0)
+            nstate, spikes = neuron_model.step(
+                nstate, elec, t_in, cnts > 0.0, skip_nt=skip_nt)
+        else:
+            nstate, spikes = neuron_model.step(nstate, elec, skip_nt=skip_nt)
+
+        nstate["last_firing_time"] = jnp.where(
+            spikes, clock, nstate["last_firing_time"])
+
+        # ---- deferred plasticity across + within lattices ----
+        # An edge is visited once per spiking endpoint whose lattice has
+        # plasticity enabled (incoming edges of spiking j + outgoing edges of
+        # spiking i, neuron/mod.rs:2308-2461); spike trains never trigger.
+        if do_plasticity:
+            def node_vals(key_name):
+                nv = nstate[key_name] if key_name != "is_spiking" else spikes
+                if st_state is not None and key_name in st_state:
+                    return jnp.concatenate([nv, st_state[key_name]])
+                if st_state is not None:
+                    pad = jnp.zeros((n_total - n_neurons,), nv.dtype)
+                    return jnp.concatenate([nv, pad])
+                return nv
+
+            pre = {k: node_vals(k)[src] for k in plasticity_cls.NODE_KEYS}
+            post = {k: (spikes if k == "is_spiking" else nstate[k])[dst]
+                    for k in plasticity_cls.NODE_KEYS}
+            delta = plasticity_cls.edge_delta(w, pre, post, pparams)
+            trig = spikes.astype(jnp.float32) * edges["node_plastic"][:n_neurons]
+            if st_state is not None:
+                trig = jnp.concatenate(
+                    [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
+            count = trig[src] + trig[dst]
+            w = jnp.where(edges["plastic"], w + delta * count, w)
+
+        clock = clock + 1
+
+        # ---- spike trains iterate last ----
+        if st_state is not None:
+            st_state, st_spikes, key = st_model.step(st_state, key, clock - 1)
+            st_state["last_firing_time"] = jnp.where(
+                st_spikes, clock - 1, st_state["last_firing_time"])
+
+        ys = {}
+        for key_id, h, shape, off, n in readouts:
+            scope, _ = key_id
+            state = nstate if scope == "lat" else st_state
+            sl = {k: v[off:off + n] for k, v in state.items()
+                  if k in ("v", "is_spiking")}
+            ys[key_id] = h.readout(sl, shape)
+        if w_history:
+            ys["__w__"] = w
+        return (nstate, st_state, w, key, clock), ys
+
+    def run(nstate, st_state, w, key, clock, edges, pparams):
+        step = functools.partial(one_step, edges, pparams)
+        carry, ys = jax.lax.scan(step, (nstate, st_state, w, key, clock),
+                                 None, length=length)
+        return carry, ys
+
+    return jax.jit(run, donate_argnums=(0, 1, 2))

@@ -47,7 +47,9 @@ class STDP:
     POST_KEYS = ("last_firing_time", "is_spiking")
 
     @staticmethod
-    def edge_dw(w, pre, post, p):
+    def edge_delta(w, pre, post, p):
+        """Raw STDP delta for one visit of `STDP::update_weight`
+        (plasticity/mod.rs:46-65), without the per-spiking-endpoint count."""
         t_pre = pre["last_firing_time"]
         t_post = post["last_firing_time"]
         both = jnp.logical_and(t_pre != NEVER, t_post != NEVER)
@@ -56,10 +58,15 @@ class STDP:
         minus = -p["a_minus"] * jnp.exp(-diff / p["tau_minus"])
         dw = jnp.where(t_pre < t_post, plus,
                        jnp.where(t_pre > t_post, minus, 0.0))
-        dw = jnp.where(both, dw, 0.0)
+        return jnp.where(both, dw, 0.0)
+
+    @staticmethod
+    def edge_dw(w, pre, post, p):
         count = pre["is_spiking"].astype(jnp.float32) \
             + post["is_spiking"].astype(jnp.float32)
-        return dw * count
+        return STDP.edge_delta(w, pre, post, p) * count
+
+    NODE_KEYS = ("last_firing_time", "is_spiking")
 
     def apply(self, graph, state, params):
         vals = {k: state[k] for k in ("last_firing_time", "is_spiking")}
@@ -84,14 +91,19 @@ class BCM:
         self.params["dt"] = dt
 
     @staticmethod
-    def edge_dw(w, pre, post, p):
+    def edge_delta(w, pre, post, p):
         threshold = post["average_activity"] / p["average_scalar"]
         act = post["current_activity"]
         term = act * (act - threshold) * pre["current_activity"]
-        dw = (term - p["decay"] * w) * p["dt"]
+        return (term - p["decay"] * w) * p["dt"]
+
+    @staticmethod
+    def edge_dw(w, pre, post, p):
         count = pre["is_spiking"].astype(jnp.float32) \
             + post["is_spiking"].astype(jnp.float32)
-        return dw * count
+        return BCM.edge_delta(w, pre, post, p) * count
+
+    NODE_KEYS = ("current_activity", "average_activity", "is_spiking")
 
     def apply(self, graph, state, params):
         vals = {k: state[k] for k in

@@ -150,7 +150,11 @@ class NeuronModel:
 
     # -- the IterateAndSpike template
     #    (integrate_and_fire/mod.rs:217-255 `impl_iterate_and_spike!`) --------
-    def step(self, s, i, t_input=None, t_valid=None):
+    def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
+        """One `iterate_and_spike` over all N neurons.  ``skip_nt=True`` is a
+        static fast path for lattices with no neurotransmitters inserted
+        (the update is a masked no-op there; skipping saves the (N, K)
+        read/write bandwidth)."""
         s = dict(s)
         s = self.pre_update(s)
 
@@ -170,7 +174,9 @@ class NeuronModel:
 
         # neurotransmitter release: new voltage, PREVIOUS step's spike flag
         # (apply_t_changes runs before handle_spiking in the reference).
-        s["nt$t"] = K.apply_t_changes(self.nt_kinetics, s, s["v"], s["is_spiking"])
+        if not skip_nt:
+            s["nt$t"] = K.apply_t_changes(
+                self.nt_kinetics, s, s["v"], s["is_spiking"])
 
         s, spikes = self.handle_spiking(s)
         s["is_spiking"] = spikes

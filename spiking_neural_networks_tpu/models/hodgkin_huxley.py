@@ -35,7 +35,7 @@ class HodgkinHuxley(NeuronModel):
     def __init__(self, nt_kinetics="destexhe", rec_kinetics="destexhe"):
         super().__init__(nt_kinetics=nt_kinetics, rec_kinetics=rec_kinetics)
 
-    def step(self, s, i, t_input=None, t_valid=None):
+    def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
         s = dict(s)
         if t_input is not None:
             s["rec$r"] = K.update_receptor_kinetics(self.rec_kinetics, s, t_input, t_valid)
@@ -54,7 +54,9 @@ class HodgkinHuxley(NeuronModel):
         i_sum = i - (s["na$current"] + s["k$current"] + s["kleak$current"])
         s["v"] = s["v"] + s["dt"] * i_sum / s["c_m"] - i_ligand
 
-        s["nt$t"] = K.apply_t_changes(self.nt_kinetics, s, s["v"], s["is_spiking"])
+        if not skip_nt:
+            s["nt$t"] = K.apply_t_changes(
+                self.nt_kinetics, s, s["v"], s["is_spiking"])
 
         s, spikes = self._handle_peak_detection(s, last_voltage)
         s["is_spiking"] = spikes

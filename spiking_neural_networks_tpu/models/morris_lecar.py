@@ -30,7 +30,7 @@ class MorrisLecar(NeuronModel):
     def __init__(self, nt_kinetics="destexhe", rec_kinetics="destexhe"):
         super().__init__(nt_kinetics=nt_kinetics, rec_kinetics=rec_kinetics)
 
-    def step(self, s, i, t_input=None, t_valid=None):
+    def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
         s = dict(s)
         if t_input is not None:
             s["rec$r"] = K.update_receptor_kinetics(self.rec_kinetics, s, t_input, t_valid)
@@ -49,7 +49,9 @@ class MorrisLecar(NeuronModel):
             * (s["dt"] / s["c_m"])
         s["v"] = s["v"] + dv - rec_dv
 
-        s["nt$t"] = K.apply_t_changes(self.nt_kinetics, s, s["v"], s["is_spiking"])
+        if not skip_nt:
+            s["nt$t"] = K.apply_t_changes(
+                self.nt_kinetics, s, s["v"], s["is_spiking"])
 
         s, spikes = self._handle_peak_detection(s, last_voltage)
         s["is_spiking"] = spikes

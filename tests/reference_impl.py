@@ -572,3 +572,114 @@ def stdp_dw(stdp, pre, post):
         return f32(-1.0) * f32(stdp["a_minus"]) * np.exp(
             f32(-1.0) * abs((t_post - t_pre) * f32(stdp["dt"])) / f32(stdp["tau_minus"]), dtype=f32)
     return f32(0.0)
+
+
+# --------------------------------------------------------------------------
+# Spike trains (spike_train/mod.rs) and the network simulator
+# --------------------------------------------------------------------------
+
+class RefRateSpikeTrain:
+    """spike_train/mod.rs:974-1033 (deterministic => usable for golden tests)."""
+
+    def __init__(self, rate=0.0, v_th=30.0, v_resting=0.0, dt=0.1, k=10000.0,
+                 nt_kinds=(), nt="approximate"):
+        self.rate = f32(rate)
+        self.v = f32(0.0)
+        self.v_th = f32(v_th)
+        self.v_resting = f32(v_resting)
+        self.step_acc = f32(0.0)
+        self.dt = f32(dt)
+        self.k = f32(k)
+        self.is_spiking = False
+        self.last_firing_time = NEVER
+        self.nts = NTSet(nt_kinds, nt)
+
+    def iterate(self):
+        self.step_acc = self.step_acc + self.dt
+        if self.rate != 0.0 and self.step_acc >= self.rate:
+            self.step_acc = f32(0.0)
+            self.v = self.v_th
+            self.is_spiking = True
+        else:
+            self.v = self.v_resting
+            self.is_spiking = False
+        self.nts.apply_t_changes(self.v, self.is_spiking, self.dt)
+        return self.is_spiking
+
+    def get_concentrations(self):
+        return self.nts.concentrations()
+
+    def effect(self, timestep):
+        """spike_train_gap_junction source term (neuron/mod.rs:119-137) with
+        DeltaDiracRefractoriness (spike_train/mod.rs:84-86)."""
+        if self.last_firing_time is NEVER:
+            return self.v_resting
+        a = self.v_th - self.v_resting
+        td = f32(timestep - self.last_firing_time)
+        return a * np.exp((f32(-1.0) / (self.k / self.dt)) * td * td,
+                          dtype=f32) + self.v_resting
+
+
+def run_ref_network(neurons, spike_trains, weights, iterations,
+                    electrical=True, chemical=False, stdp=None,
+                    do_plasticity=False):
+    """Scalar network sim: `neurons` list (flat), `spike_trains` list (flat,
+    global index = len(neurons) + k), `weights` (N+S, N) dense with None.
+    Mirrors LatticeNetwork::iterate_with_neurotransmission
+    (neuron/mod.rs:2420-2479)."""
+    n = len(neurons)
+    m = n + len(spike_trains)
+    weights = [row[:] for row in weights]
+    clock = 0
+    history = []
+    for _ in range(iterations):
+        elec_inputs = [f32(0.0)] * n
+        chem_inputs = [dict() for _ in range(n)]
+        for j in range(n):
+            in_idx = [i for i in range(m) if weights[i][j] is not None]
+            if electrical:
+                total = f32(0.0)
+                for i in in_idx:
+                    if i < n:
+                        val = gap_junction(neurons[i], neurons[j])
+                    else:
+                        val = neurons[j].gap_conductance * \
+                            spike_trains[i - n].effect(clock)
+                    total = total + val * f32(weights[i][j])
+                elec_inputs[j] = total / f32(max(len(in_idx), 1))
+            if chemical:
+                maps = []
+                for i in in_idx:
+                    src = neurons[i] if i < n else spike_trains[i - n]
+                    maps.append(weight_concentrations(
+                        src.get_concentrations(), weights[i][j]))
+                chem_inputs[j] = aggregate_concentrations(maps)
+        spikes = [False] * n
+        for j in range(n):
+            if chemical:
+                s = neurons[j].iterate_with_neurotransmitter_and_spike(
+                    elec_inputs[j], chem_inputs[j])
+            else:
+                s = neurons[j].iterate_and_spike(elec_inputs[j])
+            if s:
+                neurons[j].last_firing_time = clock
+            spikes[j] = s
+        if do_plasticity and stdp is not None:
+            updates = []
+            for j in range(n):
+                if spikes[j]:
+                    for i in range(m):
+                        if weights[i][j] is not None:
+                            updates.append((i, j))
+                    for k2 in range(n):
+                        if weights[j][k2] is not None:
+                            updates.append((j, k2))
+            for (i, j) in updates:
+                pre = neurons[i] if i < n else spike_trains[i - n]
+                weights[i][j] = f32(weights[i][j] + stdp_dw(stdp, pre, neurons[j]))
+        clock += 1
+        for st in spike_trains:
+            if st.iterate():
+                st.last_firing_time = clock - 1
+        history.append([nr.v for nr in neurons])
+    return np.asarray(history, f32), weights

@@ -1,0 +1,197 @@
+"""LatticeNetwork golden tests vs the scalar network simulator (mirrors the
+reference's network tests: spike_train_neuron_interaction.rs,
+rate_spike_train_lattices.rs, gpu_connection_behavior.rs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spiking_neural_networks_tpu as snn
+from spiking_neural_networks_tpu.ops.graph import DenseGraph
+from reference_impl import (
+    RefIzhikevich, RefRateSpikeTrain, run_ref_network, f32, AMPA, NMDA)
+import reference_impl as RI
+
+
+def build_network(chemical=False, plasticity=False, seed=0):
+    """2 Izhikevich lattices (2x2) + 1 rate spike-train lattice (2x2),
+    intra connections in both lattices, 0->1 and 1->0 inter edges,
+    spike-train -> lattice 0 edges.  Returns (network, scalar replicas)."""
+    rng = np.random.default_rng(seed)
+    n_per = 4
+
+    # ---- framework ----
+    lat0 = snn.Lattice(snn.Izhikevich(), id=0)
+    lat0.populate(2, 2, gap_conductance=10.0)
+    lat1 = snn.Lattice(snn.Izhikevich(), id=1)
+    lat1.populate(2, 2, gap_conductance=10.0)
+
+    v0 = rng.uniform(-65, 25, n_per).astype(np.float32)
+    v1 = rng.uniform(-65, 25, n_per).astype(np.float32)
+    lat0.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+    lat1.apply(lambda s: {**s, "v": jnp.asarray(v1)})
+
+    intra0 = rng.random((n_per, n_per)) < 0.7
+    np.fill_diagonal(intra0, False)
+    w_intra0 = rng.uniform(0.5, 1.5, (n_per, n_per)).astype(np.float32)
+    intra1 = rng.random((n_per, n_per)) < 0.7
+    np.fill_diagonal(intra1, False)
+    w_intra1 = rng.uniform(0.5, 1.5, (n_per, n_per)).astype(np.float32)
+    lat0.graph = DenseGraph(jnp.asarray(np.where(intra0, w_intra0, 0.0)),
+                            jnp.asarray(intra0))
+    lat1.graph = DenseGraph(jnp.asarray(np.where(intra1, w_intra1, 0.0)),
+                            jnp.asarray(intra1))
+
+    st = snn.SpikeTrainLattice(snn.RateSpikeTrain(), id=2)
+    st.populate(2, 2, rate=2.0, v_th=30.0)
+
+    if chemical:
+        for lat in (lat0, lat1):
+            s = lat.state
+            s = lat.model.insert_receptor(s, "AMPA")
+            s = lat.model.insert_receptor(s, "NMDA")
+            s = lat.model.insert_neurotransmitter(s, "AMPA")
+            s = lat.model.insert_neurotransmitter(s, "NMDA")
+            lat.state = s
+        st.state = st.model.insert_neurotransmitter(st.state, "AMPA")
+
+    if plasticity:
+        lat0.do_plasticity = True
+        lat1.do_plasticity = True
+
+    net = snn.LatticeNetwork.generate_network([lat0, lat1], [st])
+    net.chemical_synapse = chemical
+
+    def one_to_one(a, b):
+        return a == b
+
+    def cross(a, b):
+        return (a[0] + b[0]) % 2 == 0
+
+    net.connect(0, 1, one_to_one, lambda a, b: 1.2)
+    net.connect(1, 0, cross, lambda a, b: 0.8)
+    net.connect(2, 0, one_to_one, lambda a, b: 2.0)
+
+    # ---- scalar replica ----
+    neurons = []
+    for v in list(v0) + list(v1):
+        nr = RefIzhikevich(gap_conductance=10.0)
+        nr.v = f32(v)
+        if chemical:
+            nr.receptors = RI.ReceptorSet((AMPA, NMDA), "approximate")
+            nr.nts = RI.NTSet((AMPA, NMDA), "approximate")
+        neurons.append(nr)
+    sts = []
+    for _ in range(n_per):
+        s = RefRateSpikeTrain(rate=2.0, nt_kinds=(AMPA,) if chemical else ())
+        sts.append(s)
+
+    m = 2 * n_per + n_per
+    weights = [[None] * (2 * n_per) for _ in range(m)]
+    pos = [(r, c) for r in range(2) for c in range(2)]
+    for i in range(n_per):
+        for j in range(n_per):
+            if intra0[i, j]:
+                weights[i][j] = float(w_intra0[i, j])
+            if intra1[i, j]:
+                weights[n_per + i][n_per + j] = float(w_intra1[i, j])
+    for i, p1 in enumerate(pos):
+        for j, p2 in enumerate(pos):
+            if one_to_one(p1, p2):
+                weights[i][n_per + j] = 1.2          # 0 -> 1
+                weights[2 * n_per + i][j] = 2.0      # st -> 0
+            if cross(p1, p2):
+                weights[n_per + i][j] = 0.8          # 1 -> 0
+    return net, neurons, sts, weights
+
+
+@pytest.mark.parametrize("chemical", [False, True])
+def test_network_matches_scalar_reference(chemical):
+    iters = 200
+    net, neurons, sts, weights = build_network(chemical=chemical)
+    for lat in net.lattices.values():
+        lat.update_grid_history = True
+    net.run_lattices(iters)
+
+    want, _ = run_ref_network(neurons, sts, weights, iters,
+                              electrical=True, chemical=chemical)
+    got0 = np.stack(net.get_lattice(0).grid_history.history).reshape(iters, 4)
+    got1 = np.stack(net.get_lattice(1).grid_history.history).reshape(iters, 4)
+    got = np.concatenate([got0, got1], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+def test_network_stdp_matches_scalar_reference():
+    iters = 150
+    net, neurons, sts, weights = build_network(plasticity=True, seed=3)
+    net.run_lattices(iters)
+
+    stdp = dict(a_plus=2.0, a_minus=2.0, tau_plus=4.5, tau_minus=4.5, dt=0.1)
+    want_v, want_w = run_ref_network(neurons, sts, weights, iters,
+                                     electrical=True, stdp=stdp,
+                                     do_plasticity=True)
+    # intra weights written back into the lattice graphs
+    got_w0 = np.asarray(net.get_lattice(0).graph.weights)
+    for i in range(4):
+        for j in range(4):
+            expect = want_w[i][j]
+            if expect is not None:
+                np.testing.assert_allclose(got_w0[i, j], expect, rtol=1e-4,
+                                           atol=1e-3)
+    # connecting weights (1 -> 0)
+    src, dst, w_conn = net.connections[(1, 0)]
+    for s_, d_, wv in zip(src, dst, w_conn):
+        expect = want_w[4 + s_][d_]
+        np.testing.assert_allclose(wv, expect, rtol=1e-4, atol=1e-3)
+    # spike-train -> lattice edges also plastic when target lattice is
+    src, dst, w_st = net.connections[(2, 0)]
+    for s_, d_, wv in zip(src, dst, w_st):
+        expect = want_w[8 + s_][d_]
+        np.testing.assert_allclose(wv, expect, rtol=1e-4, atol=1e-3)
+    # final voltages match
+    got_v = np.concatenate([np.asarray(net.get_lattice(0).state["v"]),
+                            np.asarray(net.get_lattice(1).state["v"])])
+    np.testing.assert_allclose(got_v, want_v[-1], rtol=1e-4, atol=5e-3)
+
+
+def test_structure_checks():
+    lat = snn.Lattice(snn.Izhikevich(), id=0)
+    lat.populate(2, 2)
+    st = snn.SpikeTrainLattice(snn.RateSpikeTrain(), id=0)
+    st.populate(2, 2)
+    net = snn.LatticeNetwork()
+    net.add_lattice(lat)
+    with pytest.raises(ValueError):
+        net.add_spike_train_lattice(st)   # id collision
+    st.id = 1
+    net.add_spike_train_lattice(st)
+    with pytest.raises(ValueError):
+        net.connect(0, 1, lambda a, b: True)   # spike train postsynaptic
+    with pytest.raises(KeyError):
+        net.connect(5, 0, lambda a, b: True)   # unknown presynaptic
+
+
+def test_standalone_spike_train_lattice():
+    st = snn.SpikeTrainLattice(snn.RateSpikeTrain(), id=0)
+    st.populate(2, 3, rate=1.0)   # fires every 1 ms = every 10 steps (dt 0.1)
+    st.update_grid_history = True
+    st.run_lattice(40)
+    hist = np.stack(st.grid_history.history)
+    spikes_at = np.nonzero(hist[:, 0, 0] == 30.0)[0]
+    np.testing.assert_array_equal(spikes_at, [9, 19, 29, 39])
+    assert int(st.state["last_firing_time"][0]) == 39
+
+
+def test_poisson_spike_train_statistics():
+    """Poisson parity is statistical (reference's own Python-tier approach):
+    firing rate ~ chance_of_firing."""
+    model = snn.PoissonSpikeTrain()
+    st = snn.SpikeTrainLattice(model, id=0)
+    st.populate(10, 10)
+    st.state = model.init_from_firing_rate(100, hertz=100.0, dt=0.1)
+    st.update_grid_history = True
+    st.run_lattice(2000)
+    hist = np.stack(st.grid_history.history)
+    rate = (hist == 30.0).mean()
+    expect = model.rate_to_chance(100.0, 0.1)   # 0.01
+    assert abs(rate - expect) < 0.002
