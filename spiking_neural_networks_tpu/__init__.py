@@ -26,6 +26,7 @@ from .models.integrate_and_fire import (
 )
 from .models.hodgkin_huxley import HodgkinHuxley
 from .models.morris_lecar import MorrisLecar
+from .models.dopa import DopaIzhikevich
 from .models.spike_train import (
     PoissonSpikeTrain,
     RateSpikeTrain,
@@ -34,6 +35,10 @@ from .models.spike_train import (
 )
 from .core.lattice import Lattice
 from .core.network import SpikeTrainLattice, LatticeNetwork
+from .core.reward import RewardModulatedLattice
+from .interactable import Environment, UnsupervisedEnvironment
 from .core.plasticity import STDP, BCM, RewardModulatedSTDP
 from .core import history
 from .ops.graph import DenseGraph, SparseGraph, StencilGraph, radius_offsets
+from .ops.receptors import IonotropicReceptors, DopaGluGABAReceptors
+from . import attractors, analysis, fitting

@@ -162,6 +162,10 @@ class Lattice:
         if self.update_graph_history:
             self.graph_history.extend(np.asarray(ys["__weights__"]))
 
+    def update(self):
+        """UnsupervisedAgent impl (neuron/mod.rs:1256-1262): one step."""
+        self.run_lattice(1)
+
     # -- views ---------------------------------------------------------------
     def voltages(self):
         return np.asarray(self.state["v"]).reshape(self.rows, self.cols)

@@ -435,6 +435,10 @@ class LatticeNetwork:
                 return self.lattices[i].plasticity
         return STDP()
 
+    def update(self):
+        """UnsupervisedAgent impl: one network step."""
+        self.run_lattices(1)
+
     # -- simulation ---------------------------------------------------------------
     def run_lattices(self, iterations):
         """`RunNetwork::run_lattices` (neuron/mod.rs:2667-2674)."""

@@ -1,0 +1,250 @@
+"""Reward-modulated (R-STDP) lattice runtime.
+
+TPU-native rebuild of `RewardModulatedLattice`
+(`/root/reference/backend/src/neuron/mod.rs:2719-3415`).  Edge weights carry
+eligibility-trace state (`TraceRSTDP`, plasticity/mod.rs:122-150): per-edge
+arrays ``c`` (trace), ``dw`` (accumulator) and ``counter`` (visit parity),
+shaped like the graph's weight array for every backend.
+
+Visit semantics: the reference's reward modulator `do_update` is always true
+(plasticity/mod.rs:239-241), so during a step *every* neuron triggers an
+update of its incoming and outgoing edges — each intra-lattice edge is
+visited exactly twice per step (once per endpoint), each spike-train-sourced
+edge once.  `RewardModulatedSTDP::update_weight` (plasticity/mod.rs:208-237)
+is applied per visit:
+
+    dw += stdp_delta
+    if counter == 0: counter = 1
+    else:            c = c * exp(-dt/tau_c) + tau_c * dw ; counter = 0 ; dw = 0
+    weight += c * dopamine
+
+The dopamine scalar decays with the reward before the sweep
+(`update`, :204-206).  As with STDP, we use the deferred (post-step) firing
+times for all visits; the delta depends only on last-firing-times so the
+vectorization is order-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.base import NEVER, get_neurotransmitter_concentrations
+from ..ops.graph import DenseGraph, connect_dense, radius_offsets, StencilGraph
+from .history import GridVoltageHistory
+from .lattice import _freeze
+from .plasticity import RewardModulatedSTDP
+
+
+def rstdp_visit(w, c, dw, counter, delta, dopamine, p):
+    """One vectorized visit of `RewardModulatedSTDP::update_weight`."""
+    dw = dw + delta
+    apply_trace = counter != 0
+    c = jnp.where(apply_trace,
+                  c * jnp.exp(-p["dt"] / p["tau_c"]) + p["tau_c"] * dw, c)
+    dw = jnp.where(apply_trace, 0.0, dw)
+    counter = jnp.where(apply_trace, 0, 1).astype(counter.dtype)
+    w = w + c * dopamine
+    return w, c, dw, counter
+
+
+def stdp_delta_arrays(lft_pre, lft_post, p):
+    both = jnp.logical_and(lft_pre != NEVER, lft_post != NEVER)
+    diff = jnp.abs((lft_pre - lft_post).astype(jnp.float32)) * p["dt"]
+    plus = p["a_plus"] * jnp.exp(-diff / p["tau_plus"])
+    minus = -p["a_minus"] * jnp.exp(-diff / p["tau_minus"])
+    dw = jnp.where(lft_pre < lft_post, plus,
+                   jnp.where(lft_pre > lft_post, minus, 0.0))
+    return jnp.where(both, dw, 0.0)
+
+
+class RewardModulatedLattice:
+    """Lattice whose weights are dopamine-modulated eligibility traces.
+
+    API mirrors `RewardModulatedLattice` (populate/connect/apply/
+    run_lattice_with_reward, neuron/mod.rs:2814-3415); implements the `Agent`
+    trait via :meth:`update_and_apply_reward` / :meth:`update`.
+    """
+
+    def __init__(self, model, id=0):
+        self.model = model
+        self.id = id
+        self.state = None
+        self.graph = None
+        self.trace = None  # dict(c, dw, counter) shaped like graph.weights
+        self.rows = self.cols = 0
+        self.electrical_synapse = True
+        self.chemical_synapse = False
+        self.do_modulation = True
+        self.reward_modulator = RewardModulatedSTDP()
+        self.dopamine = 0.0
+        self.update_grid_history = False
+        self.grid_history = GridVoltageHistory()
+        self.internal_clock = 0
+        self.key = jax.random.PRNGKey(0)
+        self.history_chunk = 1024
+        self.in_network = False
+
+    @property
+    def n(self):
+        return self.rows * self.cols
+
+    def populate(self, rows, cols, **overrides):
+        if self.in_network and (rows, cols) != (self.rows, self.cols):
+            raise ValueError("dimensions must match when lattice is in a network")
+        self.rows, self.cols = rows, cols
+        self.state = self.model.init_state(rows * cols, **overrides)
+        self.graph = DenseGraph.empty(self.n)
+        self._reset_trace()
+
+    def _reset_trace(self):
+        shape = self.graph.weights.shape
+        self.trace = dict(c=jnp.zeros(shape, jnp.float32),
+                          dw=jnp.zeros(shape, jnp.float32),
+                          counter=jnp.zeros(shape, jnp.int32))
+
+    def connect(self, connecting_conditional, weight_logic=None):
+        self.graph = connect_dense(self.rows, self.cols,
+                                   connecting_conditional, weight_logic)
+        self._reset_trace()
+
+    def connect_stencil(self, radius=None, offsets=None, weight_fn=None,
+                        keep_prob=1.0, seed=0):
+        if offsets is None:
+            offsets = radius_offsets(radius)
+        self.graph = StencilGraph.build(self.rows, self.cols, offsets,
+                                        weight_fn=weight_fn,
+                                        keep_prob=keep_prob, seed=seed)
+        self._reset_trace()
+
+    def apply(self, fn):
+        self.state = dict(fn(dict(self.state)))
+
+    def set_dt(self, dt):
+        self.state["dt"] = jnp.full_like(self.state["dt"], dt)
+        self.reward_modulator.set_dt(dt)
+
+    def reset_timing(self):
+        self.internal_clock = 0
+        self.state["last_firing_time"] = jnp.full_like(
+            self.state["last_firing_time"], NEVER)
+
+    # -- Agent trait (neuron/mod.rs:3395-3415) ---------------------------------
+    def update_and_apply_reward(self, reward):
+        self.run_lattice_with_reward(reward, 1)
+
+    def update(self):
+        self.run_lattice(1)
+
+    # -- simulation -------------------------------------------------------------
+    def run_lattice_with_reward(self, reward, iterations=1):
+        """Iterate with a reward signal each step.  ``reward`` may be a
+        scalar (constant) or a length-``iterations`` array (schedule)."""
+        rewards = jnp.broadcast_to(
+            jnp.asarray(reward, jnp.float32), (iterations,))
+        self._run(rewards, with_reward=True)
+
+    def run_lattice(self, iterations):
+        """Iterate without updating dopamine (modulation still applies with
+        the stale dopamine value, matching the `without_reward` variants)."""
+        self._run(jnp.zeros((iterations,), jnp.float32), with_reward=False)
+
+    def _run(self, rewards, with_reward):
+        if not self.electrical_synapse and not self.chemical_synapse:
+            return
+        iterations = rewards.shape[0]
+        if iterations == 0:
+            return
+        runner = _build_reward_runner(
+            self.model, type(self.graph), self.electrical_synapse,
+            self.chemical_synapse, self.do_modulation, with_reward,
+            self.update_grid_history,
+            _freeze(self.grid_history) if self.update_grid_history else None,
+            (self.rows, self.cols),
+            not bool(np.asarray(self.state["nt$mask"]).any()),
+            int(iterations))
+        pparams = {k: jnp.float32(v)
+                   for k, v in self.reward_modulator.params.items()}
+        state, graph, trace, dopamine, key, clock, ys = runner(
+            self.state, self.graph, self.trace, jnp.float32(self.dopamine),
+            self.key, jnp.int32(self.internal_clock), rewards, pparams)
+        self.state, self.graph, self.trace, self.key = state, graph, trace, key
+        self.dopamine = float(dopamine)
+        self.internal_clock += iterations
+        if self.update_grid_history:
+            self.grid_history.extend(ys["grid"])
+
+    def voltages(self):
+        return np.asarray(self.state["v"]).reshape(self.rows, self.cols)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_reward_runner(model, graph_cls, electrical, chemical,
+                         do_modulation, with_reward, grid_history, hist_sig,
+                         shape, skip_nt, length):
+    from .history import HISTORY_KINDS
+    readout = None
+    if grid_history:
+        cls = HISTORY_KINDS[hist_sig[0]]
+        readout = cls(*hist_sig[1:]) if len(hist_sig) > 1 else cls()
+
+    def one_step(pparams, carry, reward):
+        state, graph, trace, dopamine, key, clock = carry
+
+        if electrical:
+            sub_v = jnp.ones_like(state["v"])
+            elec = graph.gather_electrical(
+                state["v"], sub_v, state["v"], state["gap_conductance"])
+        else:
+            elec = jnp.zeros_like(state["v"])
+
+        if with_reward:
+            # reward_modulator.update(reward) before iterating
+            dopamine = dopamine * jnp.exp(-pparams["dt"] / pparams["tau_d"]) \
+                + pparams["tau_d"] * reward
+
+        if chemical:
+            t, mask = get_neurotransmitter_concentrations(state)
+            t_in, t_valid = graph.gather_chemical(t, mask.astype(jnp.float32))
+            state, spikes = model.step(state, elec, t_in, t_valid,
+                                       skip_nt=skip_nt)
+        else:
+            state, spikes = model.step(state, elec, skip_nt=skip_nt)
+
+        state["last_firing_time"] = jnp.where(
+            spikes, clock, state["last_firing_time"])
+
+        if do_modulation:
+            # every edge visited twice per step (both endpoints trigger,
+            # do_update always true — plasticity/mod.rs:239-241)
+            vals = {"last_firing_time": state["last_firing_time"]}
+            pre, post = graph.edge_pre_post(vals, vals)
+            delta = stdp_delta_arrays(pre["last_firing_time"],
+                                      post["last_firing_time"], pparams)
+            w0 = graph.weights
+            w, c, dw, ct = rstdp_visit(
+                w0, trace["c"], trace["dw"], trace["counter"], delta,
+                dopamine, pparams)
+            w, c, dw, ct = rstdp_visit(w, c, dw, ct, delta, dopamine, pparams)
+            m = graph.edge_mask
+            graph = graph.replace_weights(jnp.where(m, w, w0))
+            trace = dict(c=jnp.where(m, c, trace["c"]),
+                         dw=jnp.where(m, dw, trace["dw"]),
+                         counter=jnp.where(m, ct, trace["counter"]))
+
+        clock = clock + 1
+        ys = {}
+        if readout is not None:
+            ys["grid"] = readout.readout(state, shape)
+        return (state, graph, trace, dopamine, key, clock), ys
+
+    def run(state, graph, trace, dopamine, key, clock, rewards, pparams):
+        step = functools.partial(one_step, pparams)
+        (state, graph, trace, dopamine, key, clock), ys = jax.lax.scan(
+            step, (state, graph, trace, dopamine, key, clock), rewards)
+        return state, graph, trace, dopamine, key, clock, ys
+
+    return jax.jit(run, donate_argnums=(0, 1, 2))

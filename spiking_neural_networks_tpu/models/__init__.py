@@ -1,2 +1,2 @@
 from . import base, integrate_and_fire, hodgkin_huxley, morris_lecar
-from . import ion_channels, spike_train
+from . import ion_channels, spike_train, dopa

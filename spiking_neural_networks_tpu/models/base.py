@@ -52,19 +52,30 @@ class NeuronModel:
     FIELDS: dict = {}
     BOOL_FIELDS: dict = {}
     INT_FIELDS: dict = {}
-    # Static neurotransmitter-type axis (Ionotropic: AMPA/NMDA/GABA).
-    n_types = R.N_IONOTROPIC
-    type_names = R.IONOTROPIC_TYPES
 
-    def __init__(self, nt_kinetics="approximate", rec_kinetics="approximate"):
+    def __init__(self, nt_kinetics="approximate", rec_kinetics="approximate",
+                 receptors=None):
         assert nt_kinetics in K.NT_KINETICS, nt_kinetics
         assert rec_kinetics in K.REC_KINETICS, rec_kinetics
         self.nt_kinetics = nt_kinetics
         self.rec_kinetics = rec_kinetics
+        # pluggable receptor system; the static neurotransmitter-type axis
+        # follows it (Ionotropic AMPA/NMDA/GABA by default)
+        self.receptors = receptors if receptors is not None \
+            else R.IonotropicReceptors(rec_kinetics)
+
+    @property
+    def n_types(self):
+        return self.receptors.n_types
+
+    @property
+    def type_names(self):
+        return self.receptors.type_names
 
     # -- static config used for jit cache keys -------------------------------
     def config_key(self):
-        return (type(self), self.nt_kinetics, self.rec_kinetics)
+        return (type(self), self.nt_kinetics, self.rec_kinetics,
+                self.receptors.config_key())
 
     def __hash__(self):
         return hash(self.config_key())
@@ -94,15 +105,8 @@ class NeuronModel:
         for f, d in K.NT_PARAM_DEFAULTS[self.nt_kinetics].items():
             s[f] = jnp.full(nk, d, jnp.float32)
 
-        # Ionotropic receptors (empty by default, like Ionotropic::default)
-        s["rec$r"] = jnp.zeros(nk, jnp.float32)
-        s["rec$current"] = jnp.zeros(nk, jnp.float32)
-        s["rec$g"] = jnp.broadcast_to(jnp.asarray(R.DEFAULT_G, jnp.float32), nk)
-        s["rec$e"] = jnp.broadcast_to(jnp.asarray(R.DEFAULT_E, jnp.float32), nk)
-        s["rec$mg"] = jnp.full(nk, R.DEFAULT_MG, jnp.float32)
-        s["rec$mask"] = jnp.zeros(nk, bool)
-        for f, d in K.REC_PARAM_DEFAULTS[self.rec_kinetics].items():
-            s[f] = jnp.full(nk, d, jnp.float32)
+        # Receptors (empty by default, like Ionotropic::default)
+        s.update(self.receptors.init_fields(n))
 
         for key, val in overrides.items():
             if key not in s:
@@ -120,13 +124,8 @@ class NeuronModel:
         return self.type_names.index(type_name)
 
     def insert_receptor(self, state, type_name, **params):
-        k = self.type_index(type_name)
-        state = dict(state)
-        state["rec$mask"] = state["rec$mask"].at[:, k].set(True)
-        for p, v in params.items():
-            key = f"rec${p}"
-            state[key] = state[key].at[:, k].set(v)
-        return state
+        self.type_index(type_name)  # validate the name
+        return self.receptors.insert(state, type_name, **params)
 
     def insert_neurotransmitter(self, state, type_name, **params):
         k = self.type_index(type_name)
@@ -160,10 +159,10 @@ class NeuronModel:
 
         if t_input is not None:
             # receptors.update_receptor_kinetics(t_total, dt)
-            s["rec$r"] = K.update_receptor_kinetics(self.rec_kinetics, s, t_input, t_valid)
+            s.update(self.receptors.update_kinetics(s, t_input, t_valid))
             # receptors.set_receptor_currents(current_voltage, dt) — pre-update v
-            s["rec$current"] = R.set_receptor_currents(s, s["v"])
-            rec_dv = R.get_receptor_currents(s, s["rec$current"])
+            s.update(self.receptors.set_currents(s, s["v"]))
+            rec_dv = self.receptors.receptor_dv(s)
         else:
             rec_dv = 0.0
 

@@ -38,8 +38,8 @@ class HodgkinHuxley(NeuronModel):
     def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
         s = dict(s)
         if t_input is not None:
-            s["rec$r"] = K.update_receptor_kinetics(self.rec_kinetics, s, t_input, t_valid)
-            s["rec$current"] = R.set_receptor_currents(s, s["v"])
+            s.update(self.receptors.update_kinetics(s, t_input, t_valid))
+            s.update(self.receptors.set_currents(s, s["v"]))
 
         last_voltage = s["v"]
 
@@ -50,7 +50,7 @@ class HodgkinHuxley(NeuronModel):
 
         # update_cell_voltage (hodgkin_huxley/mod.rs:156-165); note the ligand
         # current uses the stored receptor currents even in the electrical path.
-        i_ligand = R.get_receptor_currents(s, s["rec$current"])
+        i_ligand = self.receptors.receptor_dv(s)
         i_sum = i - (s["na$current"] + s["k$current"] + s["kleak$current"])
         s["v"] = s["v"] + s["dt"] * i_sum / s["c_m"] - i_ligand
 

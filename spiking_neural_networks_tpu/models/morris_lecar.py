@@ -33,9 +33,9 @@ class MorrisLecar(NeuronModel):
     def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
         s = dict(s)
         if t_input is not None:
-            s["rec$r"] = K.update_receptor_kinetics(self.rec_kinetics, s, t_input, t_valid)
-            s["rec$current"] = R.set_receptor_currents(s, s["v"])
-            rec_dv = R.get_receptor_currents(s, s["rec$current"])
+            s.update(self.receptors.update_kinetics(s, t_input, t_valid))
+            s.update(self.receptors.set_currents(s, s["v"]))
+            rec_dv = self.receptors.receptor_dv(s)
         else:
             rec_dv = 0.0
 

@@ -102,14 +102,26 @@ class DenseGraph:
         return t_in, cnts > 0.0
 
     # -- plasticity ---------------------------------------------------------
+    def edge_pre_post(self, pre_vals, post_vals):
+        """Per-node value dicts broadcast to the edge plane (weights.shape)."""
+        pre = {k: v[:, None] for k, v in pre_vals.items()}
+        post = {k: v[None, :] for k, v in post_vals.items()}
+        return pre, post
+
+    @property
+    def edge_mask(self):
+        return self.mask
+
+    def replace_weights(self, weights):
+        return DenseGraph(weights, self.mask)
+
     def apply_edge_update(self, edge_dw, pre_vals, post_vals):
         """Apply ``edge_dw(w, pre, post) -> dw`` over all edges.
 
         ``pre_vals`` / ``post_vals`` are dicts of per-node (N,) arrays; they
         are broadcast to the (N_pre, N_post) edge plane.
         """
-        pre = {k: v[:, None] for k, v in pre_vals.items()}
-        post = {k: v[None, :] for k, v in post_vals.items()}
+        pre, post = self.edge_pre_post(pre_vals, post_vals)
         dw = edge_dw(self.weights, pre, post)
         return DenseGraph(jnp.where(self.mask, self.weights + dw, self.weights),
                           self.mask)
@@ -172,9 +184,21 @@ class SparseGraph:
         t_in = sums / jnp.maximum(cnts, 1.0)
         return t_in, cnts > 0.0
 
-    def apply_edge_update(self, edge_dw, pre_vals, post_vals):
+    def edge_pre_post(self, pre_vals, post_vals):
         pre = {k: v[self.src] for k, v in pre_vals.items()}
         post = {k: v[self.dst] for k, v in post_vals.items()}
+        return pre, post
+
+    @property
+    def edge_mask(self):
+        return jnp.ones_like(self.weights, dtype=bool)
+
+    def replace_weights(self, weights):
+        return SparseGraph(self.src, self.dst, weights,
+                           self.n_pre, self.n_post, self.in_deg)
+
+    def apply_edge_update(self, edge_dw, pre_vals, post_vals):
+        pre, post = self.edge_pre_post(pre_vals, post_vals)
         dw = edge_dw(self.weights, pre, post)
         return SparseGraph(self.src, self.dst, self.weights + dw,
                            self.n_pre, self.n_post, self.in_deg)
@@ -266,21 +290,40 @@ class StencilGraph:
     def in_degree(self):
         return self.in_deg.reshape(-1)
 
-    @staticmethod
-    def _shift(x, dr, dc):
-        """x shifted so that out[r, c] = x[r + dr, c + dc] (zeros off-grid)."""
-        out = jnp.roll(x, (-dr, -dc), axis=(0, 1))
-        return out
+    @property
+    def _pad(self):
+        """Static halo width covering every offset."""
+        m = 0
+        for dr, dc in self.offsets:
+            m = max(m, abs(dr), abs(dc))
+        return m
+
+    def _padded(self, x, fill=0.0):
+        """Zero-pad by the halo width.  Shifted reads become *static slices*
+        of the padded array — affine access XLA tiles through VMEM cleanly
+        (a `jnp.roll` formulation exhausted VMEM at >=256x256 grids)."""
+        p = self._pad
+        pads = ((p, p), (p, p)) + ((0, 0),) * (x.ndim - 2)
+        return jnp.pad(x, pads, constant_values=fill)
+
+    def _shifted(self, padded, dr, dc):
+        """padded view such that out[r, c] = x[r + dr, c + dc] (0 off-grid)."""
+        p = self._pad
+        rows, cols = self.shape
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(padded, p + dr, p + dr + rows, axis=0),
+            p + dc, p + dc + cols, axis=1)
 
     def gather_electrical(self, a_src, sub_v, v_post, g_post):
         rows, cols = self.shape
-        a = a_src.reshape(rows, cols)
-        sub = sub_v.reshape(rows, cols)
+        ap = self._padded(a_src.reshape(rows, cols))
+        subp = self._padded(sub_v.reshape(rows, cols))
         v = v_post.reshape(rows, cols)
         acc = jnp.zeros((rows, cols), jnp.float32)
         for o, (dr, dc) in enumerate(self.offsets):
             w = self.weights[o]
-            acc = acc + w * (self._shift(a, dr, dc) - self._shift(sub, dr, dc) * v)
+            acc = acc + w * (self._shifted(ap, dr, dc)
+                             - self._shifted(subp, dr, dc) * v)
         cnt = jnp.maximum(self.in_deg, 1.0)
         out = g_post.reshape(rows, cols) * acc / cnt
         return out.reshape(-1)
@@ -288,27 +331,44 @@ class StencilGraph:
     def gather_chemical(self, t_src, nt_mask_src):
         rows, cols = self.shape
         k = t_src.shape[-1]
-        t = t_src.reshape(rows, cols, k)
-        ms = nt_mask_src.reshape(rows, cols, k)
+        tp = self._padded(t_src.reshape(rows, cols, k))
+        mp = self._padded(nt_mask_src.reshape(rows, cols, k))
         sums = jnp.zeros((rows, cols, k), jnp.float32)
         cnts = jnp.zeros((rows, cols, k), jnp.float32)
         for o, (dr, dc) in enumerate(self.offsets):
             w = self.weights[o][:, :, None]
             em = self.mask[o][:, :, None]
-            ts = jnp.roll(t, (-dr, -dc), axis=(0, 1))
-            msk = jnp.roll(ms, (-dr, -dc), axis=(0, 1))
-            sums = sums + w * ts * msk
-            cnts = cnts + em * msk
+            sums = sums + w * self._shifted(tp, dr, dc) * self._shifted(mp, dr, dc)
+            cnts = cnts + em * self._shifted(mp, dr, dc)
         t_in = sums / jnp.maximum(cnts, 1.0)
         return t_in.reshape(-1, k), (cnts > 0.0).reshape(-1, k)
+
+    def edge_pre_post(self, pre_vals, post_vals):
+        """Views broadcastable to the (n_offsets, rows, cols) weight array."""
+        rows, cols = self.shape
+        post = {k: v.reshape(rows, cols)[None] for k, v in post_vals.items()}
+        pre = {}
+        for k, v in pre_vals.items():
+            p = self._padded(v.reshape(rows, cols))
+            pre[k] = jnp.stack([self._shifted(p, dr, dc)
+                                for (dr, dc) in self.offsets])
+        return pre, post
+
+    @property
+    def edge_mask(self):
+        return self.mask
+
+    def replace_weights(self, weights):
+        return StencilGraph(self.offsets, weights, self.mask, self.in_deg)
 
     def apply_edge_update(self, edge_dw, pre_vals, post_vals):
         rows, cols = self.shape
         post = {k: v.reshape(rows, cols) for k, v in post_vals.items()}
+        padded = {k: self._padded(v.reshape(rows, cols))
+                  for k, v in pre_vals.items()}
         new_w = []
         for o, (dr, dc) in enumerate(self.offsets):
-            pre = {k: jnp.roll(v.reshape(rows, cols), (-dr, -dc), axis=(0, 1))
-                   for k, v in pre_vals.items()}
+            pre = {k: self._shifted(p, dr, dc) for k, p in padded.items()}
             dw = edge_dw(self.weights[o], pre, post)
             new_w.append(jnp.where(self.mask[o], self.weights[o] + dw,
                                    self.weights[o]))

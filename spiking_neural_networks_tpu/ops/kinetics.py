@@ -81,6 +81,9 @@ NT_KINETICS = {
     "discrete": nt_discrete,
     "exponential_decay": nt_exponential_decay,
     "destexhe": nt_destexhe,
+    # `BoundedNeurotransmitterKinetics` (interface_gpu/lixirnet/src/lib.rs:23-36)
+    # is the approximate rule with a smaller default clearance constant.
+    "bounded": nt_approximate,
 }
 
 # Extra per-(neuron, type) state fields each neurotransmitter kinetics needs,
@@ -90,6 +93,7 @@ NT_PARAM_DEFAULTS = {
     "discrete": {"nt$t_max": 1.0},
     "exponential_decay": {"nt$t_max": 1.0, "nt$decay_constant": 2.0},
     "destexhe": {"nt$t_max": 1.0, "nt$v_p": 2.0, "nt$k_p": 5.0},
+    "bounded": {"nt$t_max": 1.0, "nt$clearance_constant": 0.001},
 }
 
 
@@ -134,16 +138,25 @@ def rec_exponential_decay(r, t, dt, params):
     return jnp.clip(new_r, 0.0, r_max)
 
 
+def rec_bounded(r, t, dt, params):
+    """`BoundedReceptorKinetics` (interface_gpu/lixirnet/src/lib.rs:38-43):
+    r = clamp(t, 0, r_max)."""
+    r_max = _bcast(params["rec$r_max"], r)
+    return jnp.clip(t, 0.0, r_max)
+
+
 REC_KINETICS = {
     "approximate": rec_approximate,
     "destexhe": rec_destexhe,
     "exponential_decay": rec_exponential_decay,
+    "bounded": rec_bounded,
 }
 
 REC_PARAM_DEFAULTS = {
     "approximate": {},
     "destexhe": {"rec$alpha": 1.0, "rec$beta": 1.0},
     "exponential_decay": {"rec$r_max": 1.0, "rec$decay_constant": 2.0},
+    "bounded": {"rec$r_max": 1.0},
 }
 
 

@@ -683,3 +683,65 @@ def run_ref_network(neurons, spike_trains, weights, iterations,
                 st.last_firing_time = clock - 1
         history.append([nr.v for nr in neurons])
     return np.asarray(history, f32), weights
+
+
+# --------------------------------------------------------------------------
+# R-STDP (plasticity/mod.rs:115-242) scalar reference
+# --------------------------------------------------------------------------
+
+class TraceW:
+    """TraceRSTDP weight (plasticity/mod.rs:122-150)."""
+
+    def __init__(self, w):
+        self.w = f32(w)
+        self.c = f32(0.0)
+        self.dw = f32(0.0)
+        self.counter = 0
+
+
+def rstdp_visit_scalar(tw, delta, dopamine, p):
+    """One RewardModulatedSTDP::update_weight visit (plasticity/mod.rs:208-237)."""
+    tw.dw = f32(tw.dw + delta)
+    if tw.counter == 0:
+        tw.counter = 1
+    else:
+        tw.c = f32(tw.c * np.exp(-f32(p["dt"]) / f32(p["tau_c"]), dtype=f32)
+                   + f32(p["tau_c"]) * tw.dw)
+        tw.counter = 0
+        tw.dw = f32(0.0)
+    tw.w = f32(tw.w + tw.c * f32(dopamine))
+
+
+def run_ref_rstdp_lattice(neurons, weights, rewards, p,
+                          electrical=True, do_modulation=True):
+    """Scalar RewardModulatedLattice run (neuron/mod.rs:3190-3260 semantics,
+    deferred visit order)."""
+    n = len(neurons)
+    dopamine = f32(0.0)
+    history = []
+    clock = 0
+    for reward in rewards:
+        elec_inputs = [f32(0.0)] * n
+        for j in range(n):
+            in_idx = [i for i in range(n) if weights[i][j] is not None]
+            if electrical:
+                total = f32(0.0)
+                for i in in_idx:
+                    total = total + gap_junction(neurons[i], neurons[j]) \
+                        * weights[i][j].w
+                elec_inputs[j] = total / f32(max(len(in_idx), 1))
+        dopamine = f32(dopamine * np.exp(-f32(p["dt"]) / f32(p["tau_d"]), dtype=f32)
+                       + f32(p["tau_d"]) * f32(reward))
+        for j in range(n):
+            if neurons[j].iterate_and_spike(elec_inputs[j]):
+                neurons[j].last_firing_time = clock
+        if do_modulation:
+            for i in range(n):
+                for j in range(n):
+                    if weights[i][j] is not None:
+                        delta = stdp_dw(p, neurons[i], neurons[j])
+                        rstdp_visit_scalar(weights[i][j], delta, dopamine, p)
+                        rstdp_visit_scalar(weights[i][j], delta, dopamine, p)
+        clock += 1
+        history.append([nr.v for nr in neurons])
+    return np.asarray(history, f32), weights, dopamine

@@ -1,0 +1,104 @@
+"""Analysis-layer tests: PSD vs NumPy, EMD vs scipy construction, Pearson,
+Hopfield attractor recovery, GA convergence, fitting smoke test (mirrors the
+reference's eeg / attractors / ga test coverage)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spiking_neural_networks_tpu.analysis import eeg, correlation
+from spiking_neural_networks_tpu import attractors
+from spiking_neural_networks_tpu.fitting import (
+    GeneticAlgorithmParameters, genetic_algo, decode_population)
+
+
+def test_power_density_matches_numpy():
+    rng = np.random.default_rng(0)
+    dt, total_time = 0.1, 100.0
+    t = np.arange(0, total_time, dt)
+    x = (np.sin(2 * np.pi * 3.0 * t) + 0.5 * rng.normal(size=t.shape)).astype(np.float32)
+
+    faxis, sxx = eeg.get_power_density(x, dt, total_time)
+    # independent numpy construction (eeg/mod.rs:15-46)
+    xf = np.fft.fft(x - x.mean())
+    sxx_np = (2 * dt ** 2 / (len(x) * dt)) * np.real(xf * np.conj(xf))[: len(x) // 2]
+    np.testing.assert_allclose(np.asarray(sxx), sxx_np, rtol=1e-3, atol=1e-3)
+    # dominant frequency = 3 Hz
+    assert abs(float(faxis[int(np.argmax(np.asarray(sxx)))]) - 3.0) < 0.1
+
+
+def test_emd_matches_scipy_semantics():
+    rng = np.random.default_rng(1)
+    u = rng.random(32).astype(np.float32)
+    v = rng.random(32).astype(np.float32)
+    uw = rng.random(32).astype(np.float32)
+    vw = rng.random(32).astype(np.float32)
+    got = float(eeg.earth_moving_distance(u, v, uw, vw))
+
+    # independent implementation of scipy's wasserstein_distance
+    us, vs = np.sort(u), np.sort(v)
+    allv = np.sort(np.concatenate([u, v]))
+    deltas = np.diff(allv)
+    ui = np.searchsorted(us, allv[:-1], side="right")
+    vi = np.searchsorted(vs, allv[:-1], side="right")
+    ucum = np.concatenate([[0], np.cumsum(uw[np.argsort(u)])])
+    vcum = np.concatenate([[0], np.cumsum(vw[np.argsort(v)])])
+    want = np.sum(np.abs(ucum[ui] / ucum[-1] - vcum[vi] / vcum[-1]) * deltas)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_power_density_comparison_zero_for_identical():
+    x = np.sin(np.linspace(0, 20, 512)).astype(np.float32)
+    _, sxx = eeg.get_power_density(x, 0.1, 51.2)
+    assert float(eeg.power_density_comparison(sxx, sxx)) == 0.0
+
+
+def test_pearsonr():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=100).astype(np.float32)
+    y = 2 * x + rng.normal(scale=0.1, size=100).astype(np.float32)
+    got = float(correlation.pearsonr(x, y))
+    want = np.corrcoef(x, y)[0, 1]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # zero-variance input -> NaN (reference semantics)
+    assert np.isnan(float(correlation.pearsonr(np.ones(10, np.float32), x[:10])))
+
+
+def test_hopfield_recovers_patterns():
+    """The reference's doc-test scenario (attractors/mod.rs:306-358)."""
+    patterns = attractors.generate_random_patterns(10, 10, 3, 0.5, seed=4)
+    w = attractors.generate_hopfield_network(patterns)
+    lattice = attractors.DiscreteNeuronLattice(10, 10, w)
+    for pattern in patterns:
+        distorted = attractors.distort_pattern(pattern, 0.2, seed=5)
+        lattice.input_pattern_into_discrete_grid(distorted)
+        lattice.iterate(10)
+        np.testing.assert_array_equal(lattice.convert_to_bools(), pattern)
+
+
+def test_binary_hopfield_weights():
+    patterns = attractors.generate_random_patterns(4, 4, 2, 0.5, seed=6)
+    w = np.asarray(attractors.generate_binary_hopfield_network(
+        patterns, a=0.5, b=0.5, scalar=1.0))
+    flat = np.where(patterns.reshape(2, -1), 1.0, 0.0)
+    want = ((flat - 0.5).T @ (flat - 0.5))
+    np.fill_diagonal(want, 0.0)
+    np.testing.assert_allclose(w, want, rtol=1e-6)
+
+
+def test_decode_population():
+    bits = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]])
+    vals = decode_population(bits, [(0.0, 1.0), (-5.0, 5.0)], 4)
+    np.testing.assert_allclose(np.asarray(vals), [[1.0, -5.0]], atol=1e-6)
+
+
+def test_genetic_algo_minimizes_quadratic():
+    params = GeneticAlgorithmParameters(
+        bounds=[(-5.0, 5.0), (-5.0, 5.0)], n_bits=10, n_iter=30, n_pop=64,
+        r_cross=0.9, r_mut=0.05, k=3)
+
+    def objective(decoded):
+        return jnp.sum((decoded - jnp.asarray([1.5, -2.0])) ** 2, axis=-1)
+
+    best, score, _ = genetic_algo(objective, params)
+    assert score < 0.05
+    np.testing.assert_allclose(best, [1.5, -2.0], atol=0.3)

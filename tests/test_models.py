@@ -151,3 +151,35 @@ def test_receptor_kinetics_variants():
             np.testing.assert_allclose(
                 float(state["v"][0]), float(ref.v), rtol=1e-5, atol=1e-4,
                 err_msg=f"{rk} step {it}")
+
+
+def test_dopa_izhikevich_dopamine_modulation():
+    """D2 dopamine input scales down AMPA/NMDA gain one step later
+    (lixirnet DopaGluGABA semantics, interface_gpu/lixirnet/src/lib.rs:45-66)."""
+    import spiking_neural_networks_tpu as snn
+
+    def run(dopa_conc, s_d2):
+        model = snn.DopaIzhikevich()
+        state = model.init_state(1)
+        for t in ("Glutamate", "GABA", "Dopamine"):
+            state = model.insert_receptor(state, t)
+        state["rec$s_d2"] = jnp.full((1,), s_d2, jnp.float32)
+        t_in = jnp.asarray([[0.8, 0.0, dopa_conc]], jnp.float32)
+        valid = jnp.asarray([[True, True, True]])
+        vs = []
+        for _ in range(400):
+            state, _ = model.step(state, jnp.zeros(1), t_in, valid)
+            vs.append(float(state["v"][0]))
+        return np.asarray(vs), state
+
+    v_plain, s_plain = run(0.0, 0.9)
+    v_d2, s_d2 = run(1.0, 0.9)
+    # with D2 activation the inhibitory modifier shrinks -> less glutamate
+    # current -> different (less excited) trajectory
+    assert float(s_d2["rec$inh_modifier"][0]) < 0.2
+    assert float(s_plain["rec$inh_modifier"][0]) == 1.0
+    assert np.abs(v_plain - v_d2).max() > 1.0
+    # spike counts: glutamate drives spiking; D2 suppression reduces it
+    spikes_plain = (np.diff(v_plain) < -40).sum()
+    spikes_d2 = (np.diff(v_d2) < -40).sum()
+    assert spikes_plain >= spikes_d2
