@@ -1,0 +1,468 @@
+"""Compile parsed `.nb` blocks into vectorized JAX model classes.
+
+TPU-native equivalent of the `neuron_builder!` codegen
+(`/root/reference/build_test/nb_macro/src/lib.rs`): where the reference
+emits Rust structs + OpenCL kernel strings + PyO3 classes from one model
+definition, here the definition compiles to a :class:`NeuronModel` /
+:class:`SpikeTrainModel` subclass whose step function traces straight into
+the jitted lattice scan — the "kernel" is XLA's output.
+
+Semantics preserved from the codegen (nb_macro/src/lib.rs:106-260,
+2255-2360):
+
+* ``v`` -> membrane potential, ``i`` -> input current; injected defaults
+  current_voltage=0, dt=0.1, c_m=1, gap_conductance=10 (:2201-2210).
+* ``dX/dt = expr`` computes ``dX = expr * dt`` in statement order and applies
+  all deltas after the statement list (:195, :678-699).
+* ``r^`` is the clipped power ``max(x, 0) ^ p`` (:136).
+* electrochemical template: receptor kinetics update -> receptor currents
+  from pre-update v -> on_iteration -> ``v -= get_receptor_currents`` ->
+  neurotransmitter update -> spike handling (:2321-2356).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import parser as P
+from ..models.base import NeuronModel
+from ..models.spike_train import SpikeTrainModel, REFRACTORINESS
+from ..ops import kinetics as K
+from ..ops.receptors import ReceptorSystem
+
+FUNCTIONS = {
+    "exp": jnp.exp, "ln": jnp.log, "log": jnp.log, "log10": jnp.log10,
+    "sqrt": jnp.sqrt, "abs": jnp.abs, "tanh": jnp.tanh, "sinh": jnp.sinh,
+    "cosh": jnp.cosh, "sin": jnp.sin, "cos": jnp.cos,
+    "min": jnp.minimum, "max": jnp.maximum,
+    "floor": jnp.floor, "ceil": jnp.ceil,
+    "heaviside": lambda x: (x > 0).astype(jnp.float32),
+}
+
+
+def eval_expr(expr, env):
+    if isinstance(expr, P.Num):
+        return jnp.float32(expr.value)
+    if isinstance(expr, P.Var):
+        name = expr.name
+        if name == "true":
+            return True
+        if name == "false":
+            return False
+        if name not in env:
+            raise NameError(f"unknown variable {name!r} in DSL expression")
+        return env[name]
+    if isinstance(expr, P.Unary):
+        val = eval_expr(expr.operand, env)
+        if expr.op == "-":
+            return -val
+        return jnp.logical_not(val)
+    if isinstance(expr, P.BinOp):
+        a = eval_expr(expr.left, env)
+        b = eval_expr(expr.right, env)
+        op = expr.op
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "^":
+            return a ** b
+        if op == "r^":  # clipped power (nb_macro/src/lib.rs:136)
+            return jnp.maximum(a, 0.0) ** b
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == ">":
+            return a > b
+        if op == "<=":
+            return a <= b
+        if op == ">=":
+            return a >= b
+        if op == "&&":
+            return jnp.logical_and(a, b)
+        if op == "||":
+            return jnp.logical_or(a, b)
+    if isinstance(expr, P.Call):
+        fn = FUNCTIONS.get(expr.name)
+        if fn is None:
+            raise NameError(f"unknown DSL function {expr.name!r}")
+        return fn(*[eval_expr(a, env) for a in expr.args])
+    raise TypeError(f"cannot evaluate {expr!r}")
+
+
+def run_statements(stmts, env, mask=None):
+    """Execute a statement list on ``env`` (dict name -> array).
+
+    DiffEq deltas are accumulated and applied after the list (matching the
+    codegen's deferred `self.X += dX`).  ``mask`` (bool array or None)
+    conditions every write — used for [if] branches, vectorized with
+    `jnp.where` instead of control flow.
+    """
+    env = dict(env)
+    deltas = {}
+
+    def write(name, value):
+        if mask is not None and name in env:
+            b = jnp.broadcast_to(value, jnp.shape(env[name])) \
+                if jnp.shape(value) != jnp.shape(env[name]) else value
+            env[name] = jnp.where(mask, b, env[name])
+        else:
+            env[name] = value
+
+    for stmt in stmts:
+        if isinstance(stmt, P.Assign):
+            write(stmt.target, eval_expr(stmt.expr, env))
+        elif isinstance(stmt, P.DiffEq):
+            delta = eval_expr(stmt.expr, env) * env["dt"]
+            if mask is not None:
+                delta = jnp.where(mask, delta, 0.0)
+            deltas[stmt.target] = deltas.get(stmt.target, 0.0) + delta
+        elif isinstance(stmt, P.If):
+            taken = None
+            for cond_expr, body in zip(stmt.conditions, stmt.bodies):
+                cond = eval_expr(cond_expr, env)
+                branch = cond if taken is None \
+                    else jnp.logical_and(cond, jnp.logical_not(taken))
+                branch_mask = branch if mask is None \
+                    else jnp.logical_and(branch, mask)
+                sub_env, sub_deltas = run_statements(body, env, branch_mask)
+                env.update(sub_env)
+                for k, v in sub_deltas.items():
+                    deltas[k] = deltas.get(k, 0.0) + v
+                taken = branch if taken is None else jnp.logical_or(taken, branch)
+            if stmt.else_body:
+                else_mask = jnp.logical_not(taken)
+                if mask is not None:
+                    else_mask = jnp.logical_and(else_mask, mask)
+                sub_env, sub_deltas = run_statements(stmt.else_body, env, else_mask)
+                env.update(sub_env)
+                for k, v in sub_deltas.items():
+                    deltas[k] = deltas.get(k, 0.0) + v
+        else:
+            raise TypeError(f"unknown statement {stmt!r}")
+    return env, deltas
+
+
+def _apply_deltas(env, deltas):
+    for k, v in deltas.items():
+        env[k] = env[k] + v
+    return env
+
+
+# ---------------------------------------------------------------------------
+# Neuron compilation
+# ---------------------------------------------------------------------------
+
+NEURON_RESERVED = {"v", "i", "dt", "is_spiking", "last_firing_time"}
+
+
+def build_neuron(block, registry):
+    """Compile a [neuron] block into a NeuronModel subclass."""
+    fields = dict(block.vars)
+    # injected defaults (nb_macro/src/lib.rs:2149-2210); `v` stored as 'v'
+    fields.setdefault("v", block.vars.get("current_voltage", 0.0))
+    fields.pop("current_voltage", None)
+    fields.setdefault("dt", 0.1)
+    fields.setdefault("c_m", 1.0)
+    fields.setdefault("gap_conductance", 10.0)
+
+    on_iteration = block.sections.get("on_iteration", [])
+    on_spike = block.sections.get("on_spike", [])
+    spike_detection = block.sections.get("spike_detection")
+    if spike_detection is None:
+        raise SyntaxError(f"[neuron] {block.type_name} needs spike_detection")
+
+    kinetics_spec = block.sections.get("kinetics", "")
+    nt_kind, rec_kind = "approximate", "approximate"
+    if kinetics_spec:
+        parts = [p.strip() for p in kinetics_spec.split(",")]
+        if len(parts) >= 1 and parts[0]:
+            nt_kind = registry.get(parts[0], parts[0])
+        if len(parts) >= 2:
+            rec_kind = registry.get(parts[1], parts[1])
+    receptors_spec = block.sections.get("receptors", "")
+    receptor_factory = registry.get(("receptors", receptors_spec)) \
+        if receptors_spec else None
+
+    class GeneratedNeuron(NeuronModel):
+        name = block.type_name
+        FIELDS = fields
+
+        def __init__(self, nt_kinetics=nt_kind, rec_kinetics=rec_kind,
+                     receptors=None):
+            if receptors is None and receptor_factory is not None:
+                receptors = receptor_factory(rec_kinetics)
+            super().__init__(nt_kinetics=nt_kinetics,
+                             rec_kinetics=rec_kinetics, receptors=receptors)
+
+        def _env(self, s, i):
+            env = {k: v for k, v in s.items()}
+            env["i"] = i
+            return env
+
+        def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
+            s = dict(s)
+            if t_input is not None:
+                s.update(self.receptors.update_kinetics(s, t_input, t_valid))
+                s.update(self.receptors.set_currents(s, s["v"]))
+                rec_dv = self.receptors.receptor_dv(s)
+            else:
+                rec_dv = 0.0
+
+            env, deltas = run_statements(on_iteration, self._env(s, i))
+            env.pop("i", None)
+            s.update({k: v for k, v in env.items() if k in s})
+            s = _apply_deltas(s, deltas)
+            s["v"] = s["v"] - rec_dv
+
+            if not skip_nt:
+                s["nt$t"] = K.apply_t_changes(
+                    self.nt_kinetics, s, s["v"], s["is_spiking"])
+
+            spikes = eval_expr(spike_detection, self._env(s, 0.0))
+            if on_spike:
+                env, deltas2 = run_statements(on_spike, self._env(s, 0.0),
+                                              mask=spikes)
+                env.pop("i", None)
+                s.update({k: v for k, v in env.items() if k in s})
+                s = _apply_deltas(s, deltas2)
+            s["is_spiking"] = spikes
+            return s, spikes
+
+    GeneratedNeuron.__name__ = block.type_name
+    return GeneratedNeuron
+
+
+def build_spike_train(block, registry):
+    """Compile a [spike_train] block into a SpikeTrainModel subclass.
+
+    Injected fields (nb_macro/src/lib.rs:4831-4850): current_voltage=0,
+    v_th=30, v_resting=0, dt=0.1.
+    """
+    fields = dict(block.vars)
+    fields.setdefault("v_th", 30.0)
+    fields.setdefault("v_resting", 0.0)
+    on_iteration = block.sections.get("on_iteration", [])
+
+    class GeneratedSpikeTrain(SpikeTrainModel):
+        name = block.type_name
+        FIELDS = {k: v for k, v in fields.items()}
+
+        def step(self, s, key, clock):
+            s = dict(s)
+            env = dict(s)
+            env["current_voltage"] = env.pop("v")
+            env, deltas = run_statements(on_iteration, env)
+            env = _apply_deltas(env, deltas)
+            env["v"] = env.pop("current_voltage")
+            s.update({k: v for k, v in env.items() if k in s})
+            s["is_spiking"] = jnp.asarray(s["is_spiking"], bool)
+            spikes = s["is_spiking"]
+            s["nt$t"] = K.apply_t_changes(self.nt_kinetics, s, s["v"], spikes)
+            return s, spikes, key
+
+    GeneratedSpikeTrain.__name__ = block.type_name
+    return GeneratedSpikeTrain
+
+
+def build_nt_kinetics(block):
+    """Compile a [neurotransmitter_kinetics] block: registers a new kind in
+    the kinetics registry operating on (N, K) arrays."""
+    on_iteration = block.sections["on_iteration"]
+    params = {f"nt${k}": v for k, v in block.vars.items() if k != "t"}
+
+    def update(t, v, spiking, dt, state_params):
+        env = {"t": t, "v": v[:, None] if v.ndim == 1 else v,
+               "current_voltage": v[:, None] if v.ndim == 1 else v,
+               "is_spiking": spiking[:, None] if spiking.ndim == 1 else spiking,
+               "dt": dt[:, None] if dt.ndim == 1 else dt}
+        for k in block.vars:
+            if k != "t":
+                env[k] = state_params[f"nt${k}"]
+        env, deltas = run_statements(on_iteration, env)
+        env = _apply_deltas(env, deltas)
+        return env["t"]
+
+    K.NT_KINETICS[block.type_name] = update
+    K.NT_PARAM_DEFAULTS[block.type_name] = params
+    return block.type_name
+
+
+def build_receptor_kinetics(block):
+    """Compile a [receptor_kinetics] block into the receptor-kinetics
+    registry (operates on (N, K) gating arrays)."""
+    on_iteration = block.sections["on_iteration"]
+    params = {f"rec${k}": v for k, v in block.vars.items() if k != "r"}
+
+    def update(r, t, dt, state_params):
+        env = {"r": r, "t": t,
+               "dt": dt[:, None] if dt.ndim == 1 else dt}
+        for k in block.vars:
+            if k != "r":
+                env[k] = state_params[f"rec${k}"]
+        env, deltas = run_statements(on_iteration, env)
+        env = _apply_deltas(env, deltas)
+        return env["r"]
+
+    K.REC_KINETICS[block.type_name] = update
+    K.REC_PARAM_DEFAULTS[block.type_name] = params
+    return block.type_name
+
+
+def build_refractoriness(block):
+    """Compile a [neural_refractoriness] block (effect expression over
+    timestep difference; spike_train/mod.rs:37-46 trait)."""
+    effect_expr = block.sections["effect"]
+    defaults = dict(block.vars)
+
+    def effect(k, a, time_difference, v_resting, dt):
+        env = {"decay": k, "k": k, "a": a, "time_difference": time_difference,
+               "v_resting": v_resting, "dt": dt}
+        env.update({name: jnp.float32(v) for name, v in defaults.items()
+                    if name not in env})
+        return eval_expr(effect_expr, env)
+
+    REFRACTORINESS[block.type_name] = effect
+    return block.type_name
+
+
+def build_receptors(block, registry):
+    """Compile a [receptors] block into a ReceptorSystem subclass with
+    per-neurotransmitter groups (lixirnet DopaGluGABA-style)."""
+    type_names = tuple(g["neurotransmitter"] for g in block.groups)
+    top_vars = dict(block.vars)
+    default_kinetics = registry.get(block.sections.get("kinetics", ""),
+                                    block.sections.get("kinetics", "approximate"))
+
+    class GeneratedReceptors(ReceptorSystem):
+        pass
+
+    GeneratedReceptors.type_names = type_names
+    GeneratedReceptors.__name__ = block.type_name
+
+    groups = block.groups
+
+    def __init__(self, kinetics=default_kinetics or "approximate"):
+        self.kinetics = kinetics
+
+    def config_key(self):
+        return (type(self), self.kinetics)
+
+    def init_fields(self, n):
+        s = {"rec$mask": jnp.zeros((n, len(type_names)), bool)}
+        for name, d in top_vars.items():
+            s[f"rec${name}"] = jnp.full((n,), d, jnp.float32)
+        max_slots = max(len(g["receptors"]) if g["receptors"] else 1
+                        for g in groups)
+        for slot in range(max_slots):
+            key = "rec$r" if slot == 0 else f"rec$r{slot + 1}"
+            s[key] = jnp.zeros((n, len(type_names)), jnp.float32)
+        for f, d in K.REC_PARAM_DEFAULTS[self.kinetics].items():
+            s[f] = jnp.full((n, len(type_names)), d, jnp.float32)
+        for gi, g in enumerate(groups):
+            for name, d in g["vars"].items():
+                s[f"rec${g['neurotransmitter']}${name}"] = \
+                    jnp.full((n,), d, jnp.float32)
+        return s
+
+    def update_kinetics(self, state, t_input, t_valid):
+        out = {}
+        max_slots = max(len(g["receptors"]) if g["receptors"] else 1
+                        for g in groups)
+        for slot in range(max_slots):
+            key = "rec$r" if slot == 0 else f"rec$r{slot + 1}"
+            sp = dict(state)
+            sp["rec$r"] = state[key]
+            out[key] = K.update_receptor_kinetics(
+                self.kinetics, sp, t_input, t_valid)
+        return out
+
+    def set_currents(self, state, v):
+        out = {}
+        env = {"v": v, "current_voltage": v, "dt": state["dt"]}
+        for name in top_vars:
+            env[name] = state[f"rec${name}"]
+        mask = state["rec$mask"]
+        currents = []
+        for gi, g in enumerate(groups):
+            genv = dict(env)
+            slot_names = g["receptors"] if g["receptors"] else ["r"]
+            for slot, rname in enumerate(slot_names):
+                key = "rec$r" if slot == 0 else f"rec$r{slot + 1}"
+                genv[rname] = state[key][:, gi]
+            if not g["receptors"]:
+                genv["r"] = state["rec$r"][:, gi]
+            for name in g["vars"]:
+                genv[name] = state[f"rec${g['neurotransmitter']}${name}"]
+            genv, deltas = run_statements(g["on_iteration"], genv)
+            genv = _apply_deltas(genv, deltas)
+            gmask = mask[:, gi]
+            # write back group vars + shared top-level vars (masked)
+            for name in g["vars"]:
+                key = f"rec${g['neurotransmitter']}${name}"
+                out[key] = jnp.where(gmask, genv[name], state[key])
+            for name in top_vars:
+                prev = out.get(f"rec${name}", state[f"rec${name}"])
+                out[f"rec${name}"] = jnp.where(gmask, genv[name], prev)
+                env[name] = out[f"rec${name}"]
+            cur = genv.get("current")
+            currents.append(jnp.where(gmask, cur, 0.0)
+                            if cur is not None else jnp.zeros_like(v))
+        out["rec$current"] = jnp.stack(currents, axis=-1)
+        return out
+
+    def receptor_dv(self, state):
+        total = jnp.sum(state["rec$current"], axis=-1)
+        return total * (state["dt"] / state["c_m"])
+
+    GeneratedReceptors.__init__ = __init__
+    GeneratedReceptors.config_key = config_key
+    GeneratedReceptors.init_fields = init_fields
+    GeneratedReceptors.update_kinetics = update_kinetics
+    GeneratedReceptors.set_currents = set_currents
+    GeneratedReceptors.receptor_dv = receptor_dv
+    return GeneratedReceptors
+
+
+def neuron_builder(source):
+    """Compile `.nb` source; returns a dict of generated classes / kinds
+    (the TPU equivalent of `neuron_builder!`, nb_macro/src/lib.rs:9303-9365)."""
+    blocks = P.parse(source)
+    out = {}
+    registry = {}
+    # kinetics first (neurons reference them by name)
+    for b in blocks:
+        if b.kind == "neurotransmitter_kinetics":
+            kind = build_nt_kinetics(b)
+            registry[b.type_name] = kind
+            out[b.type_name] = kind
+        elif b.kind == "receptor_kinetics":
+            kind = build_receptor_kinetics(b)
+            registry[b.type_name] = kind
+            out[b.type_name] = kind
+        elif b.kind == "neural_refractoriness":
+            out[b.type_name] = build_refractoriness(b)
+    for b in blocks:
+        if b.kind == "receptors":
+            cls = build_receptors(b, registry)
+            registry[("receptors", b.type_name)] = cls
+            out[b.type_name] = cls
+    for b in blocks:
+        if b.kind == "neuron":
+            out[b.type_name] = build_neuron(b, registry)
+        elif b.kind == "spike_train":
+            out[b.type_name] = build_spike_train(b, registry)
+    return out
+
+
+def neuron_builder_from_file(path):
+    """`neuron_builder_from_file!` equivalent."""
+    with open(path) as f:
+        return neuron_builder(f.read())

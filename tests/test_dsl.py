@@ -1,0 +1,206 @@
+"""DSL tests: generated models vs handwritten models, exact equality over
+1000 steps across input sweeps — the reference's own DSL test strategy
+(nb_macro/tests/basic_lif.rs:26-50, izhikevich_testing.rs)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import spiking_neural_networks_tpu as snn
+from spiking_neural_networks_tpu.dsl import neuron_builder
+
+IZHIKEVICH_NB = """
+[neuron]
+    type: DSLIzhikevich
+    vars: w = 30, a = 0.02, b = 0.2, c = -55, d = 8, v_th = 30, tau_m = 1, c_m = 100
+    on_spike:
+        v = c
+        w += d
+    spike_detection: v >= v_th
+    on_iteration:
+        dw/dt = (a * (b * v - w)) / tau_m
+        dv/dt = (0.04 * v * v + 5 * v + 140 - w + i) / c_m
+[end]
+"""
+
+
+def test_dsl_izhikevich_matches_handwritten():
+    gen = neuron_builder(IZHIKEVICH_NB)["DSLIzhikevich"]
+    model = gen()
+    ref = snn.Izhikevich()
+
+    inputs = jnp.asarray([0.0, 10.0, 30.0, 50.0])
+    s1 = model.init_state(4, v=-65.0)
+    s2 = ref.init_state(4)
+    for _ in range(1000):
+        s1, sp1 = model.step(s1, inputs)
+        s2, sp2 = ref.step(s2, inputs)
+    # not bit-exact: the DSL expresses dv as (expr / c_m) * dt while the
+    # handwritten model uses expr * (dt / c_m) — same association difference
+    # the reference's own DSL-generated models have vs backend models
+    np.testing.assert_allclose(np.asarray(s1["v"]), np.asarray(s2["v"]),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1["w"]), np.asarray(s2["w"]),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_dsl_izhikevich_chemical_matches_handwritten():
+    gen = neuron_builder(IZHIKEVICH_NB)["DSLIzhikevich"]
+    model = gen()
+    ref = snn.Izhikevich()
+    s1 = model.init_state(2, v=-65.0)
+    s2 = ref.init_state(2)
+    for m in (model, ref):
+        pass
+    for t in ("AMPA", "NMDA", "GABA"):
+        s1 = model.insert_receptor(s1, t)
+        s2 = ref.insert_receptor(s2, t)
+    t_in = jnp.full((2, 3), 0.5, jnp.float32)
+    valid = jnp.ones((2, 3), bool)
+    i = jnp.asarray([10.0, 40.0])
+    for _ in range(500):
+        s1, _ = model.step(s1, i, t_in, valid)
+        s2, _ = ref.step(s2, i, t_in, valid)
+    np.testing.assert_allclose(np.asarray(s1["v"]), np.asarray(s2["v"]),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_dsl_lif_nb_file_format():
+    """The reference's example .nb file parses and runs
+    (nb_macro/tests/lif.nb)."""
+    src = """[neuron]
+    type: BasicIntegrateAndFire
+    vars: e = 0, v_reset = -75, v_th = -55
+    on_spike:
+        v = v_reset
+    spike_detection: v >= v_th
+    on_iteration:
+        dv/dt = (v - e) + i
+[end]"""
+    gen = neuron_builder(src)["BasicIntegrateAndFire"]
+    model = gen()
+    s = model.init_state(1, v=-75.0)
+    assert float(s["e"][0]) == 0.0
+    assert float(s["gap_conductance"][0]) == 10.0  # injected default
+    for _ in range(100):
+        s, spk = model.step(s, jnp.asarray([50.0]))
+    assert np.isfinite(float(s["v"][0]))
+
+
+def test_dsl_rate_spike_train_matches_handwritten():
+    src = """[spike_train]
+    type: DSLRateSpikeTrain
+    vars: step = 0., rate = 0.
+    on_iteration:
+        step += dt
+        [if] rate != 0. && step >= rate [then]
+            step = 0
+            current_voltage = v_th
+            is_spiking = true
+        [else]
+            current_voltage = v_resting
+            is_spiking = false
+        [end]
+[end]"""
+    gen = neuron_builder(src)["DSLRateSpikeTrain"]
+    model = gen()
+    ref = snn.RateSpikeTrain()
+    import jax
+    key = jax.random.PRNGKey(0)
+    s1 = model.init_state(2, rate=1.0)
+    s2 = ref.init_state(2, rate=1.0)
+    for clock in range(50):
+        s1, sp1, key = model.step(s1, key, clock)
+        s2, sp2, key = ref.step(s2, key, clock)
+        np.testing.assert_array_equal(np.asarray(sp1), np.asarray(sp2))
+        np.testing.assert_array_equal(np.asarray(s1["v"]), np.asarray(s2["v"]))
+
+
+def test_dsl_bounded_kinetics_and_dopa_receptors():
+    """The full lixirnet model definition compiles and matches the
+    hand-built DopaIzhikevich (interface_gpu/lixirnet/src/lib.rs:22-79)."""
+    src = """
+[neurotransmitter_kinetics]
+    type: DSLBoundedNeurotransmitterKinetics
+    vars: t_max = 1, clearance_constant = 0.001, conc = 0
+    on_iteration:
+        [if] is_spiking [then]
+            conc = t_max
+        [else]
+            conc = 0
+        [end]
+
+        t = t + dt * -clearance_constant * t + conc
+
+        t = min(max(t, 0), t_max)
+[end]
+
+[receptor_kinetics]
+    type: DSLBoundedReceptorKinetics
+    vars: r_max = 1
+    on_iteration:
+        r = min(max(t, 0), r_max)
+[end]
+
+[receptors]
+    type: DSLDopaGluGABA
+    kinetics: DSLBoundedReceptorKinetics
+    vars: inh_modifier = 1, nmda_modifier = 1
+    neurotransmitter: Glutamate
+    receptors: ampa_r, nmda_r
+    vars: current = 0, g_ampa = 1, g_nmda = 0.6, e_ampa = 0, e_nmda = 0, mg = 0.3
+    on_iteration:
+        current = inh_modifier * g_ampa * ampa_r * (v - e_ampa) + (1 / (1 + (exp(-0.062 * v) * mg / 3.57))) * inh_modifier * g_nmda * (nmda_r r^ nmda_modifier) * (v - e_nmda)
+    neurotransmitter: GABA
+    vars: current = 0, g = 1.2, e = -80
+    on_iteration:
+        current = g * r * (v - e)
+    neurotransmitter: Dopamine
+    receptors: r_d1, r_d2
+    vars: s_d2 = 0, s_d1 = 0
+    on_iteration:
+        inh_modifier = 1 - (r_d2 * s_d2)
+        nmda_modifier = 1 - (r_d1 * s_d1)
+[end]
+
+[neuron]
+    type: DSLDopaIzhikevich
+    kinetics: DSLBoundedNeurotransmitterKinetics, DSLBoundedReceptorKinetics
+    receptors: DSLDopaGluGABA
+    vars: w = 30, a = 0.02, b = 0.2, c = -55, d = 8, v_th = 30, tau_m = 1, c_m = 100
+    on_spike:
+        v = c
+        w += d
+    spike_detection: v >= v_th
+    on_iteration:
+        dw/dt = (a * (b * v - w)) / tau_m
+        dv/dt = (0.04 * v * v + 5 * v + 140 - w + i) / c_m
+[end]
+"""
+    out = neuron_builder(src)
+    gen = out["DSLDopaIzhikevich"]
+    model = gen()
+    assert model.type_names == ("Glutamate", "GABA", "Dopamine")
+
+    hand = snn.DopaIzhikevich()
+    s1 = model.init_state(2, v=-65.0)
+    s2 = hand.init_state(2)
+    for t in ("Glutamate", "GABA", "Dopamine"):
+        s1 = model.insert_receptor(s1, t)
+        s2 = hand.insert_receptor(s2, t)
+    s1["rec$Dopamine$s_d2"] = jnp.full((2,), 0.8, jnp.float32)
+    s2["rec$s_d2"] = jnp.full((2,), 0.8, jnp.float32)
+    # neurotransmitter release check too
+    s1 = model.insert_neurotransmitter(s1, "Glutamate")
+    s2 = hand.insert_neurotransmitter(s2, "Glutamate")
+
+    t_in = jnp.asarray([[0.7, 0.2, 0.6], [0.7, 0.2, 0.6]], jnp.float32)
+    valid = jnp.ones((2, 3), bool)
+    i = jnp.asarray([20.0, 35.0])
+    for it in range(500):
+        s1, sp1 = model.step(s1, i, t_in, valid)
+        s2, sp2 = hand.step(s2, i, t_in, valid)
+        np.testing.assert_allclose(
+            np.asarray(s1["v"]), np.asarray(s2["v"]), rtol=1e-5, atol=1e-4,
+            err_msg=f"step {it}")
+    np.testing.assert_allclose(np.asarray(s1["nt$t"]), np.asarray(s2["nt$t"]),
+                               rtol=1e-5, atol=1e-6)
