@@ -11,12 +11,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def log(*a):

@@ -1,0 +1,567 @@
+"""lixirnet-compatible Python API.
+
+Drop-in surface for the reference's PyO3 module
+(`/root/reference/interface_gpu/lixirnet/src/lib.rs` + `src/lattices/mod.rs`):
+prototype neuron/kinetics/receptor objects, `IzhikevichNeuronLattice`,
+`RateSpikeTrainLattice`, and `IzhikevichNeuronNetwork` with the same method
+names (`populate`, `connect`, `apply`, `apply_given_position`,
+`run_lattice(s)`, `get_neuron`/`set_neuron`, `history`, `weights`, ...).
+
+Prototype objects are host-side configuration records; `populate` broadcasts
+them into the SoA device state.  `apply` loops neuron views on the host —
+the same O(N) Python cost the reference pays — while simulation runs fully
+on device.  Use ``import spiking_neural_networks_tpu.lixirnet as ln``.
+"""
+
+from __future__ import annotations
+
+import copy
+from enum import IntEnum
+
+import numpy as np
+import jax.numpy as jnp
+
+from .models.dopa import DopaIzhikevich
+from .models import spike_train as st_models
+from .core.lattice import Lattice as _Lattice
+from .core.network import SpikeTrainLattice as _STLattice, \
+    LatticeNetwork as _Network
+from .core import plasticity as _plasticity
+
+
+class DopaGluGABANeurotransmitterType(IntEnum):
+    Glutamate = 0
+    GABA = 1
+    Dopamine = 2
+
+
+class IonotropicNeurotransmitterType(IntEnum):
+    AMPA = 0
+    NMDA = 1
+    GABA = 2
+
+
+class BoundedNeurotransmitterKinetics:
+    def __init__(self, t_max=1.0, clearance_constant=0.001, t=0.0):
+        self.t_max = t_max
+        self.clearance_constant = clearance_constant
+        self.t = t
+
+
+class BoundedReceptorKinetics:
+    def __init__(self, r_max=1.0, r=0.0):
+        self.r_max = r_max
+        self.r = r
+
+
+class GlutamateReceptor:
+    def __init__(self, ampa_r=None, nmda_r=None, g_ampa=1.0, g_nmda=0.6,
+                 e_ampa=0.0, e_nmda=0.0, mg=0.3):
+        self.ampa_r = ampa_r or BoundedReceptorKinetics()
+        self.nmda_r = nmda_r or BoundedReceptorKinetics()
+        self.g_ampa = g_ampa
+        self.g_nmda = g_nmda
+        self.e_ampa = e_ampa
+        self.e_nmda = e_nmda
+        self.mg = mg
+        self.current = 0.0
+
+
+class GABAReceptor:
+    def __init__(self, r=None, g=1.2, e=-80.0):
+        self.r = r or BoundedReceptorKinetics()
+        self.g = g
+        self.e = e
+        self.current = 0.0
+
+
+class DopamineReceptor:
+    def __init__(self, r_d1=None, r_d2=None, s_d1=0.0, s_d2=0.0):
+        self.r_d1 = r_d1 or BoundedReceptorKinetics()
+        self.r_d2 = r_d2 or BoundedReceptorKinetics()
+        self.s_d1 = s_d1
+        self.s_d2 = s_d2
+
+
+class DopaGluGABA:
+    """Receptor-set prototype (`DopaGluGABA`, lixirnet/src/lib.rs:45-66)."""
+
+    def __init__(self):
+        self.receptors = {}
+        self.inh_modifier = 1.0
+        self.nmda_modifier = 1.0
+
+    def insert(self, neurotransmitter_type, receptor):
+        t = DopaGluGABANeurotransmitterType(neurotransmitter_type)
+        expected = {0: GlutamateReceptor, 1: GABAReceptor, 2: DopamineReceptor}
+        if not isinstance(receptor, expected[int(t)]):
+            raise ValueError(
+                f"receptor type mismatch for {t.name}: {type(receptor).__name__}")
+        self.receptors[int(t)] = receptor
+
+
+class STDP:
+    def __init__(self, a_plus=2.0, a_minus=2.0, tau_plus=4.5, tau_minus=4.5,
+                 dt=0.1):
+        self.a_plus = a_plus
+        self.a_minus = a_minus
+        self.tau_plus = tau_plus
+        self.tau_minus = tau_minus
+        self.dt = dt
+
+    def _native(self):
+        return _plasticity.STDP(self.a_plus, self.a_minus, self.tau_plus,
+                                self.tau_minus, self.dt)
+
+
+class DeltaDiracRefractoriness:
+    def __init__(self, k=10000.0):
+        self.k = k
+
+
+# ---------------------------------------------------------------------------
+# Prototype neurons
+# ---------------------------------------------------------------------------
+
+_IZH_SCALARS = ("current_voltage", "u", "a", "b", "c", "d", "v_th", "tau_m",
+                "c_m", "dt", "gap_conductance")
+_IZH_KEYMAP = {"current_voltage": "v", "u": "w"}
+
+
+class IzhikevichNeuron:
+    """Prototype for the lixirnet DSL IzhikevichNeuron (lib.rs:68-79);
+    DSL-injected defaults: current_voltage=0, gap_conductance=10."""
+
+    def __init__(self, **kw):
+        self.current_voltage = 0.0
+        self.u = 30.0
+        self.a = 0.02
+        self.b = 0.2
+        self.c = -55.0
+        self.d = 8.0
+        self.v_th = 30.0
+        self.tau_m = 1.0
+        self.c_m = 100.0
+        self.dt = 0.1
+        self.gap_conductance = 10.0
+        self.is_spiking = False
+        self.last_firing_time = None
+        self.synaptic_neurotransmitters = {}
+        self.receptors = DopaGluGABA()
+        self._has_receptors = False
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def set_synaptic_neurotransmitters(self, mapping):
+        self.synaptic_neurotransmitters = dict(mapping)
+
+    def get_synaptic_neurotransmitters(self):
+        return self.synaptic_neurotransmitters
+
+    def set_receptors(self, receptors):
+        self.receptors = receptors
+        self._has_receptors = True
+
+    def get_receptors(self):
+        return self.receptors
+
+
+class RateSpikeTrain:
+    """Prototype for the rate spike train (spike_train/mod.rs:974-1033)."""
+
+    def __init__(self, rate=0.0, **kw):
+        self.rate = rate
+        self.step = 0.0
+        self.current_voltage = 0.0
+        self.v_th = 30.0
+        self.v_resting = 0.0
+        self.dt = 0.1
+        self.is_spiking = False
+        self.last_firing_time = None
+        self.synaptic_neurotransmitters = {}
+        self.neural_refractoriness = DeltaDiracRefractoriness()
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def set_synaptic_neurotransmitters(self, mapping):
+        self.synaptic_neurotransmitters = dict(mapping)
+
+
+class PoissonNeuron(RateSpikeTrain):
+    def __init__(self, chance_of_firing=0.0, **kw):
+        super().__init__(**kw)
+        self.chance_of_firing = chance_of_firing
+
+
+class GraphPosition:
+    def __init__(self, id, pos):
+        self.id = id
+        self.pos = tuple(pos)
+
+
+# ---------------------------------------------------------------------------
+# State broadcasting
+# ---------------------------------------------------------------------------
+
+
+def _neuron_overrides(neuron):
+    over = {}
+    for attr in _IZH_SCALARS:
+        over[_IZH_KEYMAP.get(attr, attr)] = float(getattr(neuron, attr))
+    return over
+
+
+def _install_synapses(model, state, neuron):
+    for t, kin in neuron.synaptic_neurotransmitters.items():
+        name = DopaGluGABANeurotransmitterType(t).name
+        state = model.insert_neurotransmitter(
+            state, name, t_max=kin.t_max,
+            clearance_constant=kin.clearance_constant, t=kin.t)
+    rec = neuron.receptors
+    if isinstance(rec, DopaGluGABA):
+        for t, r in rec.receptors.items():
+            name = DopaGluGABANeurotransmitterType(t).name
+            state = model.insert_receptor(state, name)
+            n = state["v"].shape[0]
+            if isinstance(r, GlutamateReceptor):
+                state["rec$g_ampa"] = jnp.full((n,), r.g_ampa, jnp.float32)
+                state["rec$g_nmda"] = jnp.full((n,), r.g_nmda, jnp.float32)
+                state["rec$e_ampa"] = jnp.full((n,), r.e_ampa, jnp.float32)
+                state["rec$e_nmda"] = jnp.full((n,), r.e_nmda, jnp.float32)
+                state["rec$mg"] = jnp.full((n,), r.mg, jnp.float32)
+                state["rec$r_max"] = state["rec$r_max"].at[:, 0].set(r.ampa_r.r_max)
+            elif isinstance(r, GABAReceptor):
+                state["rec$g_gaba"] = jnp.full((n,), r.g, jnp.float32)
+                state["rec$e_gaba"] = jnp.full((n,), r.e, jnp.float32)
+                state["rec$r_max"] = state["rec$r_max"].at[:, 1].set(r.r.r_max)
+            elif isinstance(r, DopamineReceptor):
+                state["rec$s_d1"] = jnp.full((n,), r.s_d1, jnp.float32)
+                state["rec$s_d2"] = jnp.full((n,), r.s_d2, jnp.float32)
+                state["rec$r_max"] = state["rec$r_max"].at[:, 2].set(r.r_d1.r_max)
+    return state
+
+
+class _NeuronView:
+    """Mutable per-neuron view into host copies of the SoA arrays, handed to
+    `apply` callbacks exactly like the reference's `&mut neuron`.
+    Attribute access is installed below (keymap-aware)."""
+
+    def __init__(self, arrays, idx, keymap=None):
+        object.__setattr__(self, "_arrays", arrays)
+        object.__setattr__(self, "_idx", idx)
+        object.__setattr__(self, "_keymap", keymap or _IZH_KEYMAP)
+
+
+class _LatticeMixin:
+    def _host_arrays(self):
+        return {k: np.asarray(v).copy() for k, v in self._inner.state.items()
+                if np.asarray(v).ndim == 1}
+
+    def _write_back(self, arrays):
+        state = dict(self._inner.state)
+        for k, v in arrays.items():
+            state[k] = jnp.asarray(v, state[k].dtype)
+        self._inner.state = state
+
+    def apply(self, function):
+        arrays = self._host_arrays()
+        for idx in range(self._inner.n):
+            function(_NeuronView(arrays, idx))
+        self._write_back(arrays)
+
+    def apply_given_position(self, function):
+        arrays = self._host_arrays()
+        cols = self._inner.cols
+        for idx in range(self._inner.n):
+            function((idx // cols, idx % cols), _NeuronView(arrays, idx))
+        self._write_back(arrays)
+
+    @property
+    def history(self):
+        return [np.asarray(h) for h in self._inner.grid_history.history]
+
+    @property
+    def update_grid_history(self):
+        return self._inner.update_grid_history
+
+    @update_grid_history.setter
+    def update_grid_history(self, value):
+        self._inner.update_grid_history = value
+
+    def reset_timing(self):
+        self._inner.reset_timing()
+
+    def reset_history(self):
+        self._inner.grid_history.reset()
+
+    def set_dt(self, dt):
+        self._inner.set_dt(dt)
+
+    def get_id(self):
+        return self._inner.id
+
+    def set_id(self, id):
+        self._inner.id = id
+
+
+class IzhikevichNeuronLattice(_LatticeMixin):
+    """`IzhikevichNeuronLattice` (lixirnet/src/lattices/mod.rs impl_lattice)."""
+
+    def __init__(self, id=0):
+        self._inner = _Lattice(DopaIzhikevich(), id=id)
+        self._prototype = None
+
+    @property
+    def inner(self):
+        return self._inner
+
+    def populate(self, neuron, num_rows, num_cols):
+        self._prototype = copy.deepcopy(neuron)
+        model = self._inner.model
+        self._inner.populate(num_rows, num_cols, **_neuron_overrides(neuron))
+        self._inner.state = _install_synapses(model, self._inner.state, neuron)
+
+    def connect(self, connection_conditional, weight_logic=None):
+        self._inner.connect(connection_conditional, weight_logic)
+
+    def connect_stencil(self, **kw):
+        self._inner.connect_stencil(**kw)
+
+    def run_lattice(self, iterations):
+        self._inner.run_lattice(iterations)
+
+    def get_neuron(self, row, col):
+        idx = row * self._inner.cols + col
+        n = copy.deepcopy(self._prototype) if self._prototype else IzhikevichNeuron()
+        state = self._inner.state
+        for attr in _IZH_SCALARS:
+            key = _IZH_KEYMAP.get(attr, attr)
+            setattr(n, attr, float(np.asarray(state[key][idx])))
+        lft = int(np.asarray(state["last_firing_time"][idx]))
+        n.last_firing_time = None if lft < 0 else lft
+        n.is_spiking = bool(np.asarray(state["is_spiking"][idx]))
+        return n
+
+    def set_neuron(self, row, col, neuron):
+        idx = row * self._inner.cols + col
+        state = dict(self._inner.state)
+        for attr in _IZH_SCALARS:
+            key = _IZH_KEYMAP.get(attr, attr)
+            state[key] = state[key].at[idx].set(float(getattr(neuron, attr)))
+        self._inner.state = state
+
+    @property
+    def weights(self):
+        from .ops.graph import DenseGraph
+        g = self._inner.graph
+        if isinstance(g, DenseGraph):
+            return np.asarray(jnp.where(g.mask, g.weights, 0.0))
+        raise TypeError("weights getter requires a dense graph")
+
+    @property
+    def position_to_index(self):
+        cols = self._inner.cols
+        return {(r, c): r * cols + c
+                for r in range(self._inner.rows) for c in range(cols)}
+
+    @property
+    def do_plasticity(self):
+        return self._inner.do_plasticity
+
+    @do_plasticity.setter
+    def do_plasticity(self, value):
+        self._inner.do_plasticity = value
+
+    @property
+    def plasticity(self):
+        return self._inner.plasticity
+
+    @plasticity.setter
+    def plasticity(self, value):
+        if isinstance(value, STDP):
+            value = value._native()
+        self._inner.plasticity = value
+
+    @property
+    def electrical_synapse(self):
+        return self._inner.electrical_synapse
+
+    @electrical_synapse.setter
+    def electrical_synapse(self, v):
+        self._inner.electrical_synapse = v
+
+    @property
+    def chemical_synapse(self):
+        return self._inner.chemical_synapse
+
+    @chemical_synapse.setter
+    def chemical_synapse(self, v):
+        self._inner.chemical_synapse = v
+
+
+_ST_SCALARS = ("current_voltage", "v_th", "v_resting", "rate", "step", "dt")
+_ST_KEYMAP = {"current_voltage": "v"}
+
+
+class RateSpikeTrainLattice(_LatticeMixin):
+    """`RateSpikeTrainLattice` (impl_spike_train_lattice)."""
+
+    def __init__(self, id=0):
+        self._inner = _STLattice(
+            st_models.RateSpikeTrain(nt_kinetics="bounded"), id=id)
+        self._prototype = None
+
+    @property
+    def inner(self):
+        return self._inner
+
+    def populate(self, spike_train, num_rows, num_cols):
+        self._prototype = copy.deepcopy(spike_train)
+        over = {}
+        for attr in _ST_SCALARS:
+            if hasattr(spike_train, attr):
+                over[_ST_KEYMAP.get(attr, attr)] = float(getattr(spike_train, attr))
+        over["refractoriness$k"] = spike_train.neural_refractoriness.k
+        self._inner.populate(num_rows, num_cols, **over)
+        model = self._inner.model
+        for t, kin in spike_train.synaptic_neurotransmitters.items():
+            name = DopaGluGABANeurotransmitterType(t).name
+            # spike trains share the Ionotropic axis in the base framework;
+            # the DopaGluGABA axis has the same cardinality so indices map 1:1
+            self._inner.state["nt$mask"] = \
+                self._inner.state["nt$mask"].at[:, int(t)].set(True)
+            self._inner.state["nt$t_max"] = \
+                self._inner.state["nt$t_max"].at[:, int(t)].set(kin.t_max)
+            self._inner.state["nt$clearance_constant"] = \
+                self._inner.state["nt$clearance_constant"].at[:, int(t)].set(
+                    kin.clearance_constant)
+
+    def run_lattice(self, iterations):
+        self._inner.run_lattice(iterations)
+
+    def apply(self, function):
+        arrays = {k: np.asarray(v).copy() for k, v in self._inner.state.items()
+                  if np.asarray(v).ndim == 1}
+        for idx in range(self._inner.n):
+            function(_NeuronView(arrays, idx, _ST_KEYMAP))
+        self._write_back(arrays)
+
+
+# map spike-train attribute names in views
+def _view_getattr(self, name):
+    keymap = object.__getattribute__(self, "_keymap")
+    key = keymap.get(name, name)
+    arrays = object.__getattribute__(self, "_arrays")
+    idx = object.__getattribute__(self, "_idx")
+    if key in arrays:
+        val = arrays[key][idx]
+        if name == "last_firing_time":
+            return None if val < 0 else int(val)
+        return val.item() if hasattr(val, "item") else val
+    raise AttributeError(name)
+
+
+def _view_setattr(self, name, value):
+    keymap = object.__getattribute__(self, "_keymap")
+    key = keymap.get(name, name)
+    arrays = object.__getattribute__(self, "_arrays")
+    idx = object.__getattribute__(self, "_idx")
+    if key in arrays:
+        if name == "last_firing_time":
+            value = -1 if value is None else value
+        arrays[key][idx] = value
+    else:
+        raise AttributeError(f"cannot set {name!r} through apply()")
+
+
+_NeuronView.__getattr__ = _view_getattr
+_NeuronView.__setattr__ = _view_setattr
+
+
+class IzhikevichNeuronNetwork:
+    """`IzhikevichNeuronNetwork` (impl_network)."""
+
+    def __init__(self):
+        self._inner = _Network()
+        self._lattices = {}
+        self._st_lattices = {}
+
+    @property
+    def inner(self):
+        return self._inner
+
+    def add_lattice(self, lattice):
+        self._inner.add_lattice(lattice._inner)
+        self._lattices[lattice._inner.id] = lattice
+
+    def add_spike_train_lattice(self, lattice):
+        self._inner.add_spike_train_lattice(lattice._inner)
+        self._st_lattices[lattice._inner.id] = lattice
+
+    def get_lattice(self, id):
+        return self._lattices[id]
+
+    def get_spike_train_lattice(self, id):
+        return self._st_lattices[id]
+
+    def connect(self, presynaptic_id, postsynaptic_id,
+                connection_conditional, weight_logic=None):
+        self._inner.connect(presynaptic_id, postsynaptic_id,
+                            connection_conditional, weight_logic)
+
+    def connect_internally(self, id, connection_conditional, weight_logic=None):
+        self._inner.connect_internally(id, connection_conditional, weight_logic)
+
+    def apply_lattice(self, id, function):
+        self._lattices[id].apply(function)
+
+    def apply_spike_train_lattice(self, id, function):
+        self._st_lattices[id].apply(function)
+
+    def apply_spike_train_lattice_given_position(self, id, function):
+        st = self._st_lattices[id]
+        arrays = {k: np.asarray(v).copy() for k, v in st._inner.state.items()
+                  if np.asarray(v).ndim == 1}
+        cols = st._inner.cols
+        for idx in range(st._inner.n):
+            function((idx // cols, idx % cols),
+                     _NeuronView(arrays, idx, _ST_KEYMAP))
+        st._write_back(arrays)
+
+    def run_lattices(self, iterations):
+        self._inner.run_lattices(iterations)
+
+    def set_dt(self, dt):
+        self._inner.set_dt(dt)
+
+    def reset_timing(self):
+        self._inner.reset_timing()
+
+    @property
+    def electrical_synapse(self):
+        return self._inner.electrical_synapse
+
+    @electrical_synapse.setter
+    def electrical_synapse(self, v):
+        self._inner.electrical_synapse = v
+
+    @property
+    def chemical_synapse(self):
+        return self._inner.chemical_synapse
+
+    @chemical_synapse.setter
+    def chemical_synapse(self, v):
+        self._inner.chemical_synapse = v
+
+    @property
+    def parallel(self):
+        return True  # vectorization is always on
+
+    @parallel.setter
+    def parallel(self, v):
+        pass
+
+
+# GPU aliases: on TPU the "GPU" variants are the same device-resident classes
+IzhikevichNeuronLatticeGPU = IzhikevichNeuronLattice
+IzhikevichNeuronNetworkGPU = IzhikevichNeuronNetwork

@@ -22,6 +22,8 @@ see iterate_and_spike/mod.rs:209-288.
 
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import kinetics as K
@@ -31,8 +33,12 @@ from ..ops import receptors as R
 NEVER = -1
 
 
-def _full(n, value, dtype=jnp.float32):
-    return jnp.full((n,), value, dtype=dtype)
+def _full(n, value, dtype=np.float32):
+    # Host-side construction: state building must NOT issue one compiled
+    # fill program per field — dozens of concurrent tiny executions exhaust
+    # the TPU relay.  Everything is assembled in NumPy and shipped with a
+    # single device_put at the end of init_state.
+    return np.full((n,), value, dtype=dtype)
 
 
 class NeuronModel:
@@ -95,15 +101,15 @@ class NeuronModel:
         for f, d in self.BOOL_FIELDS.items():
             s[f] = _full(n, d, bool)
         for f, d in self.INT_FIELDS.items():
-            s[f] = _full(n, d, jnp.int32)
-        s["is_spiking"] = jnp.zeros((n,), bool)
-        s["last_firing_time"] = jnp.full((n,), NEVER, jnp.int32)
+            s[f] = _full(n, d, np.int32)
+        s["is_spiking"] = np.zeros((n,), bool)
+        s["last_firing_time"] = np.full((n,), NEVER, np.int32)
 
         # Neurotransmitters (empty by default, like Neurotransmitters::default)
-        s["nt$t"] = jnp.zeros(nk, jnp.float32)
-        s["nt$mask"] = jnp.zeros(nk, bool)
+        s["nt$t"] = np.zeros(nk, np.float32)
+        s["nt$mask"] = np.zeros(nk, bool)
         for f, d in K.NT_PARAM_DEFAULTS[self.nt_kinetics].items():
-            s[f] = jnp.full(nk, d, jnp.float32)
+            s[f] = np.full(nk, d, np.float32)
 
         # Receptors (empty by default, like Ionotropic::default)
         s.update(self.receptors.init_fields(n))
@@ -111,8 +117,11 @@ class NeuronModel:
         for key, val in overrides.items():
             if key not in s:
                 raise KeyError(f"unknown state field {key!r} for {self.name}")
-            s[key] = jnp.broadcast_to(jnp.asarray(val, s[key].dtype), s[key].shape)
-        return s
+            arr = np.asarray(s[key])
+            s[key] = np.broadcast_to(
+                np.asarray(val, arr.dtype), arr.shape).copy()
+        # one transfer for the whole pytree (no per-field device programs)
+        return jax.device_put({k: np.asarray(v) for k, v in s.items()})
 
     # -- receptor / neurotransmitter insertion (Receptors::insert,
     #    Neurotransmitters::insert) ------------------------------------------

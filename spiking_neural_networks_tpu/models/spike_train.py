@@ -85,27 +85,30 @@ class SpikeTrainModel:
         return isinstance(other, SpikeTrainModel) and self.config_key() == other.config_key()
 
     def init_state(self, n, **overrides):
+        # host-side construction, one device_put (see models.base.init_state)
+        import numpy as np
         nk = (n, self.n_types)
         s = {}
         base = dict(v=0.0, v_th=30.0, v_resting=0.0, dt=0.1)
         base.update(self.FIELDS)
         for f, d in base.items():
-            s[f] = jnp.full((n,), d, jnp.float32)
+            s[f] = np.full((n,), d, np.float32)
         for f, d in self.INT_FIELDS.items():
-            s[f] = jnp.full((n,), d, jnp.int32)
-        s["is_spiking"] = jnp.zeros((n,), bool)
-        s["last_firing_time"] = jnp.full((n,), NEVER, jnp.int32)
+            s[f] = np.full((n,), d, np.int32)
+        s["is_spiking"] = np.zeros((n,), bool)
+        s["last_firing_time"] = np.full((n,), NEVER, np.int32)
         # `NeuralRefractoriness` decay default k=10000 (spike_train/mod.rs:48-56)
-        s["refractoriness$k"] = jnp.full((n,), 10000.0, jnp.float32)
-        s["nt$t"] = jnp.zeros(nk, jnp.float32)
-        s["nt$mask"] = jnp.zeros(nk, bool)
+        s["refractoriness$k"] = np.full((n,), 10000.0, np.float32)
+        s["nt$t"] = np.zeros(nk, np.float32)
+        s["nt$mask"] = np.zeros(nk, bool)
         for f, d in K.NT_PARAM_DEFAULTS[self.nt_kinetics].items():
-            s[f] = jnp.full(nk, d, jnp.float32)
+            s[f] = np.full(nk, d, np.float32)
         for key, val in overrides.items():
             if key not in s:
                 raise KeyError(f"unknown state field {key!r} for {self.name}")
-            s[key] = jnp.broadcast_to(jnp.asarray(val, s[key].dtype), s[key].shape)
-        return s
+            s[key] = np.broadcast_to(
+                np.asarray(val, s[key].dtype), s[key].shape).copy()
+        return jax.device_put(s)
 
     def type_index(self, type_name):
         if type_name not in self.type_names:

@@ -19,6 +19,7 @@ receptors.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from . import kinetics as K
@@ -105,17 +106,18 @@ class IonotropicReceptors(ReceptorSystem):
         return (type(self), self.kinetics)
 
     def init_fields(self, n):
+        # host-side construction (see models.base.init_state)
         nk = (n, self.n_types)
         s = {
-            "rec$r": jnp.zeros(nk, jnp.float32),
-            "rec$current": jnp.zeros(nk, jnp.float32),
-            "rec$g": jnp.broadcast_to(jnp.asarray(DEFAULT_G, jnp.float32), nk),
-            "rec$e": jnp.broadcast_to(jnp.asarray(DEFAULT_E, jnp.float32), nk),
-            "rec$mg": jnp.full(nk, DEFAULT_MG, jnp.float32),
-            "rec$mask": jnp.zeros(nk, bool),
+            "rec$r": np.zeros(nk, np.float32),
+            "rec$current": np.zeros(nk, np.float32),
+            "rec$g": np.broadcast_to(np.asarray(DEFAULT_G, np.float32), nk).copy(),
+            "rec$e": np.broadcast_to(np.asarray(DEFAULT_E, np.float32), nk).copy(),
+            "rec$mg": np.full(nk, DEFAULT_MG, np.float32),
+            "rec$mask": np.zeros(nk, bool),
         }
         for f, d in K.REC_PARAM_DEFAULTS[self.kinetics].items():
-            s[f] = jnp.full(nk, d, jnp.float32)
+            s[f] = np.full(nk, d, np.float32)
         return s
 
     def update_kinetics(self, state, t_input, t_valid):
@@ -169,28 +171,29 @@ class DopaGluGABAReceptors(ReceptorSystem):
         return (type(self), self.kinetics)
 
     def init_fields(self, n):
+        # host-side construction (see models.base.init_state)
         nk = (n, self.n_types)
         s = {
             # one gating value per (neuron, slot): slots on the type axis are
             # [ampa_r | gaba_r | r_d1] and the auxiliary [nmda_r | - | r_d2]
-            "rec$r": jnp.zeros(nk, jnp.float32),
-            "rec$r2": jnp.zeros(nk, jnp.float32),
-            "rec$mask": jnp.zeros(nk, bool),
-            "rec$current": jnp.zeros(nk, jnp.float32),
-            "rec$inh_modifier": jnp.ones((n,), jnp.float32),
-            "rec$nmda_modifier": jnp.ones((n,), jnp.float32),
-            "rec$g_ampa": jnp.full((n,), 1.0, jnp.float32),
-            "rec$g_nmda": jnp.full((n,), 0.6, jnp.float32),
-            "rec$e_ampa": jnp.zeros((n,), jnp.float32),
-            "rec$e_nmda": jnp.zeros((n,), jnp.float32),
-            "rec$mg": jnp.full((n,), 0.3, jnp.float32),
-            "rec$g_gaba": jnp.full((n,), 1.2, jnp.float32),
-            "rec$e_gaba": jnp.full((n,), -80.0, jnp.float32),
-            "rec$s_d1": jnp.zeros((n,), jnp.float32),
-            "rec$s_d2": jnp.zeros((n,), jnp.float32),
+            "rec$r": np.zeros(nk, np.float32),
+            "rec$r2": np.zeros(nk, np.float32),
+            "rec$mask": np.zeros(nk, bool),
+            "rec$current": np.zeros(nk, np.float32),
+            "rec$inh_modifier": np.ones((n,), np.float32),
+            "rec$nmda_modifier": np.ones((n,), np.float32),
+            "rec$g_ampa": np.full((n,), 1.0, np.float32),
+            "rec$g_nmda": np.full((n,), 0.6, np.float32),
+            "rec$e_ampa": np.zeros((n,), np.float32),
+            "rec$e_nmda": np.zeros((n,), np.float32),
+            "rec$mg": np.full((n,), 0.3, np.float32),
+            "rec$g_gaba": np.full((n,), 1.2, np.float32),
+            "rec$e_gaba": np.full((n,), -80.0, np.float32),
+            "rec$s_d1": np.zeros((n,), np.float32),
+            "rec$s_d2": np.zeros((n,), np.float32),
         }
         for f, d in K.REC_PARAM_DEFAULTS[self.kinetics].items():
-            s[f] = jnp.full(nk, d, jnp.float32)
+            s[f] = np.full(nk, d, np.float32)
         return s
 
     def update_kinetics(self, state, t_input, t_valid):

@@ -1,0 +1,122 @@
+"""lixirnet compatibility-layer tests: replicate the construction idioms of
+the reference's Python experiments (bayesian_inference_pipeline.py:242-281,
+interface_gpu/lixirnet/tests/networks.py)."""
+
+import numpy as np
+
+import spiking_neural_networks_tpu.lixirnet as ln
+
+
+def build_exc_inh_network(num_rows=5, num_cols=5, inh_rows=3, inh_cols=3):
+    glu_neuro = ln.BoundedNeurotransmitterKinetics(clearance_constant=0.001)
+    gaba_neuro = ln.BoundedNeurotransmitterKinetics(clearance_constant=0.001)
+
+    exc_nts = {ln.DopaGluGABANeurotransmitterType.Glutamate: glu_neuro}
+    inh_nts = {ln.DopaGluGABANeurotransmitterType.GABA: gaba_neuro}
+
+    glu = ln.GlutamateReceptor(ampa_r=ln.BoundedReceptorKinetics(r_max=10),
+                               nmda_r=ln.BoundedReceptorKinetics(r_max=10))
+    gabaa = ln.GABAReceptor()
+    receptors = ln.DopaGluGABA()
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.Glutamate, glu)
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.GABA, gabaa)
+
+    exc_neuron = ln.IzhikevichNeuron()
+    exc_neuron.set_synaptic_neurotransmitters(exc_nts)
+    exc_neuron.set_receptors(receptors)
+
+    inh_neuron = ln.IzhikevichNeuron()
+    inh_neuron.set_synaptic_neurotransmitters(inh_nts)
+    inh_neuron.set_receptors(receptors)
+
+    exc_lattice = ln.IzhikevichNeuronLattice(0)
+    exc_lattice.populate(exc_neuron, num_rows, num_cols)
+    exc_lattice.connect(lambda x, y: x != y, lambda x, y: 1.0)
+    rng = np.random.default_rng(42)
+    exc_lattice.apply(lambda n: setattr(
+        n, "current_voltage", float(rng.uniform(-65, 30))))
+    exc_lattice.update_grid_history = True
+
+    inh_lattice = ln.IzhikevichNeuronLattice(1)
+    inh_lattice.populate(inh_neuron, inh_rows, inh_cols)
+    inh_lattice.connect(lambda x, y: x != y, lambda x, y: 1.0)
+    inh_lattice.apply(lambda n: setattr(
+        n, "current_voltage", float(rng.uniform(-65, 30))))
+
+    spike_train = ln.RateSpikeTrain()
+    spike_train.set_synaptic_neurotransmitters(exc_nts)
+    st_lattice = ln.RateSpikeTrainLattice(2)
+    st_lattice.populate(spike_train, num_rows, num_cols)
+
+    network = ln.IzhikevichNeuronNetwork()
+    network.add_lattice(exc_lattice)
+    network.add_lattice(inh_lattice)
+    network.add_spike_train_lattice(st_lattice)
+    network.connect(0, 1, lambda x, y: True, lambda x, y: 0.5)
+    network.connect(1, 0, lambda x, y: True, lambda x, y: -0.8)
+    network.connect(2, 0, lambda x, y: x == y, lambda x, y: 3.0)
+    network.electrical_synapse = False
+    network.chemical_synapse = True
+    return network
+
+
+def test_network_construction_and_run():
+    network = build_exc_inh_network()
+    # drive the spike trains at a rate (the pipelines' setup function idiom)
+    network.apply_spike_train_lattice_given_position(
+        2, lambda pos, n: setattr(n, "rate", 10.0 if pos[0] < 3 else 0.0))
+    network.run_lattices(500)
+    history = network.get_lattice(0).history
+    assert len(history) == 500
+    assert history[0].shape == (5, 5)
+    v = np.stack(history)
+    assert np.isfinite(v).all()
+    # glutamate input should have excited at least some neurons to spike
+    assert v.max() >= -55.0
+
+
+def test_get_set_neuron_roundtrip():
+    lat = ln.IzhikevichNeuronLattice(0)
+    lat.populate(ln.IzhikevichNeuron(), 3, 3)
+    n = lat.get_neuron(1, 2)
+    assert n.current_voltage == 0.0
+    n.current_voltage = -42.0
+    n.u = 17.0
+    lat.set_neuron(1, 2, n)
+    got = lat.get_neuron(1, 2)
+    assert got.current_voltage == -42.0
+    assert got.u == 17.0
+
+
+def test_apply_given_position():
+    lat = ln.IzhikevichNeuronLattice(0)
+    lat.populate(ln.IzhikevichNeuron(), 4, 4)
+
+    def f(pos, neuron):
+        neuron.current_voltage = float(pos[0] * 10 + pos[1])
+
+    lat.apply_given_position(f)
+    assert lat.get_neuron(2, 3).current_voltage == 23.0
+    assert lat.get_neuron(0, 0).current_voltage == 0.0
+
+
+def test_weights_getter_and_plasticity_setter():
+    lat = ln.IzhikevichNeuronLattice(0)
+    lat.populate(ln.IzhikevichNeuron(), 3, 3)
+    lat.connect(lambda x, y: x != y, lambda x, y: 2.0)
+    w = lat.weights
+    assert w.shape == (9, 9)
+    assert w[0, 1] == 2.0 and w[0, 0] == 0.0
+    stdp = ln.STDP()
+    stdp.a_plus = 1.5
+    lat.plasticity = stdp
+    lat.do_plasticity = True
+    assert lat.plasticity.params["a_plus"] == 1.5
+
+
+def test_receptor_type_mismatch_raises():
+    receptors = ln.DopaGluGABA()
+    import pytest
+    with pytest.raises(ValueError):
+        receptors.insert(ln.DopaGluGABANeurotransmitterType.GABA,
+                         ln.GlutamateReceptor())
