@@ -145,7 +145,7 @@ class Lattice:
     def _run_chunk(self, length):
         # Static fast path: no neurotransmitters inserted -> skip the masked
         # no-op (N, K) concentration update inside the scan entirely.
-        skip_nt = not bool(np.asarray(self.state["nt$mask"]).any())
+        skip_nt = not bool(jnp.any(self.state["nt$mask"]))
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),

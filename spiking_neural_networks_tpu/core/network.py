@@ -464,7 +464,7 @@ class LatticeNetwork:
                     if plan["st_ids"] else None)
         do_plasticity = any(l.do_plasticity for l in self.lattices.values())
         plasticity = self._plasticity()
-        skip_nt = not bool(np.asarray(plan["nstate"]["nt$mask"]).any())
+        skip_nt = not bool(jnp.any(plan["nstate"]["nt$mask"]))
         hist_sig = self._history_signature(plan)
 
         runner = _build_network_runner(

@@ -164,7 +164,7 @@ class RewardModulatedLattice:
             self.update_grid_history,
             _freeze(self.grid_history) if self.update_grid_history else None,
             (self.rows, self.cols),
-            not bool(np.asarray(self.state["nt$mask"]).any()),
+            not bool(jnp.any(self.state["nt$mask"])),
             int(iterations))
         pparams = {k: jnp.float32(v)
                    for k, v in self.reward_modulator.params.items()}

@@ -413,3 +413,26 @@ def dense_to_sparse(graph):
     src, dst = np.nonzero(mask)
     return SparseGraph.from_arrays(src, dst, w[src, dst],
                                    graph.n_pre, graph.n_post)
+
+
+def sparse_radius_graph(rows, cols, radius, keep_prob=1.0, seed=0,
+                        weight_mode="constant", wparam0=1.0, wparam1=0.0):
+    """Radius-limited lattice connectivity as a SparseGraph, built by the
+    native C++ graph builder when available (fast host path for >=10^5
+    neurons), NumPy otherwise."""
+    from .. import _native
+    n = rows * cols
+    if _native.available:
+        src, dst, w = _native.radius_edges(rows, cols, radius, keep_prob,
+                                           seed, weight_mode, wparam0, wparam1)
+        return SparseGraph.from_arrays(src, dst, w, n)
+    g = StencilGraph.build(rows, cols, radius_offsets(radius),
+                           keep_prob=keep_prob, seed=seed)
+    return dense_to_sparse_from_stencil(g)
+
+
+def dense_to_sparse_from_stencil(graph):
+    """Convert a StencilGraph to COO (NumPy fallback path)."""
+    from ..core.network import _graph_to_coo
+    src, dst, w, _ = _graph_to_coo(graph)
+    return SparseGraph.from_arrays(src, dst, w, graph.n_pre, graph.n_post)
