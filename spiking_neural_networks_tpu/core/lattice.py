@@ -30,6 +30,13 @@ from .history import GridVoltageHistory
 from .plasticity import STDP
 
 
+def _mask_any(mask):
+    """Host bool of mask.any(). Computed as an f32 sum: boolean cross-element
+    reductions at >=512x512 sizes fail with ResourceExhausted on the tunneled
+    TPU backend."""
+    return jnp.sum(mask.astype(jnp.float32)) > 0.0
+
+
 class Lattice:
     """A 2-D grid of one neuron model plus a weighted synapse graph.
 
@@ -68,7 +75,9 @@ class Lattice:
             raise ValueError("dimensions must match when lattice is in a network")
         self.rows, self.cols = rows, cols
         self.state = self.model.init_state(rows * cols, **overrides)
-        self.graph = DenseGraph.empty(self.n)
+        # zero-edge default graph; `connect` replaces it (a dense default
+        # would allocate (N, N) -- 274 GB at 512x512)
+        self.graph = SparseGraph.empty(self.n)
 
     def connect(self, connecting_conditional, weight_logic=None):
         """`Lattice::connect` (neuron/mod.rs:1134-1157). O(N^2) host-side;
@@ -145,7 +154,7 @@ class Lattice:
     def _run_chunk(self, length):
         # Static fast path: no neurotransmitters inserted -> skip the masked
         # no-op (N, K) concentration update inside the scan entirely.
-        skip_nt = not bool(jnp.any(self.state["nt$mask"]))
+        skip_nt = not bool(_mask_any(self.state["nt$mask"]))
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),

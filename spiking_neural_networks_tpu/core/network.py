@@ -36,7 +36,7 @@ from ..models.base import NEVER, get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
 from ..ops.graph import DenseGraph, SparseGraph, StencilGraph, positions
 from .history import GridVoltageHistory
-from .lattice import Lattice, _freeze
+from .lattice import Lattice, _freeze, _mask_any
 from .plasticity import STDP
 
 
@@ -464,7 +464,7 @@ class LatticeNetwork:
                     if plan["st_ids"] else None)
         do_plasticity = any(l.do_plasticity for l in self.lattices.values())
         plasticity = self._plasticity()
-        skip_nt = not bool(jnp.any(plan["nstate"]["nt$mask"]))
+        skip_nt = not bool(_mask_any(plan["nstate"]["nt$mask"]))
         hist_sig = self._history_signature(plan)
 
         runner = _build_network_runner(

@@ -33,9 +33,9 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import NEVER, get_neurotransmitter_concentrations
-from ..ops.graph import DenseGraph, connect_dense, radius_offsets, StencilGraph
+from ..ops.graph import SparseGraph, connect_dense, radius_offsets, StencilGraph
 from .history import GridVoltageHistory
-from .lattice import _freeze
+from .lattice import _freeze, _mask_any
 from .plasticity import RewardModulatedSTDP
 
 
@@ -97,7 +97,7 @@ class RewardModulatedLattice:
             raise ValueError("dimensions must match when lattice is in a network")
         self.rows, self.cols = rows, cols
         self.state = self.model.init_state(rows * cols, **overrides)
-        self.graph = DenseGraph.empty(self.n)
+        self.graph = SparseGraph.empty(self.n)
         self._reset_trace()
 
     def _reset_trace(self):
@@ -164,7 +164,7 @@ class RewardModulatedLattice:
             self.update_grid_history,
             _freeze(self.grid_history) if self.update_grid_history else None,
             (self.rows, self.cols),
-            not bool(jnp.any(self.state["nt$mask"])),
+            not bool(_mask_any(self.state["nt$mask"])),
             int(iterations))
         pparams = {k: jnp.float32(v)
                    for k, v in self.reward_modulator.params.items()}

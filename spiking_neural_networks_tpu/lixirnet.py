@@ -399,7 +399,8 @@ class IzhikevichNeuronLattice(_LatticeMixin):
         self._inner.chemical_synapse = v
 
 
-_ST_SCALARS = ("current_voltage", "v_th", "v_resting", "rate", "step", "dt")
+_ST_SCALARS = ("current_voltage", "v_th", "v_resting", "rate", "step", "dt",
+               "chance_of_firing")
 _ST_KEYMAP = {"current_voltage": "v"}
 
 
@@ -417,10 +418,12 @@ class RateSpikeTrainLattice(_LatticeMixin):
 
     def populate(self, spike_train, num_rows, num_cols):
         self._prototype = copy.deepcopy(spike_train)
+        known = set(self._inner.model.FIELDS) | {"v", "v_th", "v_resting", "dt"}
         over = {}
         for attr in _ST_SCALARS:
-            if hasattr(spike_train, attr):
-                over[_ST_KEYMAP.get(attr, attr)] = float(getattr(spike_train, attr))
+            key = _ST_KEYMAP.get(attr, attr)
+            if hasattr(spike_train, attr) and key in known:
+                over[key] = float(getattr(spike_train, attr))
         over["refractoriness$k"] = spike_train.neural_refractoriness.k
         self._inner.populate(num_rows, num_cols, **over)
         model = self._inner.model
@@ -560,6 +563,15 @@ class IzhikevichNeuronNetwork:
     @parallel.setter
     def parallel(self, v):
         pass
+
+
+class PoissonLattice(RateSpikeTrainLattice):
+    """Poisson spike-train lattice (`PoissonNeuron`, spike_train/mod.rs:259-371)."""
+
+    def __init__(self, id=0):
+        self._inner = _STLattice(
+            st_models.PoissonSpikeTrain(nt_kinetics="bounded"), id=id)
+        self._prototype = None
 
 
 # GPU aliases: on TPU the "GPU" variants are the same device-resident classes

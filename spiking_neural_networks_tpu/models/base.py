@@ -120,8 +120,10 @@ class NeuronModel:
             arr = np.asarray(s[key])
             s[key] = np.broadcast_to(
                 np.asarray(val, arr.dtype), arr.shape).copy()
-        # one transfer for the whole pytree (no per-field device programs)
-        return jax.device_put({k: np.asarray(v) for k, v in s.items()})
+        # packed transfer: two flat buffers + one unpack program (see
+        # utils.transfer for why per-leaf device_put is unsafe here)
+        from ..utils.transfer import device_put_state
+        return device_put_state(s)
 
     # -- receptor / neurotransmitter insertion (Receptors::insert,
     #    Neurotransmitters::insert) ------------------------------------------

@@ -108,7 +108,8 @@ class SpikeTrainModel:
                 raise KeyError(f"unknown state field {key!r} for {self.name}")
             s[key] = np.broadcast_to(
                 np.asarray(val, s[key].dtype), s[key].shape).copy()
-        return jax.device_put(s)
+        from ..utils.transfer import device_put_state
+        return device_put_state(s)
 
     def type_index(self, type_name):
         if type_name not in self.type_names:

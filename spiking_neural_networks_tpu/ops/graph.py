@@ -83,7 +83,7 @@ class DenseGraph:
         return self.weights.shape[1]
 
     def in_degree(self):
-        return jnp.sum(self.mask, axis=0).astype(jnp.float32)
+        return jnp.sum(self.mask.astype(jnp.float32), axis=0)
 
     # -- gathers ------------------------------------------------------------
     def gather_electrical(self, a_src, sub_v, v_post, g_post):
@@ -167,6 +167,16 @@ class SparseGraph:
                    jnp.asarray(np.asarray(dst)[order], jnp.int32),
                    _f32(np.asarray(weights)[order]), n_pre, n_post)
 
+    @classmethod
+    def empty(cls, n_pre, n_post=None):
+        """Zero-edge graph — the O(1) default for a freshly populated
+        lattice (a dense (N, N) default would allocate N^2 floats: 274 GB
+        at 512x512)."""
+        n_post = n_pre if n_post is None else n_post
+        return cls(jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
+                   jnp.zeros(0, jnp.float32), n_pre, n_post,
+                   jnp.zeros(n_post, jnp.float32))
+
     def in_degree(self):
         return self.in_deg
 
@@ -238,7 +248,9 @@ class StencilGraph:
         self.weights = weights
         self.mask = mask
         if in_deg is None:
-            in_deg = jnp.sum(mask, axis=0).astype(jnp.float32)
+            # reduce in f32: boolean reductions at large sizes fail on the
+            # tunneled TPU backend
+            in_deg = jnp.sum(mask.astype(jnp.float32), axis=0)
         self.in_deg = in_deg
 
     def tree_flatten(self):
@@ -285,7 +297,9 @@ class StencilGraph:
                 wo = np.asarray(weight_fn(dr, dc, rr, cc), np.float32)
             w[o] = np.where(valid, wo, 0.0)
             m[o] = valid
-        return cls(offsets, jnp.asarray(w), jnp.asarray(m))
+        from ..utils.transfer import device_put_bool
+        in_deg = jax.device_put(m.sum(axis=0).astype(np.float32))
+        return cls(offsets, jax.device_put(w), device_put_bool(m), in_deg)
 
     def in_degree(self):
         return self.in_deg.reshape(-1)
