@@ -36,6 +36,7 @@ from .models.spike_train import (
 from .core.lattice import Lattice
 from .core.network import SpikeTrainLattice, LatticeNetwork
 from .core.reward import RewardModulatedLattice
+from .core.reward_network import RewardModulatedLatticeNetwork
 from .interactable import Environment, UnsupervisedEnvironment
 from .core.plasticity import STDP, BCM, RewardModulatedSTDP
 from .core import history

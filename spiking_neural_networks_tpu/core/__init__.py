@@ -1,1 +1,1 @@
-from . import history, plasticity, lattice, network
+from . import history, plasticity, lattice, network, reward, reward_network

@@ -79,6 +79,7 @@ class RewardModulatedLattice:
         self.electrical_synapse = True
         self.chemical_synapse = False
         self.do_modulation = True
+        self.do_plasticity = False  # (STDP never applies; modulation does)
         self.reward_modulator = RewardModulatedSTDP()
         self.dopamine = 0.0
         self.update_grid_history = False

@@ -1,0 +1,96 @@
+"""RewardModulatedLatticeNetwork tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spiking_neural_networks_tpu as snn
+from spiking_neural_networks_tpu.ops.graph import DenseGraph
+
+
+def make_reward_lattice(seed=0, n_side=3, id=0):
+    rng = np.random.default_rng(seed)
+    n = n_side * n_side
+    lat = snn.RewardModulatedLattice(snn.Izhikevich(), id=id)
+    lat.populate(n_side, n_side, gap_conductance=10.0)
+    mask = rng.random((n, n)) < 0.5
+    np.fill_diagonal(mask, False)
+    w = rng.uniform(0.5, 1.5, (n, n)).astype(np.float32)
+    lat.graph = DenseGraph(jnp.asarray(np.where(mask, w, 0.0)), jnp.asarray(mask))
+    lat._reset_trace()
+    lat.apply(lambda s: {**s, "v": jnp.asarray(
+        rng.uniform(-65, 25, n), jnp.float32)})
+    return lat
+
+
+def test_network_with_single_reward_lattice_matches_standalone():
+    iters = 100
+    rewards = np.where(np.arange(iters) % 10 < 5, 0.4, -0.1).astype(np.float32)
+
+    solo = make_reward_lattice(seed=7)
+    solo.run_lattice_with_reward(jnp.asarray(rewards), iters)
+
+    inner = make_reward_lattice(seed=7)
+    net = snn.RewardModulatedLatticeNetwork()
+    net.add_lattice(inner)
+    net.run_lattices_with_reward(jnp.asarray(rewards), iters)
+
+    np.testing.assert_allclose(np.asarray(inner.state["v"]),
+                               np.asarray(solo.state["v"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(inner.graph.weights),
+                               np.asarray(solo.graph.weights),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(inner.trace["c"]),
+                               np.asarray(solo.trace["c"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(net.dopamine, solo.dopamine, rtol=1e-5)
+
+
+def test_mixed_network_with_reward_connection():
+    rng = np.random.default_rng(3)
+    plain = snn.Lattice(snn.Izhikevich(), id=0)
+    plain.populate(3, 3, gap_conductance=10.0)
+    plain.connect(lambda a, b: a != b)
+    plain.apply(lambda s: {**s, "v": jnp.asarray(
+        rng.uniform(-65, 25, 9), jnp.float32)})
+    plain.do_plasticity = True
+
+    rlat = make_reward_lattice(seed=5, id=1)
+    st = snn.SpikeTrainLattice(snn.RateSpikeTrain(), id=2)
+    st.populate(3, 3, rate=1.5)
+
+    net = snn.RewardModulatedLatticeNetwork()
+    net.add_lattice(plain)
+    net.add_lattice(rlat)
+    net.add_spike_train_lattice(st)
+    net.connect(2, 0, lambda a, b: a == b, lambda a, b: 5.0)
+    net.connect(2, 1, lambda a, b: a == b, lambda a, b: 8.0)  # drive rlat too
+    net.connect_with_reward_modulation(0, 1, lambda a, b: a == b,
+                                       lambda a, b: 1.0)
+
+    w_plain_before = np.asarray(plain.graph.weights).copy()
+    net.run_lattices_with_reward(0.5, 500)
+
+    # plain lattice STDP moved its weights
+    assert np.abs(np.asarray(plain.graph.weights) - w_plain_before).max() > 0
+    # reward connection traces accumulated and weights moved with dopamine
+    src, dst, w, c, dw, ct = net.reward_connections[(0, 1)]
+    assert np.abs(c).max() > 0
+    assert not np.allclose(w, 1.0)
+    assert net.dopamine != 0.0
+    # all finite
+    for lat in (plain, rlat):
+        assert np.isfinite(np.asarray(lat.state["v"])).all()
+
+
+def test_reward_network_agent_interface():
+    rlat = make_reward_lattice(seed=9)
+    net = snn.RewardModulatedLatticeNetwork()
+    net.add_lattice(rlat)
+    env = snn.Environment(
+        agent=net, state=type("S", (), {"update_state": lambda self, a: None})(),
+        state_encoder=lambda st, ag: None,
+        reward_function=lambda st, ag: 0.2)
+    env.run_with_reward(10)
+    assert net.internal_clock == 10
