@@ -97,13 +97,14 @@ def eval_expr(expr, env):
     raise TypeError(f"cannot evaluate {expr!r}")
 
 
-def run_statements(stmts, env, mask=None):
+def run_statements(stmts, env, mask=None, methods=None):
     """Execute a statement list on ``env`` (dict name -> array).
 
     DiffEq deltas are accumulated and applied after the list (matching the
     codegen's deferred `self.X += dX`).  ``mask`` (bool array or None)
     conditions every write — used for [if] branches, vectorized with
-    `jnp.where` instead of control flow.
+    `jnp.where` instead of control flow.  ``methods`` resolves struct calls
+    (`l.update_current(v)`): dict path -> fn(env, arg_values) mutating env.
     """
     env = dict(env)
     deltas = {}
@@ -124,6 +125,10 @@ def run_statements(stmts, env, mask=None):
             if mask is not None:
                 delta = jnp.where(mask, delta, 0.0)
             deltas[stmt.target] = deltas.get(stmt.target, 0.0) + delta
+        elif isinstance(stmt, P.MethodCall):
+            if methods is None or stmt.path not in methods:
+                raise NameError(f"unknown struct call {stmt.path!r}")
+            methods[stmt.path](env, [eval_expr(a, env) for a in stmt.args])
         elif isinstance(stmt, P.If):
             taken = None
             for cond_expr, body in zip(stmt.conditions, stmt.bodies):
@@ -132,7 +137,8 @@ def run_statements(stmts, env, mask=None):
                     else jnp.logical_and(cond, jnp.logical_not(taken))
                 branch_mask = branch if mask is None \
                     else jnp.logical_and(branch, mask)
-                sub_env, sub_deltas = run_statements(body, env, branch_mask)
+                sub_env, sub_deltas = run_statements(body, env, branch_mask,
+                                                     methods)
                 env.update(sub_env)
                 for k, v in sub_deltas.items():
                     deltas[k] = deltas.get(k, 0.0) + v
@@ -141,7 +147,8 @@ def run_statements(stmts, env, mask=None):
                 else_mask = jnp.logical_not(taken)
                 if mask is not None:
                     else_mask = jnp.logical_and(else_mask, mask)
-                sub_env, sub_deltas = run_statements(stmt.else_body, env, else_mask)
+                sub_env, sub_deltas = run_statements(stmt.else_body, env,
+                                                     else_mask, methods)
                 env.update(sub_env)
                 for k, v in sub_deltas.items():
                     deltas[k] = deltas.get(k, 0.0) + v
@@ -191,6 +198,18 @@ def build_neuron(block, registry):
     receptor_factory = registry.get(("receptors", receptors_spec)) \
         if receptors_spec else None
 
+    # ion_channels: l = TestLeak, k = KChan (nb_macro lib.rs:2172-2196)
+    channels = {}
+    chan_spec = block.sections.get("ion_channels", "")
+    if chan_spec:
+        for part in chan_spec.split(","):
+            alias, type_name = [x.strip() for x in part.split("=")]
+            chan = registry.get(("ion_channel", type_name))
+            if chan is None:
+                raise NameError(f"unknown ion channel type {type_name!r}")
+            channels[alias] = chan
+            fields.update(chan.field_defaults(alias))
+
     class GeneratedNeuron(NeuronModel):
         name = block.type_name
         FIELDS = fields
@@ -205,7 +224,28 @@ def build_neuron(block, registry):
         def _env(self, s, i):
             env = {k: v for k, v in s.items()}
             env["i"] = i
+            # dotted views of ion-channel fields
+            for alias, chan in channels.items():
+                for dotted, key in chan.env_keys(alias):
+                    env[dotted] = s[key]
             return env
+
+        def _writeback(self, s, env):
+            s.update({k: v for k, v in env.items() if k in s})
+            for alias, chan in channels.items():
+                for dotted, key in chan.env_keys(alias):
+                    s[key] = env[dotted]
+            return s
+
+        def _methods(self, env):
+            methods = {}
+            for alias, chan in channels.items():
+                def call(e, args, alias=alias, chan=chan):
+                    v = args[0] if args else e["v"]
+                    dt = args[1] if len(args) > 1 else e["dt"]
+                    chan.update_current(e, alias, v, dt)
+                methods[f"{alias}.update_current"] = call
+            return methods
 
         def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
             s = dict(s)
@@ -216,9 +256,11 @@ def build_neuron(block, registry):
             else:
                 rec_dv = 0.0
 
-            env, deltas = run_statements(on_iteration, self._env(s, i))
+            env = self._env(s, i)
+            env, deltas = run_statements(on_iteration, env,
+                                         methods=self._methods(env))
             env.pop("i", None)
-            s.update({k: v for k, v in env.items() if k in s})
+            s = self._writeback(s, env)
             s = _apply_deltas(s, deltas)
             s["v"] = s["v"] - rec_dv
 
@@ -228,10 +270,11 @@ def build_neuron(block, registry):
 
             spikes = eval_expr(spike_detection, self._env(s, 0.0))
             if on_spike:
-                env, deltas2 = run_statements(on_spike, self._env(s, 0.0),
-                                              mask=spikes)
+                env = self._env(s, 0.0)
+                env, deltas2 = run_statements(on_spike, env, mask=spikes,
+                                              methods=self._methods(env))
                 env.pop("i", None)
-                s.update({k: v for k, v in env.items() if k in s})
+                s = self._writeback(s, env)
                 s = _apply_deltas(s, deltas2)
             s["is_spiking"] = spikes
             return s, spikes
@@ -270,6 +313,158 @@ def build_spike_train(block, registry):
 
     GeneratedSpikeTrain.__name__ = block.type_name
     return GeneratedSpikeTrain
+
+
+class IonChannelDef:
+    """Compiled [ion_channel] block (nb_macro IonChannelDefinition,
+    lib.rs:3959): per-channel vars (+ implicit `current` = 0), optional
+    gating variables (BasicGatingVariable: alpha/beta/state with the Euler
+    `update(dt)` rule, ion_channels/mod.rs:33-45), and an update_current
+    body."""
+
+    def __init__(self, block):
+        self.type_name = block.type_name
+        self.vars = dict(block.vars)
+        self.vars.setdefault("current", 0.0)
+        gating = block.sections.get("gating_vars", "")
+        self.gating = [g.strip() for g in gating.split(",") if g.strip()]
+        self.stmts = block.sections.get("on_iteration", [])
+        self.uses_dt = "dt" in _names_in(self.stmts)
+
+    def field_defaults(self, alias):
+        out = {f"{alias}${v}": d for v, d in self.vars.items()}
+        for g in self.gating:
+            for attr in ("alpha", "beta", "state"):
+                out[f"{alias}${g}${attr}"] = 0.0
+        return out
+
+    def env_keys(self, alias):
+        """(dotted env name, state key) pairs for a channel instance."""
+        pairs = [(f"{alias}.{v}", f"{alias}${v}") for v in self.vars]
+        for g in self.gating:
+            for attr in ("alpha", "beta", "state"):
+                pairs.append((f"{alias}.{g}.{attr}", f"{alias}${g}${attr}"))
+        return pairs
+
+    def update_current(self, env, alias, v, dt):
+        """Run the channel body in the neuron env (dotted keys)."""
+        sub = {v_name: env[f"{alias}.{v_name}"] for v_name in self.vars}
+        for g in self.gating:
+            for attr in ("alpha", "beta", "state"):
+                sub[f"{g}.{attr}"] = env[f"{alias}.{g}.{attr}"]
+        sub["v"] = v
+        sub["current_voltage"] = v
+        sub["dt"] = dt
+
+        methods = {}
+        for g in self.gating:
+            def gate_update(e, args, g=g):
+                # BasicGatingVariable::update (ion_channels/mod.rs:40-44)
+                d = args[0] if args else e["dt"]
+                a, b, st = e[f"{g}.alpha"], e[f"{g}.beta"], e[f"{g}.state"]
+                e[f"{g}.state"] = st + d * (a * (1.0 - st) - b * st)
+            def gate_init(e, args, g=g):
+                # BasicGatingVariable::init_state (ion_channels/mod.rs:35-37)
+                a, b = e[f"{g}.alpha"], e[f"{g}.beta"]
+                e[f"{g}.state"] = a / (a + b)
+            methods[f"{g}.update"] = gate_update
+            methods[f"{g}.init_state"] = gate_init
+
+        sub, deltas = run_statements(self.stmts, sub, methods=methods)
+        sub = _apply_deltas(sub, deltas)
+        for v_name in self.vars:
+            env[f"{alias}.{v_name}"] = sub[v_name]
+        for g in self.gating:
+            for attr in ("alpha", "beta", "state"):
+                env[f"{alias}.{g}.{attr}"] = sub[f"{g}.{attr}"]
+
+
+def _names_in(stmts):
+    names = set()
+
+    def walk_expr(e):
+        if isinstance(e, P.Var):
+            names.add(e.name)
+        elif isinstance(e, P.Unary):
+            walk_expr(e.operand)
+        elif isinstance(e, P.BinOp):
+            walk_expr(e.left)
+            walk_expr(e.right)
+        elif isinstance(e, P.Call):
+            for a in e.args:
+                walk_expr(a)
+
+    def walk(sts):
+        for st in sts:
+            if isinstance(st, (P.Assign, P.DiffEq)):
+                walk_expr(st.expr)
+            elif isinstance(st, P.MethodCall):
+                names.add(st.path.split(".")[-1])
+                for a in st.args:
+                    walk_expr(a)
+            elif isinstance(st, P.If):
+                for c in st.conditions:
+                    walk_expr(c)
+                for b in st.bodies:
+                    walk(b)
+                walk(st.else_body)
+
+    walk(stmts)
+    return names
+
+
+def build_ion_channel(block, registry):
+    chan = IonChannelDef(block)
+
+    class GeneratedIonChannel:
+        """Standalone channel usable like the generated Rust struct."""
+
+        _def = chan
+
+        def __init__(self, n=1, **overrides):
+            self.n = n
+            self.state = {}
+            for k, d in chan.field_defaults("ch").items():
+                self.state[k.split("$", 1)[1]] = jnp.full((n,), d, jnp.float32)
+            for k, v in overrides.items():
+                key = k.replace(".", "$")
+                self.state[key] = jnp.full((n,), v, jnp.float32)
+
+        def __getattr__(self, name):
+            state = object.__getattribute__(self, "state")
+            key = name.replace(".", "$")
+            if key in state:
+                arr = state[key]
+                return float(arr[0]) if arr.shape == (1,) else arr
+            raise AttributeError(name)
+
+        def __setattr__(self, name, value):
+            if name in ("n", "state"):
+                object.__setattr__(self, name, value)
+                return
+            key = name.replace(".", "$")
+            if key in self.state:
+                self.state[key] = jnp.broadcast_to(
+                    jnp.asarray(value, jnp.float32), self.state[key].shape)
+            else:
+                object.__setattr__(self, name, value)
+
+        def set_gating(self, g, **attrs):
+            for a, v in attrs.items():
+                self.state[f"{g}${a}"] = jnp.full((self.n,), v, jnp.float32)
+
+        def update_current(self, v, dt=0.1):
+            env = {("ch." + k.replace("$", ".")): val
+                   for k, val in self.state.items()}
+            v = jnp.broadcast_to(jnp.asarray(v, jnp.float32), (self.n,))
+            dt = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (self.n,))
+            chan.update_current(env, "ch", v, dt)
+            self.state = {k[len("ch."):].replace(".", "$"): val
+                          for k, val in env.items()}
+            return self.current
+
+    GeneratedIonChannel.__name__ = block.type_name
+    return chan, GeneratedIonChannel
 
 
 def build_nt_kinetics(block):
@@ -450,7 +645,11 @@ def neuron_builder(source):
         elif b.kind == "neural_refractoriness":
             out[b.type_name] = build_refractoriness(b)
     for b in blocks:
-        if b.kind == "receptors":
+        if b.kind == "ion_channel":
+            chan, cls = build_ion_channel(b, registry)
+            registry[("ion_channel", b.type_name)] = chan
+            out[b.type_name] = cls
+        elif b.kind == "receptors":
             cls = build_receptors(b, registry)
             registry[("receptors", b.type_name)] = cls
             out[b.type_name] = cls

@@ -61,6 +61,14 @@ class Assign:
 
 
 @dataclass
+class MethodCall:
+    """`l.update_current(v)` / `n.update(dt)` statement (DSL struct calls,
+    nb_macro Ast::StructFunctionCall)."""
+    path: str
+    args: list
+
+
+@dataclass
 class DiffEq:
     """dX/dt = expr  ->  X += dt * expr (Euler)."""
     target: str
@@ -84,7 +92,7 @@ TOKEN_RE = re.compile(r"""
   | (?P<kw>\[(?:if|then|elseif|else|end)\])
   | (?P<num>\d+\.?\d*(?:[eE][+-]?\d+)?)
   | (?P<rpow>r\^)
-  | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\$[A-Za-z0-9_]+)*)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:[.$][A-Za-z0-9_]+)*)
   | (?P<op><=|>=|==|!=|&&|\|\||[-+*/^(),<>=!])
 """, re.VERBOSE)
 
@@ -187,8 +195,27 @@ def parse_expression(text):
 DIFF_RE = re.compile(r"^d([A-Za-z_][A-Za-z0-9_$]*)/dt$")
 
 
+METHOD_CALL_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*)\((.*)\)$")
+
+
 def _parse_statement_line(line):
     if "=" not in line:
+        m = METHOD_CALL_RE.match(line.strip())
+        if m and "." in m.group(1):
+            args_src = m.group(2).strip()
+            args = []
+            if args_src:
+                # split top-level commas
+                depth, start = 0, 0
+                for i, ch in enumerate(args_src + ","):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        args.append(parse_expression(args_src[start:i]))
+                        start = i + 1
+            return MethodCall(m.group(1), args)
         raise SyntaxError(f"expected assignment: {line!r}")
     # careful with ==, <=, >=, != inside the RHS: split on the first bare `=`
     idx = None

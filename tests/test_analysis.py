@@ -102,3 +102,26 @@ def test_genetic_algo_minimizes_quadratic():
     best, score, _ = genetic_algo(objective, params)
     assert score < 0.05
     np.testing.assert_allclose(best, [1.5, -2.0], atol=0.3)
+
+
+def test_checkpoint_roundtrip():
+    """Lattice checkpoint/resume is lossless (new capability vs reference)."""
+    import tempfile, os
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.utils import checkpoint as ckpt
+
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(4, 4, gap_conductance=10.0)
+    lat.connect_stencil(radius=1.5, seed=2)
+    lat.run_lattice(50)
+    v_mid = lat.voltages().copy()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        ckpt.save_lattice(lat, path)
+        lat.run_lattice(50)
+        v_end = lat.voltages().copy()
+        ckpt.load_lattice(lat, path)
+        assert lat.internal_clock == 50
+        np.testing.assert_array_equal(lat.voltages(), v_mid)
+        lat.run_lattice(50)
+        np.testing.assert_allclose(lat.voltages(), v_end, rtol=1e-6)

@@ -204,3 +204,83 @@ def test_dsl_bounded_kinetics_and_dopa_receptors():
             err_msg=f"step {it}")
     np.testing.assert_allclose(np.asarray(s1["nt$t"]), np.asarray(s2["nt$t"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_dsl_ion_channel_based_neuron():
+    """Reference nb_macro/tests/ion_channel_based_neuron.rs scenario."""
+    src = """
+[ion_channel]
+    type: TestLeak
+    vars: e = 0, g = 1
+    on_iteration:
+        current = g * (v - e)
+[end]
+
+[neuron]
+    type: ChannelLIF
+    ion_channels: l = TestLeak
+    vars: v_reset = -75, v_th = -55
+    on_spike:
+        v = v_reset
+    spike_detection: v >= v_th
+    on_iteration:
+        l.update_current(v)
+        dv/dt = l.current + i
+[end]
+"""
+    out = neuron_builder(src)
+    model = out["ChannelLIF"]()
+    s = model.init_state(2, v=-75.0)
+    assert "l$current" in s and "l$g" in s
+    # independent manual euler: v += dt * (g*(v-e) + i)
+    v_ref = np.float32(-75.0)
+    for _ in range(300):
+        s, spk = model.step(s, jnp.asarray([20.0, 20.0]))
+        cur = np.float32(1.0) * (v_ref - np.float32(0.0))
+        v_ref = v_ref + np.float32(0.1) * (cur + np.float32(20.0))
+        if v_ref >= -55.0:
+            v_ref = np.float32(-75.0)
+        np.testing.assert_allclose(float(s["v"][0]), v_ref, rtol=1e-5,
+                                   atol=1e-4)
+
+
+def test_dsl_gating_variable_channel():
+    """Reference nb_macro/tests/gating_variables_ion_channel.rs scenario."""
+    src = """
+[ion_channel]
+    type: TestChannel
+    vars: e = 0, g = 1
+    gating_vars: n
+    on_iteration:
+        current = g * n.alpha * n.beta * n.state * (v - e)
+[end]
+"""
+    out = neuron_builder(src)
+    leak = out["TestChannel"]()
+    leak.set_gating("n", alpha=1.0, beta=1.0, state=1.0)
+    for v in [-50.0, -20.0, 0.0, 30.0]:
+        assert abs(leak.update_current(v) - v) < 1e-6
+    leak.g = 2.0
+    for v in [-50.0, 10.0]:
+        assert abs(leak.update_current(v) - 2 * v) < 1e-5
+
+
+def test_dsl_gating_update_in_channel():
+    """Channel using n.update(dt) — the HH-style Euler gate."""
+    src = """
+[ion_channel]
+    type: GateChan
+    vars: g = 2, e = -10
+    gating_vars: m
+    on_iteration:
+        m.update(dt)
+        current = g * m.state * (v - e)
+[end]
+"""
+    out = neuron_builder(src)
+    ch = out["GateChan"]()
+    ch.set_gating("m", alpha=0.5, beta=0.25, state=0.0)
+    cur = ch.update_current(0.0, dt=0.1)
+    # state after one update: 0 + 0.1*(0.5*1 - 0) = 0.05
+    np.testing.assert_allclose(ch.state["m$state"][0], 0.05, rtol=1e-6)
+    np.testing.assert_allclose(cur, 2 * 0.05 * (0.0 - (-10.0)), rtol=1e-5)
