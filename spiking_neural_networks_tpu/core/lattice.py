@@ -62,6 +62,9 @@ class Lattice:
         self.key = jax.random.PRNGKey(0)
         self.history_chunk = 1024
         self.in_network = False
+        # opt-in fused Pallas kernel for the electrical Izhikevich+stencil
+        # hot path (ops/pallas_stencil.py)
+        self.use_pallas = False
 
     # -- construction ---------------------------------------------------------
     @property
@@ -155,11 +158,16 @@ class Lattice:
         # Static fast path: no neurotransmitters inserted -> skip the masked
         # no-op (N, K) concentration update inside the scan entirely.
         skip_nt = not bool(_mask_any(self.state["nt$mask"]))
+        from ..ops import pallas_stencil
+        use_pallas = (self.use_pallas and skip_nt and pallas_stencil.supports(
+            self.model, self.graph, self.electrical_synapse,
+            self.chemical_synapse, self.do_plasticity))
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),
             tuple((name, h.kind, _freeze(h)) for name, h in self._history_items()),
-            self.update_graph_history, (self.rows, self.cols), length, skip_nt)
+            self.update_graph_history, (self.rows, self.cols), length, skip_nt,
+            use_pallas)
         pparams = {k: jnp.float32(v) for k, v in self.plasticity.params.items()}
         state, graph, key, clock, ys = runner(
             self.state, self.graph, self.key,
@@ -197,7 +205,8 @@ def _freeze(hist):
 @functools.lru_cache(maxsize=None)
 def _build_lattice_runner(model, graph_cls, electrical, chemical,
                           do_plasticity, plasticity_cls, history_sig,
-                          graph_history, shape, length, skip_nt=False):
+                          graph_history, shape, length, skip_nt=False,
+                          use_pallas=False):
     from .history import HISTORY_KINDS
 
     # Rebuild readout objects from their frozen signatures.
@@ -211,6 +220,16 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
 
     def one_step(pparams, carry, _):
         state, graph, key, clock = carry
+
+        if use_pallas:
+            from ..ops import pallas_stencil
+            state, spikes = pallas_stencil.lattice_step(
+                model, state, graph, clock)
+            clock = clock + 1
+            ys = {name: h.readout(state, shape) for name, h in readouts}
+            if graph_history:
+                ys["__weights__"] = graph.weights
+            return (state, graph, key, clock), ys
 
         if electrical:
             sub_v = jnp.ones_like(state["v"])

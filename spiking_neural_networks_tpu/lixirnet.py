@@ -489,6 +489,15 @@ class IzhikevichNeuronNetwork:
         self._lattices = {}
         self._st_lattices = {}
 
+    @classmethod
+    def generate_network(cls, lattices=(), spike_train_lattices=()):
+        net = cls()
+        for lat in lattices:
+            net.add_lattice(lat)
+        for st in spike_train_lattices:
+            net.add_spike_train_lattice(st)
+        return net
+
     @property
     def inner(self):
         return self._inner

@@ -206,3 +206,24 @@ def test_last_firing_time_tracking():
         if ref.iterate_and_spike(0.0):
             lft = it
     assert int(lat.state["last_firing_time"][0]) == (lft if lft is not None else -1)
+
+
+def test_pallas_fast_path_matches_xla():
+    """The fused Pallas stencil+Izhikevich kernel reproduces the XLA path."""
+    rows = cols = 16
+    v0 = np.random.default_rng(8).uniform(-65, 30, rows * cols).astype(np.float32)
+
+    def run(use_pallas):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(rows, cols, gap_conductance=10.0, v=v0)
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=4)
+        lat.use_pallas = use_pallas
+        lat.update_grid_history = True
+        lat.run_lattice(150)
+        return np.stack(lat.grid_history.history), \
+            np.asarray(lat.state["last_firing_time"])
+
+    h_xla, lft_xla = run(False)
+    h_pl, lft_pl = run(True)
+    np.testing.assert_allclose(h_pl, h_xla, rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(lft_pl, lft_xla)
