@@ -83,20 +83,87 @@ def bench_hh_stdp(rows=128, cols=128, iters=500):
     return sps
 
 
+def bench_lif_poisson_network(rows=64, cols=64, iters=1000):
+    """BASELINE config 2: adaptive LIF lattice driven by a Poisson lattice."""
+    import spiking_neural_networks_tpu as snn
+
+    lat = snn.Lattice(snn.AdaptiveLeakyIntegrateAndFire(), id=0)
+    lat.populate(rows, cols, gap_conductance=10.0)
+    lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=3)
+    st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=1)
+    st.populate(rows, cols)
+    st.state = st.model.init_from_firing_rate(rows * cols, hertz=50.0, dt=0.1)
+    net = snn.LatticeNetwork.generate_network([lat], [st])
+    net.connect(1, 0, lambda x, y: x == y, lambda x, y: 5.0)
+
+    net.run_lattices(iters)
+    jax.block_until_ready(lat.state["v"])
+    t0 = time.perf_counter()
+    net.run_lattices(iters)
+    jax.block_until_ready(net.get_lattice(0).state["v"])
+    dt = time.perf_counter() - t0
+    sps = iters / dt
+    log(f"ALIF+Poisson network {rows}x{cols}: {sps:.1f} steps/s")
+    return sps
+
+
+def bench_network_eeg_stdp(rows=64, cols=64, iters=500):
+    """BASELINE config 5: multi-lattice network, EEG readout, Poisson-encoded
+    STDP classifier-style wiring."""
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.core.history import EEGHistory
+
+    exc = snn.Lattice(snn.Izhikevich(), id=0)
+    exc.populate(rows, cols, gap_conductance=10.0)
+    exc.connect_stencil(radius=2.0, keep_prob=0.8, seed=5)
+    exc.do_plasticity = True
+    exc.grid_history = EEGHistory()
+    exc.update_grid_history = True
+    inh = snn.Lattice(snn.Izhikevich(), id=1)
+    inh.populate(rows // 2, cols // 2, gap_conductance=10.0)
+    inh.connect_stencil(radius=1.5, seed=6)
+    st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=2)
+    st.populate(rows, cols)
+    st.state = st.model.init_from_firing_rate(rows * cols, hertz=25.0, dt=0.1)
+    net = snn.LatticeNetwork.generate_network([exc, inh], [st])
+    net.connect(2, 0, lambda x, y: x == y, lambda x, y: 4.0)
+    net.connect_vectorized(0, 1, lambda pr, pc, qr, qc: np.where(
+        (pr // 2 == qr) & (pc // 2 == qc), 0.5, np.nan))
+    net.connect_vectorized(1, 0, lambda pr, pc, qr, qc: np.where(
+        (pr == qr // 2) & (pc == qc // 2), -0.8, np.nan))
+    net.history_chunk = iters
+
+    net.run_lattices(iters)
+    t0 = time.perf_counter()
+    net.run_lattices(iters)
+    jax.block_until_ready(net.get_lattice(0).state["v"])
+    dt = time.perf_counter() - t0
+    sps = iters / dt
+    log(f"EEG+STDP network: {sps:.1f} steps/s; EEG samples "
+        f"{len(exc.grid_history.history)}")
+    return sps
+
+
 def main():
     log("devices:", jax.devices())
     ups, _ = bench_izhikevich()
-    try:
-        hh_sps = bench_hh_stdp()
-    except Exception as e:  # secondary metric must not sink the primary
-        log("HH+STDP bench failed:", repr(e))
-        hh_sps = None
+    extra = {}
+    for name, fn in [("hh_stdp_steps_per_sec_128x128", bench_hh_stdp),
+                     ("alif_poisson_network_steps_per_sec_64x64",
+                      bench_lif_poisson_network),
+                     ("eeg_stdp_network_steps_per_sec_64x64",
+                      bench_network_eeg_stdp)]:
+        try:
+            extra[name] = fn()
+        except Exception as e:  # secondary metrics must not sink the primary
+            log(name, "failed:", repr(e))
+            extra[name] = None
     result = {
         "metric": "neuron-updates/sec (512x512 Izhikevich lattice, electrical)",
         "value": ups,
         "unit": "updates/s",
         "vs_baseline": ups / 1e9,
-        "extra": {"hh_stdp_steps_per_sec_128x128": hh_sps},
+        "extra": extra,
     }
     print(json.dumps(result), flush=True)
 

@@ -15,6 +15,12 @@ lane axis — wrap-around lanes are killed by the zero border weights.
 Used automatically by `Lattice.run_lattice` when the model is the Izhikevich
 family, synapses are electrical-only, the graph is a StencilGraph, and
 `use_pallas=True`.
+
+NOTE: in the current development container the axon remote-compile service
+cannot build Mosaic kernels (HTTP 500 from tpu_compile_helper), so this path
+is verified in interpreter mode and disabled by default; the XLA stencil
+path independently exceeds the 1e9 updates/s target by ~5x.  On standard
+TPU runtimes set ``lattice.use_pallas = True``.
 """
 
 from __future__ import annotations
@@ -27,22 +33,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(offsets, halo, dcs, n_off,
+def _kernel(offsets, halo, dcs, n_off, tile_r,
             vp_ref, wstencil_ref, w_ref, in_deg_ref,
             a_ref, b_ref, c_ref, d_ref, vth_ref, gap_ref, tau_ref, cm_ref,
             dt_ref,
             v_out_ref, w_out_ref, spike_out_ref):
-    tile_r = v_out_ref.shape[0]
     cols = v_out_ref.shape[1]
+    # vp is UNBLOCKED (whole padded array resident in VMEM): overlapping halo
+    # windows cannot be expressed with block-index maps, so each program
+    # dynamic-slices its rows here.
+    row0 = pl.multiple_of(pl.program_id(0) * tile_r, tile_r)
 
-    v = vp_ref[dcs.index(0), halo:halo + tile_r, :]
+    v = vp_ref[dcs.index(0), pl.ds(row0 + halo, tile_r), :]
     acc = jnp.zeros((tile_r, cols), jnp.float32)
     wsum = jnp.zeros((tile_r, cols), jnp.float32)
     for o, (dr, dc) in enumerate(offsets):
         wo = wstencil_ref[o, :, :]
         # column shifts are pre-rolled copies (lane rotations are done once
         # per step outside the kernel); row shifts are sublane slices here
-        shifted = vp_ref[dcs.index(dc), halo + dr:halo + dr + tile_r, :]
+        shifted = vp_ref[dcs.index(dc), pl.ds(row0 + halo + dr, tile_r), :]
         acc = acc + wo * shifted
         wsum = wsum + wo
 
@@ -88,23 +97,22 @@ def fused_izhikevich_stencil_step(v, w, wstencil, in_deg, a, b, c, d, v_th,
         tile_r = rows
     grid = (rows // tile_r,)
 
+    # NOTE: BlockSpec index maps return BLOCK indices (scaled by block shape)
     grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
-            # overlapping padded-voltage windows, one per column shift
-            pl.BlockSpec((len(dcs), tile_r + 2 * halo_p, cols),
-                         lambda i: (0, i * tile_r, 0),
+            # whole padded voltage (all column-shifted copies) in VMEM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_off, tile_r, cols), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_off, tile_r, cols),
-                         lambda i: (0, i * tile_r, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((tile_r, cols), lambda i: (i * tile_r, 0),
+        ] + [pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)] * 11,
-        out_specs=[pl.BlockSpec((tile_r, cols), lambda i: (i * tile_r, 0),
+        out_specs=[pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 3,
     )
 
-    kernel = functools.partial(_kernel, tuple(offsets), halo_p, dcs, n_off)
+    kernel = functools.partial(_kernel, tuple(offsets), halo_p, dcs, n_off,
+                               tile_r)
     v_new, w_new, spikes = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

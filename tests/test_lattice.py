@@ -227,3 +227,38 @@ def test_pallas_fast_path_matches_xla():
     h_pl, lft_pl = run(True)
     np.testing.assert_allclose(h_pl, h_xla, rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(lft_pl, lft_xla)
+
+
+def test_pallas_kernel_multiblock_direct():
+    """Direct kernel parity with several row-tile programs (grid > 1)."""
+    from spiking_neural_networks_tpu.ops.pallas_stencil import (
+        fused_izhikevich_stencil_step)
+    rows, cols = 32, 128
+    offsets = radius_offsets(2.0)
+    rng = np.random.default_rng(11)
+    g = StencilGraph.build(rows, cols, offsets, keep_prob=0.7, seed=12)
+    v = jnp.asarray(rng.uniform(-65, 30, (rows, cols)), jnp.float32)
+    w = jnp.full((rows, cols), 30.0, jnp.float32)
+    f = lambda val: jnp.full((rows, cols), val, jnp.float32)
+
+    v_new, w_new, spikes = fused_izhikevich_stencil_step(
+        v, w, g.weights, g.in_deg, f(0.02), f(0.2), f(-55.0), f(8.0),
+        f(30.0), f(10.0), f(1.0), f(100.0), f(0.1), offsets=g.offsets,
+        tile_r=8)
+
+    # XLA reference for one step
+    elec = g.gather_electrical(v.reshape(-1), jnp.ones(rows * cols),
+                               v.reshape(-1), f(10.0).reshape(-1))
+    dv = (0.04 * v ** 2 + 5 * v + 140 - w + elec.reshape(rows, cols)) * (0.1 / 100.0)
+    dw = 0.02 * (0.2 * v - w) * (0.1 / 1.0)
+    v_ref = v + dv
+    w_ref = w + dw
+    spk = v_ref >= 30.0
+    v_ref = jnp.where(spk, -55.0, v_ref)
+    w_ref = jnp.where(spk, w_ref + 8.0, w_ref)
+
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(spikes) > 0, np.asarray(spk))
