@@ -745,3 +745,77 @@ def run_ref_rstdp_lattice(neurons, weights, rewards, p,
         clock += 1
         history.append([nr.v for nr in neurons])
     return np.asarray(history, f32), weights, dopamine
+
+
+class RefBCMIzhikevich(RefIzhikevich):
+    """integrate_and_fire/mod.rs:1360-1520 (electrical-path normalization)."""
+
+    def __init__(self, **kw):
+        self.average_activity = f32(0.0)
+        self.current_activity = f32(0.0)
+        self.period = 3
+        self.num_spikes = 0
+        self.firing_rate_clock = f32(0.0)
+        self.firing_rate_window = f32(500.0)
+        super().__init__(**kw)
+
+    def _bookkeep(self):
+        if self.is_spiking:
+            self.num_spikes += 1
+        self.firing_rate_clock = f32(self.firing_rate_clock + self.dt)
+        if self.firing_rate_clock >= self.firing_rate_window:
+            self.firing_rate_clock = f32(0.0)
+            self.current_activity = f32(
+                self.num_spikes / (self.firing_rate_window * self.dt))
+            self.average_activity = f32(
+                self.average_activity - self.average_activity / f32(self.period))
+            self.average_activity = f32(
+                self.average_activity + self.current_activity / f32(self.period))
+
+    def iterate_and_spike(self, i):
+        self._bookkeep()
+        return super().iterate_and_spike(i)
+
+
+def bcm_dw(p, w, pre, post):
+    """plasticity/mod.rs:102-107."""
+    thresh = post.average_activity / f32(p["average_scalar"])
+    term = post.current_activity * (post.current_activity - thresh)
+    return f32((term * pre.current_activity - f32(p["decay"]) * w) * f32(p["dt"]))
+
+
+def run_ref_lattice_bcm(neurons, weights, iterations, p):
+    """Electrical lattice with deferred BCM plasticity."""
+    n = len(neurons)
+    weights = [row[:] for row in weights]
+    history = []
+    clock = 0
+    for _ in range(iterations):
+        elec = [f32(0.0)] * n
+        for j in range(n):
+            in_idx = [i for i in range(n) if weights[i][j] is not None]
+            total = f32(0.0)
+            for i in in_idx:
+                total = total + gap_junction(neurons[i], neurons[j]) * f32(weights[i][j])
+            elec[j] = total / f32(max(len(in_idx), 1))
+        spikes = []
+        for j in range(n):
+            s = neurons[j].iterate_and_spike(elec[j])
+            if s:
+                neurons[j].last_firing_time = clock
+            spikes.append(s)
+        updates = []
+        for j in range(n):
+            if spikes[j]:
+                for i in range(n):
+                    if weights[i][j] is not None:
+                        updates.append((i, j))
+                for k in range(n):
+                    if weights[j][k] is not None:
+                        updates.append((j, k))
+        for (i, j) in updates:
+            weights[i][j] = f32(weights[i][j]
+                                + bcm_dw(p, weights[i][j], neurons[i], neurons[j]))
+        clock += 1
+        history.append([nr.v for nr in neurons])
+    return np.asarray(history, f32), weights
