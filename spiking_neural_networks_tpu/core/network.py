@@ -205,6 +205,9 @@ class LatticeNetwork:
     neuron/mod.rs:1538-1547).
     """
 
+    # densify the edge list for matvec gathers when the matrix fits
+    dense_gather = True
+
     def __init__(self):
         self.lattices = {}
         self.spike_train_lattices = {}
@@ -400,6 +403,24 @@ class LatticeNetwork:
         in_deg = np.zeros(n_neurons, np.float32)
         np.add.at(in_deg, dst, 1.0)
 
+        # Dense fast path: scatter-adds (segment_sum) are ~7x slower than a
+        # dense matvec on TPU; densify the global edge list when the matrix
+        # fits comfortably (<= 64M entries).
+        dense_w = dense_mask = None
+        if self.dense_gather and n_total * n_neurons <= 64_000_000 and len(w):
+            dw_ = np.zeros((n_total, n_neurons), np.float32)
+            dm_ = np.zeros((n_total, n_neurons), bool)
+            dw_[src, dst] = w
+            dm_[src, dst] = True
+            dense_w = jnp.asarray(dw_)
+            from ..utils.transfer import device_put_bool
+            dense_mask = device_put_bool(dm_)
+            dp_ = np.zeros((n_total, n_neurons), bool)
+            dp_[src, dst] = plastic
+            dense_plastic = device_put_bool(dp_)
+        else:
+            dense_plastic = None
+
         return dict(
             lat_ids=lat_ids, st_ids=st_ids, n_offset=n_offset,
             st_offset=st_offset, n_neurons=n_neurons, n_total=n_total,
@@ -407,6 +428,8 @@ class LatticeNetwork:
             w=jnp.asarray(w), plastic=jnp.asarray(plastic),
             node_plastic=jnp.asarray(node_plastic),
             in_deg=jnp.asarray(in_deg),
+            dense_w=dense_w, dense_mask=dense_mask,
+            dense_plastic=dense_plastic,
             nstate=nstate, st_state=st_state, provenance=provenance,
             host_src=src, host_dst=dst,
         )
@@ -467,21 +490,30 @@ class LatticeNetwork:
         skip_nt = not bool(_mask_any(plan["nstate"]["nt$mask"]))
         hist_sig = self._history_signature(plan)
 
+        dense = plan.get("dense_w") is not None
         runner = _build_network_runner(
             neuron_model, st_model, self.electrical_synapse,
             self.chemical_synapse, do_plasticity, type(plasticity),
             hist_sig, plan["n_neurons"], plan["n_total"], skip_nt,
-            self.update_connecting_graph_history, length)
+            self.update_connecting_graph_history, length, dense)
 
+        edges = dict(src=plan["src"], dst=plan["dst"], plastic=plan["plastic"],
+                     node_plastic=plan["node_plastic"], in_deg=plan["in_deg"])
+        if dense:
+            edges["dense_mask"] = plan["dense_mask"]
+            edges["plastic"] = plan["dense_plastic"]
+        w_arg = plan["dense_w"] if dense else plan["w"]
         pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
         carry, ys = runner(
-            plan["nstate"], plan["st_state"], plan["w"], self.key,
-            jnp.int32(self.internal_clock),
-            dict(src=plan["src"], dst=plan["dst"], plastic=plan["plastic"],
-                 node_plastic=plan["node_plastic"], in_deg=plan["in_deg"]),
-            pparams)
-        plan["nstate"], plan["st_state"], plan["w"], self.key = (
-            carry[0], carry[1], carry[2], carry[3])
+            plan["nstate"], plan["st_state"], w_arg, self.key,
+            jnp.int32(self.internal_clock), edges, pparams)
+        plan["nstate"], plan["st_state"] = carry[0], carry[1]
+        if dense:
+            plan["dense_w"] = carry[2]
+            plan["w"] = carry[2][plan["src"], plan["dst"]]
+        else:
+            plan["w"] = carry[2]
+        self.key = carry[3]
         self.internal_clock += length
 
         for (key_id, kind, fsig, shape, off, n) in hist_sig:
@@ -522,7 +554,8 @@ class LatticeNetwork:
 @functools.lru_cache(maxsize=None)
 def _build_network_runner(neuron_model, st_model, electrical, chemical,
                           do_plasticity, plasticity_cls, history_sig,
-                          n_neurons, n_total, skip_nt, w_history, length):
+                          n_neurons, n_total, skip_nt, w_history, length,
+                          dense=False):
     from .history import HISTORY_KINDS
 
     readouts = []
@@ -535,6 +568,8 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
         nstate, st_state, w, key, clock = carry
         src, dst = edges["src"], edges["dst"]
         cnt = jnp.maximum(edges["in_deg"], 1.0)
+        if dense:
+            wd = jnp.where(edges["dense_mask"], w, 0.0)
 
         # ---- Phase A: gathers from previous state ----
         if st_state is not None:
@@ -548,8 +583,13 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
             sub_v = jnp.ones_like(a_src)
 
         if electrical:
-            contrib = w * (a_src[src] - sub_v[src] * nstate["v"][dst])
-            summed = jax.ops.segment_sum(contrib, dst, num_segments=n_neurons)
+            if dense:
+                # matvec gathers ride the MXU; ~7x faster than segment_sum
+                summed = a_src @ wd - nstate["v"] * (sub_v @ wd)
+            else:
+                contrib = w * (a_src[src] - sub_v[src] * nstate["v"][dst])
+                summed = jax.ops.segment_sum(contrib, dst,
+                                             num_segments=n_neurons)
             elec = nstate["gap_conductance"] * summed / cnt
         else:
             elec = jnp.zeros_like(nstate["v"])
@@ -562,9 +602,14 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
                 m_src = jnp.concatenate([m_n, m_s]).astype(jnp.float32)
             else:
                 t_src, m_src = t_n, m_n.astype(jnp.float32)
-            vals = w[:, None] * t_src[src] * m_src[src]
-            sums = jax.ops.segment_sum(vals, dst, num_segments=n_neurons)
-            cnts = jax.ops.segment_sum(m_src[src], dst, num_segments=n_neurons)
+            if dense:
+                sums = wd.T @ (t_src * m_src)
+                cnts = edges["dense_mask"].astype(jnp.float32).T @ m_src
+            else:
+                vals = w[:, None] * t_src[src] * m_src[src]
+                sums = jax.ops.segment_sum(vals, dst, num_segments=n_neurons)
+                cnts = jax.ops.segment_sum(m_src[src], dst,
+                                           num_segments=n_neurons)
             t_in = sums / jnp.maximum(cnts, 1.0)
             nstate, spikes = neuron_model.step(
                 nstate, elec, t_in, cnts > 0.0, skip_nt=skip_nt)
@@ -588,16 +633,31 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
                     return jnp.concatenate([nv, pad])
                 return nv
 
-            pre = {k: node_vals(k)[src] for k in plasticity_cls.NODE_KEYS}
-            post = {k: (spikes if k == "is_spiking" else nstate[k])[dst]
-                    for k in plasticity_cls.NODE_KEYS}
-            delta = plasticity_cls.edge_delta(w, pre, post, pparams)
-            trig = spikes.astype(jnp.float32) * edges["node_plastic"][:n_neurons]
-            if st_state is not None:
-                trig = jnp.concatenate(
-                    [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
-            count = trig[src] + trig[dst]
-            w = jnp.where(edges["plastic"], w + delta * count, w)
+            if dense:
+                pre = {k: node_vals(k)[:, None]
+                       for k in plasticity_cls.NODE_KEYS}
+                post = {k: (spikes if k == "is_spiking" else nstate[k])[None, :]
+                        for k in plasticity_cls.NODE_KEYS}
+                delta = plasticity_cls.edge_delta(w, pre, post, pparams)
+                trig = spikes.astype(jnp.float32) \
+                    * edges["node_plastic"][:n_neurons]
+                if st_state is not None:
+                    trig = jnp.concatenate(
+                        [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
+                count = trig[:, None] + trig[None, :n_neurons]
+                w = jnp.where(edges["plastic"], w + delta * count, w)
+            else:
+                pre = {k: node_vals(k)[src] for k in plasticity_cls.NODE_KEYS}
+                post = {k: (spikes if k == "is_spiking" else nstate[k])[dst]
+                        for k in plasticity_cls.NODE_KEYS}
+                delta = plasticity_cls.edge_delta(w, pre, post, pparams)
+                trig = spikes.astype(jnp.float32) \
+                    * edges["node_plastic"][:n_neurons]
+                if st_state is not None:
+                    trig = jnp.concatenate(
+                        [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
+                count = trig[src] + trig[dst]
+                w = jnp.where(edges["plastic"], w + delta * count, w)
 
         clock = clock + 1
 
@@ -615,7 +675,7 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
                   if k in ("v", "is_spiking")}
             ys[key_id] = h.readout(sl, shape)
         if w_history:
-            ys["__w__"] = w
+            ys["__w__"] = w[src, dst] if dense else w
         return (nstate, st_state, w, key, clock), ys
 
     def run(nstate, st_state, w, key, clock, edges, pparams):

@@ -45,6 +45,9 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
     implements the `Agent` trait (update_and_apply_reward / update).
     """
 
+    # the reward runtime operates on the COO edge list (trace state per edge)
+    dense_gather = False
+
     def __init__(self):
         super().__init__()
         self.reward_modulated_lattices = {}

@@ -195,3 +195,21 @@ def test_poisson_spike_train_statistics():
     rate = (hist == 30.0).mean()
     expect = model.rate_to_chance(100.0, 0.1)   # 0.01
     assert abs(rate - expect) < 0.002
+
+
+def test_dense_and_sparse_network_gathers_match():
+    """The dense (matvec) network fast path equals the segment-sum path."""
+    results = {}
+    for dense in (True, False):
+        net, _, _, _ = build_network(chemical=True, plasticity=True, seed=9)
+        net.dense_gather = dense
+        for lat in net.lattices.values():
+            lat.update_grid_history = True
+        net.run_lattices(150)
+        results[dense] = (
+            np.stack(net.get_lattice(0).grid_history.history),
+            np.asarray(net.get_lattice(0).graph.weights))
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=1e-5, atol=1e-4)
