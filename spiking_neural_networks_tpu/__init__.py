@@ -38,6 +38,7 @@ from .core.network import SpikeTrainLattice, LatticeNetwork
 from .core.reward import RewardModulatedLattice
 from .core.reward_network import RewardModulatedLatticeNetwork
 from .interactable import Environment, UnsupervisedEnvironment
+from . import coupling
 from .core.plasticity import STDP, BCM, RewardModulatedSTDP
 from .core import history
 from .ops.graph import DenseGraph, SparseGraph, StencilGraph, radius_offsets

@@ -403,11 +403,14 @@ class LatticeNetwork:
         in_deg = np.zeros(n_neurons, np.float32)
         np.add.at(in_deg, dst, 1.0)
 
-        # Dense fast path: scatter-adds (segment_sum) are ~7x slower than a
-        # dense matvec on TPU; densify the global edge list when the matrix
-        # fits comfortably (<= 64M entries).
+        # Dense fast path: scatter-adds (segment_sum ~800us) and padded
+        # gathers (~500us) are latency-bound on TPU; a dense matvec (~120us
+        # at 4k nodes) wins while the matrix stays small. Above ~8M entries
+        # the full-matrix bandwidth dominates and COO wins again. (Round-2
+        # plan: structure-preserving network operators — keep stencil blocks
+        # as stencils, one-to-one connections as elementwise adds.)
         dense_w = dense_mask = None
-        if self.dense_gather and n_total * n_neurons <= 64_000_000 and len(w):
+        if self.dense_gather and n_total * n_neurons <= 8_000_000 and len(w):
             dw_ = np.zeros((n_total, n_neurons), np.float32)
             dm_ = np.zeros((n_total, n_neurons), bool)
             dw_[src, dst] = w
@@ -568,8 +571,8 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
         nstate, st_state, w, key, clock = carry
         src, dst = edges["src"], edges["dst"]
         cnt = jnp.maximum(edges["in_deg"], 1.0)
-        if dense:
-            wd = jnp.where(edges["dense_mask"], w, 0.0)
+        # (dense w keeps exact zeros on non-edges: STDP writes are gated on
+        # the plastic mask, a subset of the edge mask — no re-masking needed)
 
         # ---- Phase A: gathers from previous state ----
         if st_state is not None:
@@ -585,7 +588,7 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
         if electrical:
             if dense:
                 # matvec gathers ride the MXU; ~7x faster than segment_sum
-                summed = a_src @ wd - nstate["v"] * (sub_v @ wd)
+                summed = a_src @ w - nstate["v"] * (sub_v @ w)
             else:
                 contrib = w * (a_src[src] - sub_v[src] * nstate["v"][dst])
                 summed = jax.ops.segment_sum(contrib, dst,
@@ -603,7 +606,7 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
             else:
                 t_src, m_src = t_n, m_n.astype(jnp.float32)
             if dense:
-                sums = wd.T @ (t_src * m_src)
+                sums = w.T @ (t_src * m_src)
                 cnts = edges["dense_mask"].astype(jnp.float32).T @ m_src
             else:
                 vals = w[:, None] * t_src[src] * m_src[src]

@@ -189,21 +189,31 @@ def fit_neuron_to_neuron(settings, ga_params=None, key=None, verbose=False):
 
     n_trains = len(settings.spike_train_states)
 
+    # init_state is a host-side constructor (sequential synced transfers);
+    # build the template once and apply the converter's overrides
+    # functionally inside the traced objective.
+    template = {k: v[0] for k, v in
+                settings.neuron_model.init_state(1).items()}
+
     @jax.jit
     def objective(decoded):  # (n_pop, n_params) -> (n_pop,)
         n_pop = decoded.shape[0]
 
         def build_state(params):
-            overrides = settings.converter(params)
-            state = settings.neuron_model.init_state(1, **overrides)
-            return {k: v[0] for k, v in state.items()}
+            state = dict(template)
+            for k, v in settings.converter(params).items():
+                state[k] = jnp.broadcast_to(
+                    jnp.asarray(v, state[k].dtype), state[k].shape)
+            return state
 
         base = jax.vmap(build_state)(decoded)          # fields (n_pop, ...)
         paired = _stack_pair(base)                     # fields (n_pop, ..., 2)
 
         total = jnp.zeros((n_pop,), jnp.float32)
         for s, st_state in enumerate(settings.spike_train_states):
-            st_b = {k: jnp.broadcast_to(v[None], (n_pop,) + v.shape)
+            # spike-train states hold one generator; unbatch then broadcast
+            # to the population so shapes align with the neuron fields
+            st_b = {k: jnp.broadcast_to(v[0], (n_pop,) + v[0].shape)
                     for k, v in st_state.items()}
             summary = run_coupled_trial(
                 settings.neuron_model, settings.st_model, paired, st_b,

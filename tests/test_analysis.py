@@ -125,3 +125,72 @@ def test_checkpoint_roundtrip():
         np.testing.assert_array_equal(lat.voltages(), v_mid)
         lat.run_lattice(50)
         np.testing.assert_allclose(lat.voltages(), v_end, rtol=1e-6)
+
+
+def test_fit_neuron_to_neuron_recovers_parameter():
+    """End-to-end GA fitting (fitting/mod.rs:411+ scenario): recover the
+    Izhikevich `a` parameter of a reference neuron from its spike summary."""
+    import jax
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.fitting import (
+        FittingSettings, fit_neuron_to_neuron, get_reference_summary,
+        GeneticAlgorithmParameters)
+
+    model = snn.Izhikevich()
+    st_model = snn.RateSpikeTrain()
+    st_state = st_model.init_state(1, rate=2.0, v_th=30.0)
+
+    true_a = 0.05
+    ref_state = model.init_state(1, a=true_a, gap_conductance=10.0)
+    ref_summary = get_reference_summary(model, ref_state, st_model, st_state,
+                                        iterations=400)
+
+    def converter(params):
+        return {"a": params[0], "gap_conductance": 10.0}
+
+    settings = FittingSettings(
+        neuron_model=model, st_model=st_model,
+        spike_train_states=[st_state],
+        reference_summaries=[ref_summary[0]],
+        scaling_factors=[(800.0, 10.0)],
+        iterations=400, converter=converter)
+    ga = GeneticAlgorithmParameters(bounds=[(0.01, 0.12)], n_bits=8,
+                                    n_iter=10, n_pop=32, r_mut=0.08)
+    best, score, _ = fit_neuron_to_neuron(settings, ga,
+                                          key=jax.random.PRNGKey(3))
+    # the fitted parameter should reproduce the reference's firing summary
+    fit_state = model.init_state(1, a=float(best[0]), gap_conductance=10.0)
+    fit_summary = get_reference_summary(model, fit_state, st_model, st_state,
+                                        iterations=400)
+    np.testing.assert_allclose(np.asarray(fit_summary),
+                               np.asarray(ref_summary), rtol=0.1, atol=2.0)
+    assert score < 1.0
+
+
+def test_coupled_neuron_utilities():
+    """`iterate_coupled_spiking_neurons(_and_spike_train)` equivalents."""
+    import jax.numpy as jnp
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu import coupling
+
+    model = snn.Izhikevich()
+    pre = model.init_state(1, gap_conductance=10.0)
+    post = model.init_state(1, gap_conductance=10.0)
+    for _ in range(500):
+        pre, post, ps, qs = coupling.iterate_coupled_spiking_neurons(
+            model, pre, post, jnp.asarray([40.0]))
+    assert np.isfinite(float(post["v"][0]))
+
+    st_model = snn.RateSpikeTrain()
+    st = st_model.init_state(1, rate=1.0)
+    pre = model.init_state(1, gap_conductance=10.0)
+    post = model.init_state(1, gap_conductance=10.0)
+    import jax
+    key = jax.random.PRNGKey(0)
+    fired = 0
+    for t in range(400):
+        st, pre, post, s1, s2, s3, key = \
+            coupling.iterate_coupled_spiking_neurons_and_spike_train(
+                st_model, model, st, pre, post, t)
+        fired += int(s2[0])
+    assert fired > 0  # spike train drive propagates to the presynaptic neuron
