@@ -207,6 +207,10 @@ class LatticeNetwork:
 
     # densify the edge list for matvec gathers when the matrix fits
     dense_gather = True
+    # structure-preserving runner (core/structured.py): keeps stencil blocks
+    # as stencils and one-to-one connections elementwise; falls back to the
+    # flat COO runner when unsupported
+    structured = True
 
     def __init__(self):
         self.lattices = {}
@@ -466,11 +470,29 @@ class LatticeNetwork:
         self.run_lattices(1)
 
     # -- simulation ---------------------------------------------------------------
+    def _structured_supported(self):
+        return (type(self) is LatticeNetwork
+                and not self.update_connecting_graph_history
+                and self.lattices)
+
     def run_lattices(self, iterations):
         """`RunNetwork::run_lattices` (neuron/mod.rs:2667-2674)."""
         if iterations == 0:
             return
         if not self.electrical_synapse and not self.chemical_synapse:
+            return
+        if self.structured and self._structured_supported():
+            from .structured import run_structured
+            any_history = any(l.update_grid_history
+                              for l in self.lattices.values()) \
+                or any(s.update_grid_history
+                       for s in self.spike_train_lattices.values())
+            remaining = iterations
+            while remaining > 0:
+                chunk = min(remaining, self.history_chunk) if any_history \
+                    else remaining
+                run_structured(self, chunk)
+                remaining -= chunk
             return
         plan = self._compile()
         any_history = any(l.update_grid_history for l in self.lattices.values()) \

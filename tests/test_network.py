@@ -213,3 +213,26 @@ def test_dense_and_sparse_network_gathers_match():
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(results[True][1], results[False][1],
                                rtol=1e-5, atol=1e-4)
+
+
+def test_structured_runner_matches_flat():
+    """The structure-preserving runner equals the flat COO runner exactly
+    (electrical+chemical, STDP, mixed connection kinds)."""
+    for chemical, plasticity in [(False, False), (True, False), (True, True)]:
+        results = {}
+        for structured in (True, False):
+            net, _, _, _ = build_network(chemical=chemical,
+                                         plasticity=plasticity, seed=17)
+            net.structured = structured
+            for lat in net.lattices.values():
+                lat.update_grid_history = True
+            net.run_lattices(120)
+            results[structured] = (
+                np.stack(net.get_lattice(0).grid_history.history),
+                np.stack(net.get_lattice(1).grid_history.history),
+                np.asarray(net.get_lattice(0).graph.weights),
+                np.asarray(net.connections[(1, 0)][2]),
+                np.asarray(net.connections[(2, 0)][2]))
+        for a, b in zip(results[True], results[False]):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4,
+                                       err_msg=f"chem={chemical} plast={plasticity}")
