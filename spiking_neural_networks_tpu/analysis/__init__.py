@@ -1,1 +1,1 @@
-from . import eeg, correlation
+from . import eeg, correlation, peaks

@@ -88,6 +88,11 @@ class Lattice:
         self.graph = connect_dense(self.rows, self.cols,
                                    connecting_conditional, weight_logic)
 
+    def falliable_connect(self, connecting_conditional, weight_logic=None):
+        """`falliable_connect` (neuron/mod.rs:1165-1196): same as `connect`;
+        Python callables signal failure by raising, which propagates."""
+        self.connect(connecting_conditional, weight_logic)
+
     def connect_stencil(self, radius=None, offsets=None, weight_fn=None,
                         keep_prob=1.0, seed=0):
         """Translation-local connectivity as a `StencilGraph` — the fast path

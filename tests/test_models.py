@@ -183,3 +183,36 @@ def test_dopa_izhikevich_dopamine_modulation():
     spikes_plain = (np.diff(v_plain) < -40).sum()
     spikes_d2 = (np.diff(v_d2) < -40).sum()
     assert spikes_plain >= spikes_d2
+
+
+def test_run_static_input_with_gaussian_noise():
+    """`run_static_input_*` with GaussianParameters noise
+    (integrate_and_fire/mod.rs:40-58)."""
+    import jax
+    from spiking_neural_networks_tpu.models.base import run_static_input
+    model = snn.Izhikevich()
+    state = model.init_state(3)
+    state, volts = run_static_input(model, state, 30.0, 200,
+                                    key=jax.random.PRNGKey(0),
+                                    gaussian=(1.0, 0.2, 0.5, 1.5))
+    v = np.asarray(volts)
+    assert v.shape == (200, 3)
+    assert np.isfinite(v).all()
+    # noise decorrelates the three neurons' trajectories
+    assert not np.allclose(v[:, 0], v[:, 1])
+
+
+def test_bcm_poisson_spike_train_statistics():
+    import jax
+    model = snn.BCMPoissonSpikeTrain()
+    s = model.init_state(200, chance_of_firing=0.05,
+                         firing_rate_window=10.0)
+    key = jax.random.PRNGKey(1)
+    total = 0
+    for clock in range(500):
+        s, spk, key = model.step(s, key, clock)
+        total += int(np.asarray(spk).sum())
+    rate = total / (500 * 200)
+    assert abs(rate - 0.05) < 0.01
+    # activity tracking engaged
+    assert float(np.abs(np.asarray(s["average_activity"])).max()) > 0
