@@ -143,9 +143,6 @@ class Lattice:
             return ()
         return (("grid", self.grid_history),)
 
-    def _plasticity_apply(self):
-        return self.plasticity
-
     def run_lattice(self, iterations):
         """`RunLattice::run_lattice` (neuron/mod.rs:1209-1219)."""
         if iterations == 0 or (not self.electrical_synapse
