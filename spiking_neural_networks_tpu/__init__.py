@@ -39,6 +39,7 @@ from .core.reward import RewardModulatedLattice
 from .core.reward_network import RewardModulatedLatticeNetwork
 from .interactable import Environment, UnsupervisedEnvironment
 from . import coupling
+from . import errors
 from .core.plasticity import STDP, BCM, RewardModulatedSTDP
 from .core import history
 from .ops.graph import DenseGraph, SparseGraph, StencilGraph, radius_offsets

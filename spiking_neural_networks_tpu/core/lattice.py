@@ -28,6 +28,7 @@ from ..ops.graph import (DenseGraph, SparseGraph, StencilGraph, connect_dense,
 from ..models.base import NEVER, get_neurotransmitter_concentrations
 from .history import GridVoltageHistory
 from .plasticity import STDP
+from ..errors import GraphError
 
 
 def _mask_any(mask):
@@ -75,7 +76,8 @@ class Lattice:
         """`Lattice::populate` (neuron/mod.rs:1105-1126): (re)build the cell
         grid from the base model; state fields can be overridden per neuron."""
         if self.in_network and (rows, cols) != (self.rows, self.cols):
-            raise ValueError("dimensions must match when lattice is in a network")
+            raise GraphError(
+                "dimensions must match when lattice is in a network")
         self.rows, self.cols = rows, cols
         self.state = self.model.init_state(rows * cols, **overrides)
         # zero-edge default graph; `connect` replaces it (a dense default
@@ -106,7 +108,7 @@ class Lattice:
 
     def set_graph(self, graph):
         if graph.n_post != self.n:
-            raise ValueError("graph does not match lattice dimensions")
+            raise GraphError("graph does not match lattice dimensions")
         self.graph = graph
 
     # -- per-neuron mutation (`apply` / `apply_given_position`,

@@ -38,6 +38,7 @@ from ..ops.graph import DenseGraph, SparseGraph, StencilGraph, positions
 from .history import GridVoltageHistory
 from .lattice import Lattice, _freeze, _mask_any
 from .plasticity import STDP
+from ..errors import LatticeNetworkError
 
 
 class SpikeTrainLattice:
@@ -238,14 +239,15 @@ class LatticeNetwork:
 
     def _check_id(self, id):
         if id in self.lattices or id in self.spike_train_lattices:
-            raise ValueError(f"id {id} already present in network")
+            raise LatticeNetworkError(f"id {id} already present in network")
 
     def add_lattice(self, lattice):
         self._check_id(lattice.id)
         if self.lattices:
             first = next(iter(self.lattices.values()))
             if first.model != lattice.model:
-                raise ValueError("all lattices must share one neuron model config")
+                raise LatticeNetworkError(
+                "all lattices must share one neuron model config")
         lattice.in_network = True
         self.lattices[lattice.id] = lattice
 
@@ -254,7 +256,7 @@ class LatticeNetwork:
         if self.spike_train_lattices:
             first = next(iter(self.spike_train_lattices.values()))
             if first.model != lattice.model:
-                raise ValueError(
+                raise LatticeNetworkError(
                     "all spike-train lattices must share one model config")
         lattice.in_network = True
         self.spike_train_lattices[lattice.id] = lattice
@@ -285,7 +287,7 @@ class LatticeNetwork:
         neuron/mod.rs:1845-1940): overwrites existing pre->post edges;
         spike-train lattices cannot be postsynaptic."""
         if postsynaptic_id in self.spike_train_lattices:
-            raise ValueError("spike-train lattices cannot be postsynaptic")
+            raise LatticeNetworkError("spike-train lattices cannot be postsynaptic")
         if postsynaptic_id not in self.lattices:
             raise KeyError(f"unknown postsynaptic id {postsynaptic_id}")
         if presynaptic_id == postsynaptic_id:

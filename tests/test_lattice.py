@@ -321,3 +321,52 @@ def test_preset_spike_train():
     diffs = set(np.diff(fired_at).tolist())
     assert diffs <= {10, 11, 20, 21}
     assert len(fired_at) >= 5
+
+
+def test_hh_lattice_matches_scalar_reference():
+    """Hodgkin-Huxley lattice (Destexhe kinetics) vs scalar two-phase sim."""
+    from reference_impl import RefHodgkinHuxley, run_ref_lattice
+    rows, cols, iters = 2, 2, 300
+    n = rows * cols
+    mask, w = make_dense_weights(n, 0.8, seed=21)
+    v_init = np.random.default_rng(22).uniform(-70, -50, n).astype(np.float32)
+
+    lat = snn.Lattice(snn.HodgkinHuxley())
+    lat.populate(rows, cols, v=v_init, gap_conductance=7.0)
+    lat.graph = DenseGraph(jnp.asarray(w), jnp.asarray(mask))
+    s = lat.state
+    s = lat.model.insert_receptor(s, "AMPA")
+    s = lat.model.insert_neurotransmitter(s, "AMPA")
+    lat.state = s
+    lat.chemical_synapse = True
+    lat.update_grid_history = True
+    lat.run_lattice(iters)
+    got = np.stack(lat.grid_history.history).reshape(iters, n)
+
+    neurons = []
+    for v in v_init:
+        nr = RefHodgkinHuxley()
+        nr.v = np.float32(v)
+        import reference_impl as RI
+        nr.receptors = RI.ReceptorSet((0,), "destexhe")
+        nr.nts = RI.NTSet((0,), "destexhe")
+        neurons.append(nr)
+    weights = [[float(w[i][j]) if mask[i][j] else None for j in range(n)]
+               for i in range(n)]
+    want, _ = run_ref_lattice(neurons, weights, iters, electrical=True,
+                              chemical=True)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-2)
+
+
+def test_error_taxonomy():
+    from spiking_neural_networks_tpu import errors
+    lat = snn.Lattice(snn.Izhikevich(), id=0)
+    lat.populate(2, 2)
+    net = snn.LatticeNetwork()
+    net.add_lattice(lat)
+    lat2 = snn.Lattice(snn.Izhikevich(), id=0)
+    lat2.populate(2, 2)
+    with pytest.raises(errors.LatticeNetworkError):
+        net.add_lattice(lat2)
+    with pytest.raises(errors.SpikingNeuralNetworksError):
+        net.add_lattice(lat2)  # umbrella catches too
