@@ -85,10 +85,50 @@ class DenseBlock:
         return np.asarray(w)[self.src_host, self.dst_host]
 
 
+class PaddedBlock:
+    """Low-in-degree connection as a (n_post, K) gather: idx/w per incoming
+    slot.  Pure takes, no scatter — weights live in the padded layout so
+    plasticity is (n_post, K) elementwise too."""
+
+    kind = "padded"
+    MAX_K = 16
+
+    def __init__(self, src, dst, w, n_pre, n_post):
+        counts = np.zeros(n_post, np.int64)
+        np.add.at(counts, dst, 1)
+        k_max = max(int(counts.max()), 1)
+        idx = np.zeros((n_post, k_max), np.int32)
+        wv = np.zeros((n_post, k_max), np.float32)
+        mv = np.zeros((n_post, k_max), bool)
+        slot = np.zeros(n_post, np.int64)
+        self.edge_slots = np.empty(len(src), np.int64)  # flat (j*K + k)
+        for e, (i, j) in enumerate(zip(src, dst)):
+            k = slot[j]
+            idx[j, k] = i
+            wv[j, k] = w[e]
+            mv[j, k] = True
+            self.edge_slots[e] = j * k_max + k
+            slot[j] += 1
+        self.w0 = jnp.asarray(wv)
+        from ..utils.transfer import device_put_bool
+        self.aux = dict(mask=device_put_bool(mv),
+                        idx=jnp.asarray(idx),
+                        in_deg=jnp.asarray(counts.astype(np.float32)))
+
+    def extract(self, w):
+        return np.asarray(w).reshape(-1)[self.edge_slots]
+
+
 def classify_connection(src, dst, w, n_pre, n_post):
     if len(src) and len(src) <= n_post and n_pre == n_post \
             and (src == dst).all():
         return OneToOne(src, dst, w, n_post)
+    if len(src):
+        counts = np.zeros(n_post, np.int64)
+        np.add.at(counts, dst, 1)
+        if counts.max() <= PaddedBlock.MAX_K \
+                and n_pre * n_post > 1_000_000:
+            return PaddedBlock(src, dst, w, n_pre, n_post)
     return DenseBlock(src, dst, w, n_pre, n_post)
 
 
@@ -97,6 +137,12 @@ def classify_connection(src, dst, w, n_pre, n_post):
 def _conn_gather(kind, aux, w, a_src, sub_src, v_post):
     if kind == "one2one":
         return jnp.where(aux["mask"], w * (a_src - sub_src * v_post), 0.0)
+    if kind == "padded":
+        a = a_src[aux["idx"]]                       # (n_post, K) takes
+        sub = sub_src[aux["idx"]]
+        contrib = jnp.where(aux["mask"],
+                            w * (a - sub * v_post[:, None]), 0.0)
+        return jnp.sum(contrib, axis=1)
     return a_src @ w - v_post * (sub_src @ w)
 
 
@@ -106,6 +152,13 @@ def _conn_gather_chemical(kind, aux, w, t_src, m_src):
                          w[:, None] * t_src * m_src, 0.0)
         cnts = jnp.where(aux["mask"][:, None], m_src, 0.0)
         return sums, cnts
+    if kind == "padded":
+        tm = (t_src * m_src)[aux["idx"]]            # (n_post, K, T)
+        mm = m_src[aux["idx"]]
+        gate = aux["mask"][:, :, None]
+        sums = jnp.sum(jnp.where(gate, w[:, :, None] * tm, 0.0), axis=1)
+        cnts = jnp.sum(jnp.where(gate, mm, 0.0), axis=1)
+        return sums, cnts
     sums = w.T @ (t_src * m_src)
     cnts = aux["mask"].astype(jnp.float32).T @ m_src
     return sums, cnts
@@ -114,6 +167,11 @@ def _conn_gather_chemical(kind, aux, w, t_src, m_src):
 def _conn_edge_update(kind, aux, w, delta_fn, pre_vals, post_vals):
     if kind == "one2one":
         dw = delta_fn(w, pre_vals, post_vals)
+        return jnp.where(aux["mask"], w + dw, w)
+    if kind == "padded":
+        pre = {k: v[aux["idx"]] for k, v in pre_vals.items()}
+        post = {k: v[:, None] for k, v in post_vals.items()}
+        dw = delta_fn(w, pre, post)
         return jnp.where(aux["mask"], w + dw, w)
     pre = {k: v[:, None] for k, v in pre_vals.items()}
     post = {k: v[None, :] for k, v in post_vals.items()}

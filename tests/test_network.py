@@ -236,3 +236,62 @@ def test_structured_runner_matches_flat():
         for a, b in zip(results[True], results[False]):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4,
                                        err_msg=f"chem={chemical} plast={plasticity}")
+
+
+def test_padded_block_connection_matches_dense():
+    """PaddedBlock (low in-degree gather op) equals DenseBlock op-for-op."""
+    from spiking_neural_networks_tpu.core import structured
+
+    rng = np.random.default_rng(31)
+    n_pre, n_post, e = 64, 16, 48
+    dst = np.repeat(np.arange(n_post), 3).astype(np.int64)  # in-degree 3
+    # unique (src, dst) pairs: distinct sources per destination
+    src = np.concatenate([rng.choice(n_pre, 3, replace=False)
+                          for _ in range(n_post)]).astype(np.int64)
+    w = rng.uniform(-1, 1, e).astype(np.float32)
+
+    padded = structured.PaddedBlock(src, dst, w, n_pre, n_post)
+    dense = structured.DenseBlock(src, dst, w, n_pre, n_post)
+
+    a_src = jnp.asarray(rng.uniform(-65, 30, n_pre), jnp.float32)
+    sub = jnp.ones(n_pre, jnp.float32)
+    v_post = jnp.asarray(rng.uniform(-65, 30, n_post), jnp.float32)
+
+    g_p = structured._conn_gather("padded", padded.aux, padded.w0,
+                                  a_src, sub, v_post)
+    g_d = structured._conn_gather("dense", dense.aux, dense.w0,
+                                  a_src, sub, v_post)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_d),
+                               rtol=1e-5, atol=1e-4)
+
+    t_src = jnp.asarray(rng.uniform(0, 1, (n_pre, 3)), jnp.float32)
+    m_src = jnp.asarray((rng.random((n_pre, 3)) < 0.7), jnp.float32)
+    s_p, c_p = structured._conn_gather_chemical("padded", padded.aux,
+                                                padded.w0, t_src, m_src)
+    s_d, c_d = structured._conn_gather_chemical("dense", dense.aux,
+                                                dense.w0, t_src, m_src)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_d),
+                               rtol=1e-5, atol=1e-5)
+
+    # plasticity update + per-edge extraction round trip
+    lft_pre = jnp.asarray(rng.integers(-1, 50, n_pre), jnp.int32)
+    lft_post = jnp.asarray(rng.integers(-1, 50, n_post), jnp.int32)
+    spk_pre = jnp.asarray(rng.random(n_pre) < 0.3)
+    spk_post = jnp.asarray(rng.random(n_post) < 0.3)
+    pre_vals = dict(last_firing_time=lft_pre, is_spiking=spk_pre)
+    post_vals = dict(last_firing_time=lft_post, is_spiking=spk_post)
+    params = {k: jnp.float32(v) for k, v in snn.STDP().params.items()}
+
+    from spiking_neural_networks_tpu.core.plasticity import STDP as STDPRule
+
+    def delta(w_, pre, post):
+        return STDPRule.edge_dw(w_, pre, post, params)
+
+    w_p = structured._conn_edge_update("padded", padded.aux, padded.w0,
+                                       delta, pre_vals, post_vals)
+    w_d = structured._conn_edge_update("dense", dense.aux, dense.w0,
+                                       delta, pre_vals, post_vals)
+    np.testing.assert_allclose(padded.extract(w_p), dense.extract(w_d),
+                               rtol=1e-5, atol=1e-5)
