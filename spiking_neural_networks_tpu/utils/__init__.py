@@ -1,1 +1,1 @@
-from . import distribution
+from . import distribution, transfer, checkpoint, profiling

@@ -194,3 +194,13 @@ def test_coupled_neuron_utilities():
                 st_model, model, st, pre, post, t)
         fired += int(s2[0])
     assert fired > 0  # spike train drive propagates to the presynaptic neuron
+
+
+def test_step_timer():
+    from spiking_neural_networks_tpu.utils.profiling import StepTimer
+    import spiking_neural_networks_tpu as snn
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(4, 4, gap_conductance=10.0)
+    lat.connect_stencil(radius=1.5)
+    r = StepTimer(lat).measure(iterations=50)
+    assert r["steps_per_sec"] > 0 and r["neuron_updates_per_sec"] > 0
