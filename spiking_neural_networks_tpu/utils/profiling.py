@@ -33,6 +33,8 @@ class StepTimer:
         jax.block_until_ready(leaf)
 
     def measure(self, iterations=1000, warmup=True):
+        if iterations <= 0:
+            raise ValueError("iterations must be positive")
         if warmup:
             self._run(iterations)
         t0 = time.perf_counter()

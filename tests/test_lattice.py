@@ -370,3 +370,26 @@ def test_error_taxonomy():
         net.add_lattice(lat2)
     with pytest.raises(errors.SpikingNeuralNetworksError):
         net.add_lattice(lat2)  # umbrella catches too
+
+
+def test_lattice_set_dt_golden():
+    """set_dt (neuron/mod.rs:649-652) rescales the integration step for every
+    neuron; trajectory must match the scalar reference run at the new dt."""
+    rows, cols, iters = 3, 3, 300
+    n = rows * cols
+    mask, w = make_dense_weights(n, 0.5, seed=11)
+    rng = np.random.default_rng(12)
+    v_init = rng.uniform(-65, 30, n).astype(np.float32)
+
+    lat = build_lattice(rows, cols, mask, w, v_init, True, False)
+    lat.apply(lambda s: {**s, "gap_conductance":
+                         jnp.full_like(s["gap_conductance"], 10.0)})
+    lat.set_dt(0.5)
+    lat.run_lattice(iters)
+    got = np.stack(lat.grid_history.history).reshape(iters, n)
+
+    neurons, weights = build_ref(n, mask, w, v_init)
+    for nr in neurons:
+        nr.dt = f32(0.5)
+    want, _ = run_ref_lattice(neurons, weights, iters)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)

@@ -120,3 +120,39 @@ def test_receptor_type_mismatch_raises():
     with pytest.raises(ValueError):
         receptors.insert(ln.DopaGluGABANeurotransmitterType.GABA,
                          ln.GlutamateReceptor())
+
+
+def test_lixirnet_matches_native_trajectory():
+    """The compat layer is a veneer over the native Lattice: the same
+    electrical Izhikevich config must produce the exact same trajectory
+    through both APIs (DopaIzhikevich with no receptors degenerates to
+    Izhikevich dynamics)."""
+    import jax.numpy as jnp
+    import spiking_neural_networks_tpu as snn
+
+    rng = np.random.default_rng(7)
+    v_init = rng.uniform(-65, 30, 16).astype(np.float32)
+
+    lat_ln = ln.IzhikevichNeuronLattice(0)
+    proto = ln.IzhikevichNeuron()
+    proto.gap_conductance = 10.0
+    lat_ln.populate(proto, 4, 4)
+    lat_ln.connect(lambda x, y: x != y, lambda x, y: 1.0)
+
+    def set_v(pos, neuron):
+        neuron.current_voltage = float(v_init[pos[0] * 4 + pos[1]])
+
+    lat_ln.apply_given_position(set_v)
+    lat_ln.update_grid_history = True
+    lat_ln.run_lattice(200)
+    got = np.stack(lat_ln.history)
+
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(4, 4, gap_conductance=10.0)
+    lat.connect(lambda x, y: x != y, lambda x, y: 1.0)
+    lat.apply(lambda s: {**s, "v": jnp.asarray(v_init)})
+    lat.update_grid_history = True
+    lat.run_lattice(200)
+    want = np.stack(lat.grid_history.history)
+
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

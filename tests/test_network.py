@@ -295,3 +295,42 @@ def test_padded_block_connection_matches_dense():
                                        delta, pre_vals, post_vals)
     np.testing.assert_allclose(padded.extract(w_p), dense.extract(w_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_network_set_dt_rescales_poisson_chance():
+    """LatticeNetwork::set_dt propagates to every member lattice; Poisson
+    trains rescale chance_of_firing by the dt ratio (spike_train/mod.rs:
+    340-350) so the firing rate in Hz is invariant."""
+    net = snn.LatticeNetwork()
+    lat = snn.Lattice(snn.Izhikevich(), id=0)
+    lat.populate(3, 3, gap_conductance=5.0)
+    lat.connect_stencil(radius=1.5)
+    model = snn.PoissonSpikeTrain()
+    st = snn.SpikeTrainLattice(model, id=1)
+    st.populate(3, 3)
+    st.state = model.init_from_firing_rate(9, hertz=100.0, dt=0.1)
+    chance0 = float(np.asarray(st.state["chance_of_firing"])[0])
+    net.add_lattice(lat)
+    net.add_spike_train_lattice(st)
+    net.connect(1, 0, lambda a, b: a == b, lambda a, b: 1.0)
+
+    net.set_dt(0.2)
+    assert np.allclose(np.asarray(lat.state["dt"]), 0.2)
+    assert np.allclose(np.asarray(st.state["dt"]), 0.2)
+    # doubling dt doubles the per-step chance (same rate in Hz)
+    assert np.allclose(np.asarray(st.state["chance_of_firing"]),
+                       chance0 * 2.0, rtol=1e-6)
+    # and the network still runs at the new dt
+    net.run_lattices(50)
+    assert np.isfinite(np.asarray(lat.state["v"])).all()
+
+
+def test_lattice_set_dt_updates_plasticity():
+    """Lattice::set_dt also forwards to the plasticity rule (STDP dt scales
+    the weight update integration)."""
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.plasticity = snn.STDP()
+    lat.populate(2, 2, gap_conductance=5.0)
+    lat.connect_stencil(radius=1.0)
+    lat.set_dt(0.05)
+    assert abs(lat.plasticity.params["dt"] - 0.05) < 1e-9
