@@ -91,9 +91,15 @@ def eval_expr(expr, env):
             return jnp.logical_or(a, b)
     if isinstance(expr, P.Call):
         fn = FUNCTIONS.get(expr.name)
-        if fn is None:
+        if fn is not None:
+            return fn(*[eval_expr(a, env) for a in expr.args])
+        # struct calls in expression position, e.g.
+        # `receptors.get_receptor_currents(dt, c_m)` — resolved through the
+        # env's function table (nb_macro/src/lib.rs struct-call codegen)
+        efn = env.get("__fns__", {}).get(expr.name)
+        if efn is None:
             raise NameError(f"unknown DSL function {expr.name!r}")
-        return fn(*[eval_expr(a, env) for a in expr.args])
+        return efn(env, [eval_expr(a, env) for a in expr.args])
     raise TypeError(f"cannot evaluate {expr!r}")
 
 
@@ -181,6 +187,7 @@ def build_neuron(block, registry):
     fields.setdefault("gap_conductance", 10.0)
 
     on_iteration = block.sections.get("on_iteration", [])
+    on_electrochemical = block.sections.get("on_electrochemical_iteration")
     on_spike = block.sections.get("on_spike", [])
     spike_detection = block.sections.get("spike_detection")
     if spike_detection is None:
@@ -247,26 +254,66 @@ def build_neuron(block, registry):
                 methods[f"{alias}.update_current"] = call
             return methods
 
+        def _run_electrochemical(self, s, i, t_input, t_valid):
+            env = self._env(s, i)
+            env["t"] = 0.0   # placeholder so `...(t, dt)` args evaluate
+            methods = self._methods(env)
+
+            def upd_kinetics(e, args):
+                e.update(self.receptors.update_kinetics(e, t_input, t_valid))
+
+            def set_currents(e, args):
+                v = args[0] if args else e["v"]
+                e.update(self.receptors.set_currents(e, v))
+
+            def apply_t(e, args):
+                if "nt$t" in e:
+                    e["nt$t"] = K.apply_t_changes(
+                        self.nt_kinetics, e, e["v"], e["is_spiking"])
+
+            methods["receptors.update_receptor_kinetics"] = upd_kinetics
+            methods["receptors.set_receptor_currents"] = set_currents
+            methods["synaptic_neurotransmitters.apply_t_changes"] = apply_t
+            env["__fns__"] = {
+                "receptors.get_receptor_currents":
+                    lambda e, args: self.receptors.receptor_dv(e),
+            }
+            env, deltas = run_statements(on_electrochemical, env,
+                                         methods=methods)
+            for k in ("i", "t", "__fns__"):
+                env.pop(k, None)
+            s = self._writeback(s, env)
+            return _apply_deltas(s, deltas)
+
         def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
             s = dict(s)
-            if t_input is not None:
-                s.update(self.receptors.update_kinetics(s, t_input, t_valid))
-                s.update(self.receptors.set_currents(s, s["v"]))
-                rec_dv = self.receptors.receptor_dv(s)
+            if t_input is not None and on_electrochemical is not None:
+                # custom electrochemical body replaces the default template
+                # (nb_macro neuron_receptor_integration.rs idiom: explicit
+                # receptors.update_receptor_kinetics / set_receptor_currents /
+                # get_receptor_currents / synaptic_neurotransmitters.
+                # apply_t_changes calls inside the statement list)
+                s = self._run_electrochemical(s, i, t_input, t_valid)
             else:
-                rec_dv = 0.0
+                if t_input is not None:
+                    s.update(self.receptors.update_kinetics(
+                        s, t_input, t_valid))
+                    s.update(self.receptors.set_currents(s, s["v"]))
+                    rec_dv = self.receptors.receptor_dv(s)
+                else:
+                    rec_dv = 0.0
 
-            env = self._env(s, i)
-            env, deltas = run_statements(on_iteration, env,
-                                         methods=self._methods(env))
-            env.pop("i", None)
-            s = self._writeback(s, env)
-            s = _apply_deltas(s, deltas)
-            s["v"] = s["v"] - rec_dv
+                env = self._env(s, i)
+                env, deltas = run_statements(on_iteration, env,
+                                             methods=self._methods(env))
+                env.pop("i", None)
+                s = self._writeback(s, env)
+                s = _apply_deltas(s, deltas)
+                s["v"] = s["v"] - rec_dv
 
-            if not skip_nt:
-                s["nt$t"] = K.apply_t_changes(
-                    self.nt_kinetics, s, s["v"], s["is_spiking"])
+                if not skip_nt:
+                    s["nt$t"] = K.apply_t_changes(
+                        self.nt_kinetics, s, s["v"], s["is_spiking"])
 
             spikes = eval_expr(spike_detection, self._env(s, 0.0))
             if on_spike:

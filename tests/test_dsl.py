@@ -284,3 +284,69 @@ def test_dsl_gating_update_in_channel():
     # state after one update: 0 + 0.1*(0.5*1 - 0) = 0.05
     np.testing.assert_allclose(ch.state["m$state"][0], 0.05, rtol=1e-6)
     np.testing.assert_allclose(cur, 2 * 0.05 * (0.0 - (-10.0)), rtol=1e-5)
+
+
+ELECTROCHEM_NB = """
+[neuron]
+    type: ElectroChemIzhikevich
+    vars: w = 30, a = 0.02, b = 0.2, c = -55, d = 8, v_th = 30, tau_m = 1, c_m = 100, modifier = 1
+    on_spike:
+        v = c
+        w += d
+    spike_detection: v >= v_th
+    on_iteration:
+        dw/dt = (a * (b * v - w)) / tau_m
+        dv/dt = (0.04 * v * v + 5 * v + 140 - w + i) / c_m
+    on_electrochemical_iteration:
+        receptors.update_receptor_kinetics(t, dt)
+        receptors.set_receptor_currents(v, dt)
+        dw/dt = (a * (b * v - w)) / tau_m
+        dv/dt = (0.04 * v * v + 5 * v + 140 - w + i) / c_m
+        v = (modifier * -receptors.get_receptor_currents(dt, c_m)) + v
+        synaptic_neurotransmitters.apply_t_changes()
+[end]
+"""
+
+
+def test_dsl_custom_electrochemical_iteration():
+    """A custom [on_electrochemical_iteration] body that spells out the
+    default template (nb_macro neuron_receptor_integration.rs:53-58) must
+    match the built-in chemical path exactly; modifier != 1 must diverge."""
+    gen = neuron_builder(ELECTROCHEM_NB)["ElectroChemIzhikevich"]
+    model = gen()
+    ref = snn.Izhikevich()
+    s1 = model.init_state(2, v=-65.0)
+    s2 = ref.init_state(2)
+    for t in ("AMPA", "NMDA", "GABA"):
+        s1 = model.insert_receptor(s1, t)
+        s2 = ref.insert_receptor(s2, t)
+    s1 = model.insert_neurotransmitter(s1, "AMPA")
+    s2 = ref.insert_neurotransmitter(s2, "AMPA")
+    t_in = jnp.full((2, 3), 0.5, jnp.float32)
+    valid = jnp.ones((2, 3), bool)
+    i = jnp.asarray([10.0, 40.0])
+    for _ in range(300):
+        s1, _ = model.step(s1, i, t_in, valid)
+        s2, _ = ref.step(s2, i, t_in, valid)
+    np.testing.assert_allclose(np.asarray(s1["v"]), np.asarray(s2["v"]),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1["nt$t"]), np.asarray(s2["nt$t"]),
+                               rtol=1e-6, atol=1e-6)
+
+    # the body is live: doubling the receptor-current modifier diverges
+    s3 = model.init_state(2, v=-65.0, modifier=2.0)
+    for t in ("AMPA", "NMDA", "GABA"):
+        s3 = model.insert_receptor(s3, t)
+    s3 = model.insert_neurotransmitter(s3, "AMPA")
+    for _ in range(300):
+        s3, _ = model.step(s3, i, t_in, valid)
+    assert not np.allclose(np.asarray(s3["v"]), np.asarray(s1["v"]))
+
+    # electrical-only path still uses on_iteration (no receptors touched)
+    s4 = model.init_state(2, v=-65.0)
+    s5 = ref.init_state(2)
+    for _ in range(300):
+        s4, _ = model.step(s4, i)
+        s5, _ = ref.step(s5, i)
+    np.testing.assert_allclose(np.asarray(s4["v"]), np.asarray(s5["v"]),
+                               rtol=1e-6, atol=1e-5)
