@@ -55,7 +55,7 @@ def bench_izhikevich(rows=512, cols=512, iters=2000):
     return ups, dt
 
 
-def bench_hh_stdp(rows=128, cols=128, iters=500):
+def bench_hh_stdp(rows=128, cols=128, iters=2000):
     import spiking_neural_networks_tpu as snn
 
     lat = snn.Lattice(snn.HodgkinHuxley())
@@ -83,7 +83,7 @@ def bench_hh_stdp(rows=128, cols=128, iters=500):
     return sps
 
 
-def bench_lif_poisson_network(rows=64, cols=64, iters=1000):
+def bench_lif_poisson_network(rows=64, cols=64, iters=5000):
     """BASELINE config 2: adaptive LIF lattice driven by a Poisson lattice."""
     import spiking_neural_networks_tpu as snn
 
@@ -107,7 +107,7 @@ def bench_lif_poisson_network(rows=64, cols=64, iters=1000):
     return sps
 
 
-def bench_network_eeg_stdp(rows=64, cols=64, iters=500):
+def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):
     """BASELINE config 5: multi-lattice network, EEG readout, Poisson-encoded
     STDP classifier-style wiring."""
     import spiking_neural_networks_tpu as snn
