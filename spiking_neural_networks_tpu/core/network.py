@@ -225,6 +225,10 @@ class LatticeNetwork:
         self.internal_clock = 0
         self.history_chunk = 1024
         self.key = jax.random.PRNGKey(0)
+        # bumped on any topology/weight mutation; run_structured caches its
+        # compiled plan (and device-resident connection weights) against it
+        self._conn_version = 0
+        self._structured_plan = None
 
     # -- construction ----------------------------------------------------------
     @classmethod
@@ -250,6 +254,7 @@ class LatticeNetwork:
                 "all lattices must share one neuron model config")
         lattice.in_network = True
         self.lattices[lattice.id] = lattice
+        self._conn_version += 1
 
     def add_spike_train_lattice(self, lattice):
         self._check_id(lattice.id)
@@ -260,6 +265,7 @@ class LatticeNetwork:
                     "all spike-train lattices must share one model config")
         lattice.in_network = True
         self.spike_train_lattices[lattice.id] = lattice
+        self._conn_version += 1
 
     def get_lattice(self, id):
         return self.lattices[id]
@@ -313,6 +319,7 @@ class LatticeNetwork:
         self.connections[(presynaptic_id, postsynaptic_id)] = (
             np.asarray(src, np.int64), np.asarray(dst, np.int64),
             np.asarray(w, np.float32))
+        self._conn_version += 1
 
     def connect_vectorized(self, presynaptic_id, postsynaptic_id, fn):
         """Fast path: fn(pre_r, pre_c, post_r, post_c) -> weight array with
@@ -329,6 +336,7 @@ class LatticeNetwork:
         src, dst = np.nonzero(~np.isnan(w))
         self.connections[(presynaptic_id, postsynaptic_id)] = (
             src, dst, w[src, dst])
+        self._conn_version += 1
 
     def connect_internally(self, id, connecting_conditional, weight_logic=None):
         """`connect_interally` (neuron/mod.rs:2050-2084)."""
@@ -575,6 +583,7 @@ class LatticeNetwork:
                 lat.graph = _write_back_graph(lat.graph, src, dst, wslice, prov)
             else:
                 self.connections[owner] = (src, dst, wslice.copy())
+                self._conn_version += 1
             offset += count
 
 

@@ -119,15 +119,26 @@ class PaddedBlock:
         return np.asarray(w).reshape(-1)[self.edge_slots]
 
 
-def classify_connection(src, dst, w, n_pre, n_post):
+PADDED_MIN_ENTRIES = 1_000_000           # plastic blocks: padded above this
+DENSE_MAX_ENTRIES = 32 * 1024 * 1024     # static blocks: dense up to 128MB
+
+
+def classify_connection(src, dst, w, n_pre, n_post, plastic=True):
     if len(src) and len(src) <= n_post and n_pre == n_post \
             and (src == dst).all():
         return OneToOne(src, dst, w, n_post)
     if len(src):
         counts = np.zeros(n_post, np.int64)
         np.add.at(counts, dst, 1)
-        if counts.max() <= PaddedBlock.MAX_K \
-                and n_pre * n_post > 1_000_000:
+        # measured on v5e at 4M-entry blocks: the dense matvec is ~40us/step
+        # cheaper than the (n_post, K) scalar gathers, so STATIC low-K
+        # blocks go dense up to the memory cap (the plan cache keeps the
+        # matrix device-resident).  PLASTIC blocks stay padded above 1M
+        # entries: their weights change every step, and the dense layout
+        # would pull the full (n_pre, n_post) matrix back to host after
+        # every run (~0.2s/call at 16MB) on top of the dense edge update
+        threshold = PADDED_MIN_ENTRIES if plastic else DENSE_MAX_ENTRIES
+        if counts.max() <= PaddedBlock.MAX_K and n_pre * n_post > threshold:
             return PaddedBlock(src, dst, w, n_pre, n_post)
     return DenseBlock(src, dst, w, n_pre, n_post)
 
@@ -191,16 +202,32 @@ def compile_structured(net):
     for (pre_id, post_id), (src, dst, w) in sorted(net.connections.items()):
         pre = net.lattices.get(pre_id) or net.spike_train_lattices.get(pre_id)
         post = net.lattices[post_id]
+        pre_is_st = pre_id in net.spike_train_lattices
+        plastic = bool(post.do_plasticity) or (
+            not pre_is_st and bool(pre.do_plasticity))
         op = classify_connection(np.asarray(src), np.asarray(dst),
-                                 np.asarray(w), pre.n, post.n)
+                                 np.asarray(w), pre.n, post.n, plastic)
         conns.append(dict(pre=pre_id, post=post_id, op=op,
-                          pre_is_st=pre_id in net.spike_train_lattices,
+                          pre_is_st=pre_is_st, plastic=plastic,
                           key=(pre_id, post_id)))
     return dict(lat_ids=lat_ids, st_ids=st_ids, conns=conns)
 
 
 def run_structured(net, iterations):
-    plan = compile_structured(net)
+    # the compiled plan (connection ops with device-resident aux + weights)
+    # is cached against the network's connection version: repeated
+    # run_lattices calls skip host-side op construction AND the
+    # host<->device weight round trip (which costs ~0.6s/call for
+    # dense-block matrices)
+    plast_key = tuple(bool(net.lattices[i].do_plasticity)
+                      for i in sorted(net.lattices))
+    version = (getattr(net, "_conn_version", None), plast_key)
+    cached = getattr(net, "_structured_plan", None)
+    if cached is not None and cached[0] == version:
+        plan = cached[1]
+    else:
+        plan = compile_structured(net)
+        net._structured_plan = (version, plan)
     lat_ids, st_ids, conns = plan["lat_ids"], plan["st_ids"], plan["conns"]
     lattices = [net.lattices[i] for i in lat_ids]
     sts = [net.spike_train_lattices[i] for i in st_ids]
@@ -246,7 +273,15 @@ def run_structured(net, iterations):
         st.state = dict(state)
         st.internal_clock = net.internal_clock
     for c, w in zip(conns, conn_ws):
+        # keep the weights device-resident for the next run — conn_ws is a
+        # DONATED argument, so the previous array is invalidated and the
+        # returned buffer must replace it even when the values are unchanged
+        c["op"].w0 = w
+        if not c["plastic"]:
+            continue                     # weights unchanged: no host pull
         src, dst, _old = net.connections[c["key"]]
+        # the host mirror stays the user-visible source of truth (writing it
+        # here must not invalidate the plan cache, hence no version bump)
         net.connections[c["key"]] = (src, dst, c["op"].extract(w))
     for (i, kind, sig, shape) in hist:
         net.lattices[i].grid_history.extend(ys[("lat", i)])

@@ -152,4 +152,5 @@ def load_network(network, path):
     for pre, post, key in meta["connections"]:
         network.connections[(pre, post)] = (
             data[key + "src"], data[key + "dst"], data[key + "w"])
+    network._conn_version = getattr(network, "_conn_version", 0) + 1
     return network
