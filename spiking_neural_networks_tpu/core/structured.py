@@ -149,8 +149,10 @@ def _conn_gather(kind, aux, w, a_src, sub_src, v_post):
     if kind == "one2one":
         return jnp.where(aux["mask"], w * (a_src - sub_src * v_post), 0.0)
     if kind == "padded":
-        a = a_src[aux["idx"]]                       # (n_post, K) takes
-        sub = sub_src[aux["idx"]]
+        # one fused gather for both fields — TPU gathers pay per row, so
+        # stacking halves the cost vs two scalar takes
+        pair = jnp.stack([a_src, sub_src], axis=-1)[aux["idx"]]
+        a, sub = pair[..., 0], pair[..., 1]         # (n_post, K)
         contrib = jnp.where(aux["mask"],
                             w * (a - sub * v_post[:, None]), 0.0)
         return jnp.sum(contrib, axis=1)
@@ -180,7 +182,13 @@ def _conn_edge_update(kind, aux, w, delta_fn, pre_vals, post_vals):
         dw = delta_fn(w, pre_vals, post_vals)
         return jnp.where(aux["mask"], w + dw, w)
     if kind == "padded":
-        pre = {k: v[aux["idx"]] for k, v in pre_vals.items()}
+        # fuse the per-field takes into one gather (see _conn_gather);
+        # f32 holds last_firing_time exactly up to 2^24 steps, beyond which
+        # STDP time diffs round to +-2 steps — irrelevant at tau ~ 4.5
+        keys = list(pre_vals)
+        stacked = jnp.stack([pre_vals[k].astype(jnp.float32) for k in keys],
+                            axis=-1)[aux["idx"]]    # (n_post, K, F)
+        pre = {k: stacked[..., f] for f, k in enumerate(keys)}
         post = {k: v[:, None] for k, v in post_vals.items()}
         dw = delta_fn(w, pre, post)
         return jnp.where(aux["mask"], w + dw, w)
