@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.graph import (DenseGraph, SparseGraph, StencilGraph, connect_dense,
-                         radius_offsets)
+                         dense_to_stencil, radius_offsets)
 from ..models.base import NEVER, get_neurotransmitter_concentrations
 from .history import GridVoltageHistory
 from .plasticity import STDP
@@ -86,9 +86,15 @@ class Lattice:
 
     def connect(self, connecting_conditional, weight_logic=None):
         """`Lattice::connect` (neuron/mod.rs:1134-1157). O(N^2) host-side;
-        for big lattices prefer `connect_stencil` / `set_graph`."""
-        self.graph = connect_dense(self.rows, self.cols,
-                                   connecting_conditional, weight_logic)
+        for big lattices prefer `connect_stencil` / `set_graph`.
+
+        Radius-style predicates (small offset support) are decomposed into
+        a StencilGraph automatically — shifted adds instead of an (N, N)
+        matvec."""
+        dense = connect_dense(self.rows, self.cols,
+                              connecting_conditional, weight_logic)
+        stencil = dense_to_stencil(dense, self.rows, self.cols)
+        self.graph = stencil if stencil is not None else dense
 
     def falliable_connect(self, connecting_conditional, weight_logic=None):
         """`falliable_connect` (neuron/mod.rs:1165-1196): same as `connect`;

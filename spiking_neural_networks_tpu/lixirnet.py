@@ -356,7 +356,13 @@ class IzhikevichNeuronLattice(_LatticeMixin):
         g = self._inner.graph
         if isinstance(g, DenseGraph):
             return np.asarray(jnp.where(g.mask, g.weights, 0.0))
-        raise TypeError("weights getter requires a dense graph")
+        # stencil/sparse backends: materialize the (N, N) matrix on host
+        from .core.network import _graph_to_coo
+        src, dst, w, _ = _graph_to_coo(g)
+        n = self._inner.n
+        out = np.zeros((n, n), np.float32)
+        out[np.asarray(src), np.asarray(dst)] = np.asarray(w)
+        return out
 
     @property
     def position_to_index(self):

@@ -429,6 +429,36 @@ def dense_to_sparse(graph):
                                    graph.n_pre, graph.n_post)
 
 
+def dense_to_stencil(graph, rows, cols, max_offsets=128):
+    """Decompose a square dense graph into per-offset planes when its edge
+    set has small offset support (any radius-style predicate, including
+    randomly-dropped edges).  The stencil gather is shifted multiply-adds —
+    no gather/scatter, no (N, N) memory traffic — so this is the fastest
+    backend whenever it applies.  Returns None if the support is too wide.
+    """
+    if graph.n_pre != rows * cols or graph.n_post != rows * cols:
+        return None
+    mask = np.asarray(graph.mask)
+    w = np.asarray(graph.weights)
+    src, dst = np.nonzero(mask)
+    if len(src) == 0:
+        return None
+    dr = src // cols - dst // cols
+    dc = src % cols - dst % cols
+    offsets = np.unique(np.stack([dr, dc], axis=1), axis=0)
+    if len(offsets) > max_offsets:
+        return None
+    index = {(int(a), int(b)): o for o, (a, b) in enumerate(offsets)}
+    n_off = len(offsets)
+    wp = np.zeros((n_off, rows, cols), np.float32)
+    mp = np.zeros((n_off, rows, cols), bool)
+    o_idx = np.array([index[(int(a), int(b))] for a, b in zip(dr, dc)])
+    wp[o_idx, dst // cols, dst % cols] = w[src, dst]
+    mp[o_idx, dst // cols, dst % cols] = True
+    return StencilGraph(tuple(map(tuple, offsets)), jnp.asarray(wp),
+                        jnp.asarray(mp))
+
+
 def sparse_radius_graph(rows, cols, radius, keep_prob=1.0, seed=0,
                         weight_mode="constant", wparam0=1.0, wparam1=0.0):
     """Radius-limited lattice connectivity as a SparseGraph, built by the
