@@ -446,7 +446,8 @@ def dense_to_stencil(graph, rows, cols, max_offsets=128):
     dr = src // cols - dst // cols
     dc = src % cols - dst % cols
     offsets = np.unique(np.stack([dr, dc], axis=1), axis=0)
-    if len(offsets) > max_offsets:
+    # wide support: n_off shifted adds would cost more than one matvec
+    if len(offsets) > max_offsets or len(offsets) >= rows * cols // 2:
         return None
     index = {(int(a), int(b)): o for o, (a, b) in enumerate(offsets)}
     n_off = len(offsets)

@@ -393,3 +393,45 @@ def test_lattice_set_dt_golden():
         nr.dt = f32(0.5)
     want, _ = run_ref_lattice(neurons, weights, iters)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+def test_connect_decomposes_to_stencil():
+    """connect() with a radius-style predicate produces a StencilGraph whose
+    trajectory matches the dense construction exactly."""
+    from spiking_neural_networks_tpu.ops.graph import connect_dense
+
+    rng = np.random.default_rng(9)
+    kept = {}
+
+    def pred(x, y):
+        key = (x, y)
+        if key not in kept:
+            kept[key] = bool(np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                             and rng.uniform() <= 0.8 and x != y)
+        return kept[key]
+
+    v0 = np.random.default_rng(3).uniform(-65, 30, 64).astype(np.float32)
+
+    lat = snn.Lattice(snn.Izhikevich(), id=0)
+    lat.populate(8, 8, gap_conductance=10.0)
+    lat.connect(pred, lambda x, y: 1.5)
+    assert isinstance(lat.graph, StencilGraph)
+    lat.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+    lat.update_grid_history = True
+    lat.run_lattice(300)
+    got = np.stack(lat.grid_history.history)
+
+    lat2 = snn.Lattice(snn.Izhikevich(), id=1)
+    lat2.populate(8, 8, gap_conductance=10.0)
+    lat2.graph = connect_dense(8, 8, pred, lambda x, y: 1.5)
+    lat2.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+    lat2.update_grid_history = True
+    lat2.run_lattice(300)
+    want = np.stack(lat2.grid_history.history)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # wide-support predicates must stay dense
+    lat3 = snn.Lattice(snn.Izhikevich(), id=2)
+    lat3.populate(6, 6)
+    lat3.connect(lambda x, y: x != y)
+    assert isinstance(lat3.graph, DenseGraph)
