@@ -388,7 +388,9 @@ def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
             sub_v = jnp.ones_like(a_src)
 
         if electrical:
-            contrib = w * (a_src[src] - sub_v[src] * nstate["v"][dst])
+            # one fused gather for (a, sub) — TPU gathers pay per row
+            pair = jnp.stack([a_src, sub_v], axis=-1)[src]
+            contrib = w * (pair[..., 0] - pair[..., 1] * nstate["v"][dst])
             summed = jax.ops.segment_sum(contrib, dst, num_segments=n_neurons)
             elec = nstate["gap_conductance"] * summed / cnt
         else:
@@ -406,9 +408,12 @@ def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
                 m_src = jnp.concatenate([m_n, m_s]).astype(jnp.float32)
             else:
                 t_src, m_src = t_n, m_n.astype(jnp.float32)
-            vals = w[:, None] * t_src[src] * m_src[src]
+            T = t_src.shape[-1]
+            both = jnp.concatenate([t_src * m_src, m_src], axis=-1)[src]
+            vals = w[:, None] * both[..., :T]
             sums = jax.ops.segment_sum(vals, dst, num_segments=n_neurons)
-            cnts = jax.ops.segment_sum(m_src[src], dst, num_segments=n_neurons)
+            cnts = jax.ops.segment_sum(both[..., T:], dst,
+                                       num_segments=n_neurons)
             t_in = sums / jnp.maximum(cnts, 1.0)
             nstate, spikes = neuron_model.step(
                 nstate, elec, t_in, cnts > 0.0, skip_nt=skip_nt)
@@ -426,27 +431,34 @@ def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
         else:
             lft_all, spk_all = nstate["last_firing_time"], spikes
 
-        # ---- STDP on plain plastic edges ----
+        # fuse ALL per-node edge-endpoint fields into one stacked matrix and
+        # gather it once per side (TPU gathers pay per row — this replaces
+        # up to 8 scalar takes with 2)
+        fields = [lft_all.astype(jnp.float32), spk_all.astype(jnp.float32),
+                  edges["node_mod"]]
         if do_plasticity:
-            pre = {k: v[src] for k, v in
-                   {"last_firing_time": lft_all,
-                    "is_spiking": spk_all}.items()}
-            post = {"last_firing_time": nstate["last_firing_time"][dst],
-                    "is_spiking": spikes[dst]}
-            delta = plasticity_cls.edge_delta(w, pre, post, pparams)
             trig = spikes.astype(jnp.float32) \
                 * edges["node_plastic"][:n_neurons]
             if st_state is not None:
                 trig = jnp.concatenate(
                     [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
-            count = trig[src] + trig[dst]
+            fields.append(trig)
+        stacked = jnp.stack(fields, axis=-1)
+        g_src, g_dst = stacked[src], stacked[dst]
+        lft_src, lft_dst = g_src[..., 0], g_dst[..., 0]
+        spk_src, spk_dst = g_src[..., 1], g_dst[..., 1]
+
+        # ---- STDP on plain plastic edges ----
+        if do_plasticity:
+            pre = {"last_firing_time": lft_src, "is_spiking": spk_src}
+            post = {"last_firing_time": lft_dst, "is_spiking": spk_dst}
+            delta = plasticity_cls.edge_delta(w, pre, post, pparams)
+            count = g_src[..., 3] + g_dst[..., 3]
             w = jnp.where(edges["plastic"], w + delta * count, w)
 
         # ---- R-STDP on modulated edges (visits per modulated endpoint) ----
-        mod_trig = edges["node_mod"]
-        visits = mod_trig[src] + mod_trig[dst]
-        delta = stdp_delta_arrays(lft_all[src],
-                                  nstate["last_firing_time"][dst], rparams)
+        visits = g_src[..., 2] + g_dst[..., 2]
+        delta = stdp_delta_arrays(lft_src, lft_dst, rparams)
         w1, c1, dw1, ct1 = rstdp_visit(w, trace["c"], trace["dw"],
                                        trace["counter"], delta, dopamine,
                                        rparams)
