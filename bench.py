@@ -144,6 +144,25 @@ def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):
     return sps
 
 
+def bench_rstdp_lattice(rows=64, cols=64, iters=3000):
+    """Reward-modulated STDP lattice: per-edge eligibility traces on a
+    radius-2 graph (stencil-decomposed), two visits per edge per step."""
+    import spiking_neural_networks_tpu as snn
+
+    lat = snn.RewardModulatedLattice(snn.Izhikevich())
+    lat.populate(rows, cols, gap_conductance=10.0)
+    lat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                and x != y)
+    lat.run_lattice_with_reward(0.5, iters)
+    t0 = time.perf_counter()
+    lat.run_lattice_with_reward(0.5, iters)
+    jax.block_until_ready(lat.state["v"])
+    dt = time.perf_counter() - t0
+    sps = iters / dt
+    log(f"R-STDP lattice {rows}x{cols}: {sps:.1f} steps/s")
+    return sps
+
+
 def main():
     log("devices:", jax.devices())
     ups, _ = bench_izhikevich()
@@ -152,7 +171,9 @@ def main():
                      ("alif_poisson_network_steps_per_sec_64x64",
                       bench_lif_poisson_network),
                      ("eeg_stdp_network_steps_per_sec_64x64",
-                      bench_network_eeg_stdp)]:
+                      bench_network_eeg_stdp),
+                     ("rstdp_lattice_steps_per_sec_64x64",
+                      bench_rstdp_lattice)]:
         try:
             extra[name] = fn()
         except Exception as e:  # secondary metrics must not sink the primary
