@@ -10,7 +10,9 @@ Visit semantics: the reference's reward modulator `do_update` is always true
 (plasticity/mod.rs:239-241), so during a step *every* neuron triggers an
 update of its incoming and outgoing edges — each intra-lattice edge is
 visited exactly twice per step (once per endpoint), each spike-train-sourced
-edge once.  `RewardModulatedSTDP::update_weight` (plasticity/mod.rs:208-237)
+edge once.  Note the visit-parity consequence: a once-visited edge commits
+its accumulated `dw` into the trace `c` only every SECOND step (its counter
+alternates 1, 0, 1, ... across steps), exactly as in the reference.  `RewardModulatedSTDP::update_weight` (plasticity/mod.rs:208-237)
 is applied per visit:
 
     dw += stdp_delta

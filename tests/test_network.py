@@ -334,3 +334,37 @@ def test_lattice_set_dt_updates_plasticity():
     lat.connect_stencil(radius=1.0)
     lat.set_dt(0.05)
     assert abs(lat.plasticity.params["dt"] - 0.05) < 1e-9
+
+
+def test_structured_plan_cache_across_runs():
+    """Repeated run_lattices reuse the cached plan + device weights; any
+    connect() invalidates it; plastic weights keep flowing through the
+    cache (guards the donated-buffer re-adoption, which is CPU-invisible
+    but fatal on TPU)."""
+    exc = snn.Lattice(snn.Izhikevich(), id=0)
+    exc.populate(4, 4, gap_conductance=10.0)
+    exc.connect_stencil(radius=1.5)
+    exc.do_plasticity = True
+    st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=1)
+    st.populate(4, 4)
+    st.state = snn.PoissonSpikeTrain().init_from_firing_rate(
+        16, hertz=1000.0, dt=0.1)
+    net = snn.LatticeNetwork.generate_network([exc], [st])
+    net.connect(1, 0, lambda a, b: a == b, lambda a, b: 50.0)
+
+    net.run_lattices(200)
+    plan1 = net._structured_plan
+    assert plan1 is not None
+    assert (np.asarray(exc.state["last_firing_time"]) >= 0).any()
+    w1 = np.asarray(net.connections[(1, 0)][2]).copy()
+    net.run_lattices(200)
+    assert net._structured_plan is plan1          # cache hit
+    w2 = np.asarray(net.connections[(1, 0)][2])
+    assert net.internal_clock == 400
+    assert not np.allclose(w1, w2)                # plasticity flowed through
+
+    net.connect(1, 0, lambda a, b: a == b, lambda a, b: 1.0)
+    net.run_lattices(10)
+    assert net._structured_plan is not plan1      # invalidated + rebuilt
+    w3 = np.asarray(net.connections[(1, 0)][2])
+    assert np.all(np.abs(w3) <= 10.0)             # new weights took effect
