@@ -67,6 +67,8 @@ def save_lattice(lattice, path):
     out, meta = {}, {"rows": lattice.rows, "cols": lattice.cols,
                      "internal_clock": lattice.internal_clock,
                      "id": lattice.id}
+    if getattr(lattice, "key", None) is not None:
+        out["__key__"] = np.asarray(lattice.key)
     _flatten("state/", lattice.state, out)
     if getattr(lattice, "graph", None) is not None:
         _graph_arrays(lattice.graph, "graph/", out, meta)
@@ -86,6 +88,8 @@ def load_lattice(lattice, path):
     lattice.rows, lattice.cols = meta["rows"], meta["cols"]
     lattice.internal_clock = meta["internal_clock"]
     lattice.id = meta["id"]
+    if "__key__" in data.files:
+        lattice.key = jnp.asarray(data["__key__"])
     state = {}
     for k in data.files:
         if k.startswith("state/"):
@@ -124,6 +128,9 @@ def save_network(network, path):
         out[key + "src"] = np.asarray(src)
         out[key + "dst"] = np.asarray(dst)
         out[key + "w"] = np.asarray(w)
+    # the PRNG key drives every stochastic source (Poisson trains):
+    # without it a resumed run cannot reproduce the original trajectory
+    out["__key__"] = np.asarray(network.key)
     out["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **out)
 
@@ -134,6 +141,8 @@ def load_network(network, path):
     network.internal_clock = meta["internal_clock"]
     network.electrical_synapse = meta["electrical_synapse"]
     network.chemical_synapse = meta["chemical_synapse"]
+    if "__key__" in data.files:
+        network.key = jnp.asarray(data["__key__"])
     for i_str, info in meta["lattices"].items():
         lat = network.lattices[int(i_str)]
         p = f"lat{i_str}/"

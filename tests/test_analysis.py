@@ -204,3 +204,41 @@ def test_step_timer():
     lat.connect_stencil(radius=1.5)
     r = StepTimer(lat).measure(iterations=50)
     assert r["steps_per_sec"] > 0 and r["neuron_updates_per_sec"] > 0
+
+
+def test_network_checkpoint_roundtrip():
+    """Network checkpoint/resume: reloading into a freshly-built network
+    reproduces the exact trajectory of the uninterrupted run (and the
+    structured-plan cache correctly invalidates on load)."""
+    import tempfile, os
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.utils import checkpoint as ckpt
+
+    def build():
+        exc = snn.Lattice(snn.Izhikevich(), id=0)
+        exc.populate(4, 4, gap_conductance=10.0)
+        exc.connect_stencil(radius=1.5, seed=2)
+        exc.do_plasticity = True
+        st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=1)
+        st.populate(4, 4)
+        st.state = snn.PoissonSpikeTrain().init_from_firing_rate(
+            16, hertz=500.0, dt=0.1)
+        net = snn.LatticeNetwork.generate_network([exc], [st])
+        net.connect(1, 0, lambda a, b: a == b, lambda a, b: 30.0)
+        return net, exc
+
+    net, exc = build()
+    net.run_lattices(100)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "net.npz")
+        ckpt.save_network(net, path)
+        net.run_lattices(100)
+        v_ref = np.asarray(exc.state["v"]).copy()
+        w_ref = np.asarray(net.connections[(1, 0)][2]).copy()
+
+        net2, exc2 = build()
+        ckpt.load_network(net2, path)
+        net2.run_lattices(100)
+        np.testing.assert_array_equal(np.asarray(exc2.state["v"]), v_ref)
+        np.testing.assert_array_equal(
+            np.asarray(net2.connections[(1, 0)][2]), w_ref)
