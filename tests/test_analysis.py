@@ -242,3 +242,34 @@ def test_network_checkpoint_roundtrip():
         np.testing.assert_array_equal(np.asarray(exc2.state["v"]), v_ref)
         np.testing.assert_array_equal(
             np.asarray(net2.connections[(1, 0)][2]), w_ref)
+
+
+def test_reward_lattice_checkpoint_roundtrip():
+    """R-STDP lattice checkpoints carry trace state + dopamine; resume is
+    exact."""
+    import tempfile, os
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.utils import checkpoint as ckpt
+
+    def build():
+        lat = snn.RewardModulatedLattice(snn.Izhikevich())
+        lat.populate(4, 4, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5)
+        lat.apply(lambda s: {**s, "v": jnp.full_like(s["v"], -20.0)})
+        return lat
+
+    lat = build()
+    lat.run_lattice_with_reward(0.5, 100)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "r.npz")
+        ckpt.save_lattice(lat, path)
+        lat.run_lattice_with_reward(0.5, 100)
+        v_ref = np.asarray(lat.state["v"]).copy()
+        c_ref = np.asarray(lat.trace["c"]).copy()
+
+        lat2 = build()
+        ckpt.load_lattice(lat2, path)
+        assert abs(lat2.dopamine - 0.0) >= 0.0     # restored scalar
+        lat2.run_lattice_with_reward(0.5, 100)
+        np.testing.assert_array_equal(np.asarray(lat2.state["v"]), v_ref)
+        np.testing.assert_array_equal(np.asarray(lat2.trace["c"]), c_ref)
