@@ -350,3 +350,26 @@ def test_dsl_custom_electrochemical_iteration():
         s5, _ = ref.step(s5, i)
     np.testing.assert_allclose(np.asarray(s4["v"]), np.asarray(s5["v"]),
                                rtol=1e-6, atol=1e-5)
+
+
+def test_dsl_electrochemical_in_chemical_lattice():
+    """The custom electrochemical body runs inside a chemical-synapse
+    lattice scan (the full jit path, not just neuron.step)."""
+    gen = neuron_builder(ELECTROCHEM_NB)["ElectroChemIzhikevich"]
+    model = gen()
+    lat = snn.Lattice(model)
+    lat.populate(4, 4, gap_conductance=10.0)
+    lat.connect_stencil(radius=1.5, seed=0)
+    lat.electrical_synapse = False
+    lat.chemical_synapse = True
+    s = lat.state
+    for t in ("AMPA", "NMDA"):
+        s = model.insert_receptor(s, t)
+        s = model.insert_neurotransmitter(s, t)
+    s["v"] = jnp.asarray(
+        np.random.default_rng(0).uniform(-65, 30, 16), jnp.float32)
+    lat.state = s
+    lat.run_lattice(200)
+    assert np.isfinite(np.asarray(lat.state["v"])).all()
+    # NT concentrations were driven by the explicit apply_t_changes call
+    assert float(np.abs(np.asarray(lat.state["nt$t"])).max()) > 0.0
