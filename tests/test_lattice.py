@@ -435,3 +435,28 @@ def test_connect_decomposes_to_stencil():
     lat3.populate(6, 6)
     lat3.connect(lambda x, y: x != y)
     assert isinstance(lat3.graph, DenseGraph)
+
+
+def test_graph_weight_history():
+    """`update_graph_history` records the weight planes per step
+    (Graph::update_history, neuron/mod.rs:908-910); forcing two adjacent
+    neurons to fire a few steps apart produces a visible STDP update in
+    the recorded history."""
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(3, 3, gap_conductance=10.0)
+    lat.connect_stencil(radius=1.0)
+    lat.do_plasticity = True
+    lat.update_graph_history = True
+
+    def force(idx):
+        lat.apply(lambda s: {**s, "v": s["v"].at[idx].set(31.0)})
+
+    force(4)
+    lat.run_lattice(3)
+    force(5)                   # neighbor fires 3 steps later -> dw != 0
+    lat.run_lattice(3)
+    lat.run_lattice(4)
+    assert len(lat.graph_history) == 10
+    first, last = lat.graph_history[0], lat.graph_history[-1]
+    assert first.shape == last.shape
+    assert not np.allclose(first, last)   # STDP moved weights
