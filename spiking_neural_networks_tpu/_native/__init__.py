@@ -1,13 +1,17 @@
 """ctypes bindings for the native graph-construction library.
 
-Builds ``graphlib.cpp`` with g++ on first import (cached as ``graphlib.so``
-next to the source); falls back to ``available = False`` so pure-NumPy paths
-take over when no toolchain exists.
+Builds ``graphlib.cpp`` with g++ on first import into a per-user cache
+directory keyed by the source content hash (never a binary checked into the
+repo — mtime-based staleness checks break on fresh clones, and a shipped
+``-march=native`` binary is both unportable and of unverifiable provenance);
+falls back to ``available = False`` so pure-NumPy paths take over when no
+toolchain exists.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -15,24 +19,37 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "graphlib.cpp")
-_SO = os.path.join(_DIR, "graphlib.so")
 
 available = False
 _lib = None
 
 
-def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO]
+def _so_path():
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get("XDG_CACHE_HOME",
+                           os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(cache, "snn_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"graphlib-{digest}.so")
+
+
+def _build(so):
+    # plain -O3, host-portable: the hot loops are memory/branch bound and
+    # gain nothing measurable from -march=native
+    tmp = so + f".tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)
 
 
 def _load():
     global _lib, available
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        so = _so_path()
+        if not os.path.exists(so):
+            _build(so)
+        lib = ctypes.CDLL(so)
     except Exception:
         available = False
         return

@@ -374,10 +374,17 @@ class LatticeNetwork:
             src_all.append(src + base)
             dst_all.append(dst + n_offset[post_id])
             w_all.append(w)
-            # connecting edges participate in plasticity when the
-            # postsynaptic lattice has it enabled (neuron/mod.rs:2444-2461)
-            plastic_all.append(
-                np.full(len(w), bool(self.lattices[post_id].do_plasticity)))
+            # connecting edges participate in plasticity when EITHER
+            # endpoint's lattice has it enabled: a spiking plastic neuron
+            # updates its outgoing connecting edges too
+            # (neuron/mod.rs:2445-2461 — positions_to_update gathers spiking
+            # neurons of plastic lattices, then across-lattice updates visit
+            # both in- and out-edges); per-endpoint triggering via
+            # node_plastic supplies the actual visit counts
+            pre_lat = self.lattices.get(pre_id)
+            edge_plastic = bool(self.lattices[post_id].do_plasticity) or (
+                pre_lat is not None and bool(pre_lat.do_plasticity))
+            plastic_all.append(np.full(len(w), edge_plastic))
             provenance.append(("connecting", (pre_id, post_id), len(w), None,
                                src, dst))
 
@@ -674,26 +681,28 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
                        for k in plasticity_cls.NODE_KEYS}
                 post = {k: (spikes if k == "is_spiking" else nstate[k])[None, :]
                         for k in plasticity_cls.NODE_KEYS}
-                delta = plasticity_cls.edge_delta(w, pre, post, pparams)
                 trig = spikes.astype(jnp.float32) \
                     * edges["node_plastic"][:n_neurons]
                 if st_state is not None:
                     trig = jnp.concatenate(
                         [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
                 count = trig[:, None] + trig[None, :n_neurons]
-                w = jnp.where(edges["plastic"], w + delta * count, w)
+                w_new = plasticity_cls.apply_visits(w, pre, post, pparams,
+                                                    count)
+                w = jnp.where(edges["plastic"], w_new, w)
             else:
                 pre = {k: node_vals(k)[src] for k in plasticity_cls.NODE_KEYS}
                 post = {k: (spikes if k == "is_spiking" else nstate[k])[dst]
                         for k in plasticity_cls.NODE_KEYS}
-                delta = plasticity_cls.edge_delta(w, pre, post, pparams)
                 trig = spikes.astype(jnp.float32) \
                     * edges["node_plastic"][:n_neurons]
                 if st_state is not None:
                     trig = jnp.concatenate(
                         [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
                 count = trig[src] + trig[dst]
-                w = jnp.where(edges["plastic"], w + delta * count, w)
+                w_new = plasticity_cls.apply_visits(w, pre, post, pparams,
+                                                    count)
+                w = jnp.where(edges["plastic"], w_new, w)
 
         clock = clock + 1
 

@@ -66,6 +66,12 @@ class STDP:
             + post["is_spiking"].astype(jnp.float32)
         return STDP.edge_delta(w, pre, post, p) * count
 
+    @staticmethod
+    def apply_visits(w, pre, post, p, count):
+        """Apply ``count`` serial visits of the rule.  The STDP delta is
+        weight-independent, so serial visits sum exactly."""
+        return w + STDP.edge_delta(w, pre, post, p) * count
+
     NODE_KEYS = ("last_firing_time", "is_spiking")
 
     def apply(self, graph, state, params):
@@ -98,10 +104,22 @@ class BCM:
         return (term - p["decay"] * w) * p["dt"]
 
     @staticmethod
+    def apply_visits(w, pre, post, p, count):
+        """Apply ``count`` serial visits.  Unlike STDP, the BCM delta reads
+        the *current* weight through its decay term, so the reference's
+        second serial visit (both endpoints spiking,
+        neuron/mod.rs:849-881 sweep) computes decay on the already-updated
+        weight: two visits are d1 + d2(w + d1), not 2*d1.  Visit order is
+        irrelevant (the delta is affine in w)."""
+        d1 = BCM.edge_delta(w, pre, post, p)
+        d2 = BCM.edge_delta(w + d1, pre, post, p)
+        return w + jnp.where(count >= 2.0, d1 + d2, d1 * count)
+
+    @staticmethod
     def edge_dw(w, pre, post, p):
         count = pre["is_spiking"].astype(jnp.float32) \
             + post["is_spiking"].astype(jnp.float32)
-        return BCM.edge_delta(w, pre, post, p) * count
+        return BCM.apply_visits(w, pre, post, p, count) - w
 
     NODE_KEYS = ("current_activity", "average_activity", "is_spiking")
 

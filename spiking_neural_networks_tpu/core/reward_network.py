@@ -148,22 +148,35 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
         lat_ids = plan["lat_ids"]
         n_offset = plan["n_offset"]
 
-        # per-node "reward-modulated trigger" flag
+        # per-node "reward-modulated trigger" flag (do_modulation, visits
+        # every step — the modulator's do_update is always true)
         node_mod = np.zeros(plan["n_total"], np.float32)
         for i, lat in self.reward_modulated_lattices.items():
             if lat.do_modulation:
                 node_mod[n_offset[i]:n_offset[i] + lat.n] = 1.0
+        # per-node "lives in a PLAIN lattice" flag: the reward sweep applies
+        # the plain lattice's plasticity to plain connecting edges whose
+        # other endpoint is a plain lattice (mod.rs:4868-4898, 4928-4947),
+        # ungated on that lattice's do_plasticity
+        node_plain = np.zeros(plan["n_total"], np.float32)
+        for i, lat in self.lattices.items():
+            node_plain[n_offset[i]:n_offset[i] + lat.n] = 1.0
 
         # intra-lattice edges of reward-modulated lattices are themselves
-        # trace-modulated; collect their trace state aligned with plan edges
+        # trace-modulated; collect their trace state aligned with plan edges.
+        # `modulated` marks the RewardModulatedWeight edges — ONLY these
+        # receive R-STDP visits; plain Weight edges receive STDP
+        # (mod.rs:4720-4760 match on the connection enum)
         c = np.zeros(n_edges_plain, np.float32)
         dwacc = np.zeros(n_edges_plain, np.float32)
         counter = np.zeros(n_edges_plain, np.int32)
+        modulated = np.zeros(n_edges_plain, bool)
         offset = 0
         for entry in plan["provenance"]:
             kind, owner, count, prov, src, dst = entry
             if kind == "intra" and owner in self.reward_modulated_lattices:
                 lat = self.reward_modulated_lattices[owner]
+                modulated[offset:offset + count] = True
                 if lat.trace is not None:
                     tw = _trace_to_edges(lat, src, dst)
                     c[offset:offset + count] = tw[0]
@@ -186,29 +199,39 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             r_ct.append(ct)
             r_prov.append(((pre_id, post_id), len(w), src, dst))
 
+        src_host = np.asarray(plan["src"])
+        dst_host = np.asarray(plan["dst"])
         if r_src:
-            src_all = np.concatenate([np.asarray(plan["src"]),
-                                      np.concatenate(r_src)])
-            dst_all = np.concatenate([np.asarray(plan["dst"]),
-                                      np.concatenate(r_dst)])
+            src_all = np.concatenate([src_host, np.concatenate(r_src)])
+            dst_all = np.concatenate([dst_host, np.concatenate(r_dst)])
             w_all = np.concatenate([np.asarray(plan["w"]),
                                     np.concatenate(r_w)])
             c = np.concatenate([c, np.concatenate(r_c)])
             dwacc = np.concatenate([dwacc, np.concatenate(r_dw)])
             counter = np.concatenate([counter, np.concatenate(r_ct)])
+            n_extra = len(w_all) - n_edges_plain
             plastic = np.concatenate([np.asarray(plan["plastic"]),
-                                      np.zeros(len(w_all) - n_edges_plain,
-                                               bool)])
+                                      np.zeros(n_extra, bool)])
+            modulated = np.concatenate([modulated, np.ones(n_extra, bool)])
             in_deg = np.zeros(plan["n_neurons"], np.float32)
             np.add.at(in_deg, dst_all, 1.0)
             plan.update(src=jnp.asarray(src_all, jnp.int32),
                         dst=jnp.asarray(dst_all, jnp.int32),
                         w=jnp.asarray(w_all), plastic=jnp.asarray(plastic),
                         in_deg=jnp.asarray(in_deg))
+            src_host, dst_host = src_all, dst_all
 
         plan["trace"] = dict(c=jnp.asarray(c), dw=jnp.asarray(dwacc),
                              counter=jnp.asarray(counter))
         plan["node_mod"] = jnp.asarray(node_mod)
+        plan["node_plain"] = jnp.asarray(node_plain)
+        plan["modulated"] = jnp.asarray(modulated)
+        # static: does the reward sweep ever STDP a plain edge (modulated
+        # endpoint on one side, plain lattice on the other)?
+        cross = (node_mod[src_host] * node_plain[dst_host]
+                 + node_mod[dst_host] * node_plain[src_host])
+        plan["stdp_cross_any"] = bool(len(cross)
+                                      and float(cross[~modulated].max(initial=0.0)) > 0)
         plan["r_provenance"] = r_prov
         plan["n_edges_plain"] = n_edges_plain
         return plan
@@ -238,7 +261,10 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
         neuron_model = next(iter(merged.values())).model
         st_model = (next(iter(self.spike_train_lattices.values())).model
                     if plan["st_ids"] else None)
-        do_plasticity = any(l.do_plasticity for l in self.lattices.values())
+        # STDP runs when a plain lattice has do_plasticity OR the reward
+        # sweep reaches a plain edge (modulated endpoint x plain endpoint)
+        do_plasticity = any(l.do_plasticity for l in self.lattices.values()) \
+            or plan["stdp_cross_any"]
         plasticity = self._plasticity()
         skip_nt = not bool(_mask_any(plan["nstate"]["nt$mask"]))
         hist_sig = self._history_signature(plan)
@@ -256,9 +282,10 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             plan["nstate"], plan["st_state"], plan["w"], plan["trace"],
             jnp.float32(self.dopamine), self.key,
             jnp.int32(self.internal_clock), rewards,
-            dict(src=plan["src"], dst=plan["dst"], plastic=plan["plastic"],
+            dict(src=plan["src"], dst=plan["dst"],
                  node_plastic=plan["node_plastic"],
-                 node_mod=plan["node_mod"], in_deg=plan["in_deg"]),
+                 node_mod=plan["node_mod"], node_plain=plan["node_plain"],
+                 modulated=plan["modulated"], in_deg=plan["in_deg"]),
             pparams, rparams)
         (plan["nstate"], plan["st_state"], plan["w"], plan["trace"],
          dopamine, self.key) = carry[:6]
@@ -423,41 +450,57 @@ def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
         nstate["last_firing_time"] = jnp.where(
             spikes, clock, nstate["last_firing_time"])
 
-        if st_state is not None:
-            lft_all = jnp.concatenate(
-                [nstate["last_firing_time"], st_state["last_firing_time"]])
-            spk_all = jnp.concatenate(
-                [spikes, st_state["is_spiking"]])
-        else:
-            lft_all, spk_all = nstate["last_firing_time"], spikes
+        def node_vals(key_name):
+            nv = nstate[key_name] if key_name != "is_spiking" else spikes
+            if st_state is not None and key_name in st_state:
+                sv = (st_state["is_spiking"] if key_name == "is_spiking"
+                      else st_state[key_name])
+                return jnp.concatenate([nv, sv])
+            if st_state is not None:
+                pad = jnp.zeros((n_total - n_neurons,), nv.dtype)
+                return jnp.concatenate([nv, pad])
+            return nv
 
         # fuse ALL per-node edge-endpoint fields into one stacked matrix and
         # gather it once per side (TPU gathers pay per row — this replaces
-        # up to 8 scalar takes with 2)
-        fields = [lft_all.astype(jnp.float32), spk_all.astype(jnp.float32),
-                  edges["node_mod"]]
-        if do_plasticity:
-            trig = spikes.astype(jnp.float32) \
-                * edges["node_plastic"][:n_neurons]
-            if st_state is not None:
-                trig = jnp.concatenate(
-                    [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
-            fields.append(trig)
+        # up to 10 scalar takes with 2)
+        node_keys = list(dict.fromkeys(
+            ("last_firing_time", "is_spiking") + plasticity_cls.NODE_KEYS))
+        trig = spikes.astype(jnp.float32) * edges["node_plastic"][:n_neurons]
+        if st_state is not None:
+            trig = jnp.concatenate(
+                [trig, jnp.zeros((n_total - n_neurons,), jnp.float32)])
+        fields = [node_vals(k).astype(jnp.float32) for k in node_keys] \
+            + [edges["node_mod"], edges["node_plain"], trig]
         stacked = jnp.stack(fields, axis=-1)
         g_src, g_dst = stacked[src], stacked[dst]
-        lft_src, lft_dst = g_src[..., 0], g_dst[..., 0]
-        spk_src, spk_dst = g_src[..., 1], g_dst[..., 1]
+        kidx = {k: i for i, k in enumerate(node_keys)}
+        b = len(node_keys)
+        lft_src = g_src[..., kidx["last_firing_time"]]
+        lft_dst = g_dst[..., kidx["last_firing_time"]]
+        mod_src, mod_dst = g_src[..., b], g_dst[..., b]
+        plain_src, plain_dst = g_src[..., b + 1], g_dst[..., b + 1]
+        trig_src, trig_dst = g_src[..., b + 2], g_dst[..., b + 2]
+        mod_edge = edges["modulated"]
 
-        # ---- STDP on plain plastic edges ----
+        # ---- STDP on plain (Weight) edges only ----
+        # visit count = spiking endpoints in plastic plain lattices
+        # (mod.rs:5083 + across/within sweeps) PLUS modulated endpoints whose
+        # other end is a plain lattice (the reward sweep applies the plain
+        # plasticity to those edges every step, mod.rs:4868-4898, 4928-4947)
         if do_plasticity:
-            pre = {"last_firing_time": lft_src, "is_spiking": spk_src}
-            post = {"last_firing_time": lft_dst, "is_spiking": spk_dst}
-            delta = plasticity_cls.edge_delta(w, pre, post, pparams)
-            count = g_src[..., 3] + g_dst[..., 3]
-            w = jnp.where(edges["plastic"], w + delta * count, w)
+            pre = {k: g_src[..., kidx[k]] for k in plasticity_cls.NODE_KEYS}
+            post = {k: g_dst[..., kidx[k]] for k in plasticity_cls.NODE_KEYS}
+            count = (trig_src + trig_dst
+                     + mod_src * plain_dst + mod_dst * plain_src)
+            w_new = plasticity_cls.apply_visits(w, pre, post, pparams, count)
+            w = jnp.where(mod_edge, w, w_new)
 
-        # ---- R-STDP on modulated edges (visits per modulated endpoint) ----
-        visits = g_src[..., 2] + g_dst[..., 2]
+        # ---- R-STDP on modulated edges only: one visit per modulated
+        # endpoint (every step) + one per spiking plastic plain endpoint
+        # (mod.rs:4742-4762) ----
+        visits = jnp.where(mod_edge,
+                           mod_src + mod_dst + trig_src + trig_dst, 0.0)
         delta = stdp_delta_arrays(lft_src, lft_dst, rparams)
         w1, c1, dw1, ct1 = rstdp_visit(w, trace["c"], trace["dw"],
                                        trace["counter"], delta, dopamine,

@@ -405,18 +405,15 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
 
         # ---- deferred plasticity per structured component ----
         if any(do_plast):
-            def delta_fn(w, pre, post):
-                return plasticity_cls.edge_dw(w, pre, post, pparams)
-
             for k in range(len(lat_ids)):
                 if do_plast[k]:
                     vals = {key_: states[k][key_]
                             for key_ in plasticity_cls.NODE_KEYS}
                     graphs[k] = graphs[k].apply_edge_update(
-                        lambda w, pre, post: plasticity_cls.edge_delta(
-                            w, pre, post, pparams)
-                        * (pre["is_spiking"].astype(jnp.float32)
-                           + post["is_spiking"].astype(jnp.float32)),
+                        lambda w, pre, post: plasticity_cls.apply_visits(
+                            w, pre, post, pparams,
+                            pre["is_spiking"].astype(jnp.float32)
+                            + post["is_spiking"].astype(jnp.float32)) - w,
                         vals, vals)
             for ci, (pre_id, post_id, kind, pre_is_st) in enumerate(conn_meta):
                 post_k = lat_index[post_id]
@@ -439,12 +436,12 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
                 def gated_delta(w, pre, post,
                                 pre_plastic=pre_plastic,
                                 post_plastic=post_plastic):
-                    d = plasticity_cls.edge_delta(w, pre, post, pparams)
                     count = (pre["is_spiking"].astype(jnp.float32)
                              * (1.0 if pre_plastic else 0.0)
                              + post["is_spiking"].astype(jnp.float32)
                              * (1.0 if post_plastic else 0.0))
-                    return d * count
+                    return plasticity_cls.apply_visits(
+                        w, pre, post, pparams, count) - w
 
                 conn_ws[ci] = _conn_edge_update(
                     conn_meta[ci][2], conn_aux[ci], conn_ws[ci],
