@@ -63,6 +63,7 @@ class Lattice:
         self.key = jax.random.PRNGKey(0)
         self.history_chunk = 1024
         self.in_network = False
+        self.mesh = None  # set by shard(); informational
         # opt-in fused Pallas kernel for the electrical Izhikevich+stencil
         # hot path (ops/pallas_stencil.py)
         self.use_pallas = False
@@ -116,6 +117,14 @@ class Lattice:
         if graph.n_post != self.n:
             raise GraphError("graph does not match lattice dimensions")
         self.graph = graph
+
+    def shard(self, mesh, axis="tp"):
+        """Shard this lattice's state + adjacency across a device mesh
+        (row-block model parallelism; parallel/lattice_sharding.py).  Call
+        after `populate`/`connect`; subsequent `run_lattice` calls compile
+        to SPMD programs whose halo exchanges ride ICI."""
+        from ..parallel.lattice_sharding import shard_lattice
+        return shard_lattice(self, mesh, axis)
 
     # -- per-neuron mutation (`apply` / `apply_given_position`,
     #    neuron/mod.rs:424-452) ------------------------------------------------

@@ -77,6 +77,11 @@ class SpikeTrainLattice:
         self.state = dict(fn(jnp.asarray(rr.reshape(-1)),
                              jnp.asarray(cc.reshape(-1)), dict(self.state)))
 
+    def shard(self, mesh, axis="tp"):
+        """Row-block shard the generator state over a device mesh."""
+        from ..parallel.lattice_sharding import shard_lattice
+        return shard_lattice(self, mesh, axis)
+
     def set_dt(self, dt):
         """`SpikeTrainLattice::set_dt` — note PoissonNeuron rescales its
         chance_of_firing by dt ratio (spike_train/mod.rs:340-350)."""
@@ -272,6 +277,12 @@ class LatticeNetwork:
 
     def get_spike_train_lattice(self, id):
         return self.spike_train_lattices[id]
+
+    def shard(self, mesh, axis="tp"):
+        """Shard every member lattice across the mesh (structured runner
+        keeps per-lattice arrays, so each is row-block sharded in place)."""
+        from ..parallel.lattice_sharding import shard_network
+        return shard_network(self, mesh, axis)
 
     def set_dt(self, dt):
         for lat in self.lattices.values():

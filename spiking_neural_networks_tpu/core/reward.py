@@ -133,6 +133,11 @@ class RewardModulatedLattice:
     def apply(self, fn):
         self.state = dict(fn(dict(self.state)))
 
+    def shard(self, mesh, axis="tp"):
+        """Row-block shard state + graph + trace planes over a mesh."""
+        from ..parallel.lattice_sharding import shard_lattice
+        return shard_lattice(self, mesh, axis)
+
     def set_dt(self, dt):
         self.state["dt"] = jnp.full_like(self.state["dt"], dt)
         self.reward_modulator.set_dt(dt)

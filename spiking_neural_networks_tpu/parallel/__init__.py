@@ -1,1 +1,3 @@
 from . import sharding
+from .lattice_sharding import (make_lattice_mesh, shard_lattice,
+                               shard_network, shard_state, shard_graph)

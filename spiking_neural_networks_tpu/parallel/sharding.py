@@ -106,33 +106,42 @@ def make_sharded_training_step(mesh, model):
         state["last_firing_time"] = jnp.where(
             spikes, clock, state["last_firing_time"])
 
-        # STDP on every edge touching a spiking endpoint
-        # (plasticity/mod.rs:46-69 semantics, outer-product form).
-        lft_pre = state["last_firing_time"][:, :, None]
-        lft_post = state["last_firing_time"][:, None, :]
-        s_pre = spikes[:, :, None].astype(jnp.float32)
-        s_post = spikes[:, None, :].astype(jnp.float32)
-        both = jnp.logical_and(lft_pre != NEVER, lft_post != NEVER)
-        diff = jnp.abs((lft_pre - lft_post).astype(jnp.float32)) * pparams["dt"]
-        plus = pparams["a_plus"] * jnp.exp(-diff / pparams["tau_plus"])
-        minus = -pparams["a_minus"] * jnp.exp(-diff / pparams["tau_minus"])
-        dw = jnp.where(lft_pre < lft_post, plus,
-                       jnp.where(lft_pre > lft_post, minus, 0.0))
-        dw = jnp.where(both, dw, 0.0) * (s_pre + s_post)
-        weights = jnp.where(mask, weights + dw, weights)
+        # STDP on every edge touching a spiking endpoint — the shared edge
+        # rule from core/plasticity.py in outer-product (B, N_pre, N_post)
+        # form (pre broadcast over columns, post over rows): zero extra
+        # communication, dw is column-sharded like W.
+        pre = {"last_firing_time": state["last_firing_time"][:, :, None],
+               "is_spiking": spikes[:, :, None]}
+        post = {"last_firing_time": state["last_firing_time"][:, None, :],
+                "is_spiking": spikes[:, None, :]}
+        count = (spikes[:, :, None].astype(jnp.float32)
+                 + spikes[:, None, :].astype(jnp.float32))
+        w_new = STDP.apply_visits(weights, pre, post, pparams, count)
+        weights = jnp.where(mask, w_new, weights)
         weights = jax.lax.with_sharding_constraint(weights, wspec)
 
         return state, weights, spikes
 
-    out_shardings = (None, wspec, sspec)
-    return jax.jit(step, donate_argnums=(0, 1)), stdp
+    # state keeps per-leaf inferred shardings (donated inputs carry them);
+    # pin the weight/spike outputs to the canonical layout
+    jitted = jax.jit(step, donate_argnums=(0, 1),
+                     out_shardings=(None, wspec, sspec))
+    return jitted, stdp
 
 
 def shard_batched_inputs(mesh, state, weights, mask):
-    """Place host arrays onto the mesh with the canonical shardings."""
+    """Place host arrays onto the mesh with the canonical shardings.
+
+    Transfers are sequential + synced: batched multi-leaf device_puts
+    exhaust the tunneled TPU relay (see utils/transfer.device_put_state)."""
+    def put(x, sharding):
+        out = jax.device_put(x, sharding)
+        out.block_until_ready()
+        return out
+
     spec = state_sharding(mesh)
-    state = {k: jax.device_put(v, spec(v)) for k, v in state.items()}
+    state = {k: put(v, spec(v)) for k, v in sorted(state.items())}
     wspec = NamedSharding(mesh, P("dp", None, "tp"))
-    weights = jax.device_put(weights, wspec)
-    mask = jax.device_put(mask, wspec)
+    weights = put(weights, wspec)
+    mask = put(mask, wspec)
     return state, weights, mask

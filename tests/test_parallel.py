@@ -89,3 +89,180 @@ def test_dryrun_multichip_entry():
     if jax.device_count("cpu") < 8:
         pytest.skip("needs 8 cpu devices")
     g.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Single-lattice / network sharding (parallel/lattice_sharding.py): every
+# feature vs its unsharded twin on the same virtual mesh
+# ---------------------------------------------------------------------------
+
+from spiking_neural_networks_tpu.parallel import (make_lattice_mesh,
+                                                  shard_lattice, shard_network)
+from spiking_neural_networks_tpu.ops.graph import DenseGraph
+
+
+@pytest.fixture(scope="module")
+def tp_mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_lattice_mesh(8)
+
+
+def _stencil_lattice(rows=32, cols=32, chemical=False, plasticity=True,
+                     seed=0):
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(rows, cols, gap_conductance=10.0)
+    rng = np.random.default_rng(seed)
+    lat.state["v"] = jnp.asarray(
+        rng.uniform(-65, 30, rows * cols), jnp.float32)
+    lat.connect_stencil(radius=1.5, keep_prob=0.8, seed=3)
+    lat.do_plasticity = plasticity
+    if chemical:
+        s = lat.state
+        s = lat.model.insert_receptor(s, "AMPA")
+        s = lat.model.insert_receptor(s, "NMDA")
+        s = lat.model.insert_neurotransmitter(s, "AMPA")
+        s = lat.model.insert_neurotransmitter(s, "NMDA")
+        lat.state = s
+        lat.chemical_synapse = True
+    return lat
+
+
+def _assert_states_equal(a, b, what):
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=f"{what}: state[{k}] diverged")
+
+
+def test_sharded_stencil_lattice_bit_exact(tp_mesh):
+    """One large lattice row-block sharded over 8 devices: electrical
+    stencil gather + STDP are elementwise/shifted ops, so the SPMD program
+    must be bit-identical to the single-device run."""
+    ref = _stencil_lattice()
+    ref.run_lattice(100)
+
+    lat = _stencil_lattice()
+    shard_lattice(lat, tp_mesh)
+    lat.run_lattice(100)
+
+    assert lat.state["v"].sharding.num_devices == 8
+    _assert_states_equal(ref.state, lat.state, "stencil")
+    np.testing.assert_array_equal(np.asarray(ref.graph.weights),
+                                  np.asarray(lat.graph.weights))
+    assert (np.asarray(lat.state["last_firing_time"]) >= 0).any()
+
+
+def test_sharded_chemical_lattice(tp_mesh):
+    """Chemical synapses (AMPA+NMDA receptor kinetics through the stencil
+    chemical gather) under sharding."""
+    ref = _stencil_lattice(chemical=True, plasticity=False)
+    ref.run_lattice(60)
+
+    lat = _stencil_lattice(chemical=True, plasticity=False)
+    shard_lattice(lat, tp_mesh)
+    lat.run_lattice(60)
+
+    _assert_states_equal(ref.state, lat.state, "chemical")
+
+
+def test_sharded_dense_graph_lattice(tp_mesh):
+    """Column-sharded dense adjacency: the matvec gather all-gathers the
+    presynaptic vector; results match the single-device matvec."""
+    def build():
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(8, 8, gap_conductance=10.0)
+        rng = np.random.default_rng(1)
+        lat.state["v"] = jnp.asarray(rng.uniform(-65, 30, 64), jnp.float32)
+        mask = rng.random((64, 64)) < 0.4
+        np.fill_diagonal(mask, False)
+        w = rng.uniform(0.5, 1.5, (64, 64)).astype(np.float32) * mask
+        lat.graph = DenseGraph(jnp.asarray(w), jnp.asarray(mask))
+        lat.do_plasticity = True
+        return lat
+
+    ref = build()
+    ref.run_lattice(80)
+    lat = build()
+    shard_lattice(lat, tp_mesh)
+    lat.run_lattice(80)
+
+    np.testing.assert_allclose(np.asarray(ref.state["v"]),
+                               np.asarray(lat.state["v"]), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.graph.weights),
+                               np.asarray(lat.graph.weights),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(ref.state["last_firing_time"]),
+        np.asarray(lat.state["last_firing_time"]))
+
+
+def test_sharded_network_full_feature(tp_mesh):
+    """Multi-lattice network (2 neuron lattices + rate spike-train lattice,
+    chemical synapses, STDP, connecting edges) sharded via shard_network:
+    the structured runner keeps per-lattice arrays, each row-block sharded."""
+    def build():
+        rng = np.random.default_rng(4)
+        lat0 = snn.Lattice(snn.Izhikevich(), id=0)
+        lat0.populate(8, 8, gap_conductance=10.0)
+        lat1 = snn.Lattice(snn.Izhikevich(), id=1)
+        lat1.populate(8, 8, gap_conductance=10.0)
+        lat0.state["v"] = jnp.asarray(rng.uniform(-65, 25, 64), jnp.float32)
+        lat1.state["v"] = jnp.asarray(rng.uniform(-65, 25, 64), jnp.float32)
+        lat0.connect_stencil(radius=1.5, keep_prob=0.9, seed=5)
+        lat1.connect_stencil(radius=1.5, keep_prob=0.9, seed=6)
+        lat0.do_plasticity = True
+        st = snn.SpikeTrainLattice(snn.RateSpikeTrain(), id=2)
+        st.populate(8, 8, rate=2.0, v_th=30.0)
+        for lat in (lat0, lat1):
+            s = lat.state
+            s = lat.model.insert_receptor(s, "AMPA")
+            s = lat.model.insert_neurotransmitter(s, "AMPA")
+            lat.state = s
+        st.state = st.model.insert_neurotransmitter(st.state, "AMPA")
+        net = snn.LatticeNetwork.generate_network([lat0, lat1], [st])
+        net.chemical_synapse = True
+        net.connect_vectorized(0, 1, lambda pr, pc, qr, qc: np.where(
+            (pr == qr) & (pc == qc), 1.0, np.nan))
+        net.connect_vectorized(2, 0, lambda pr, pc, qr, qc: np.where(
+            (pr == qr), 0.8, np.nan))
+        return net
+
+    ref = build()
+    ref.run_lattices(60)
+
+    net = build()
+    shard_network(net, tp_mesh)
+    net.run_lattices(60)
+
+    for i in (0, 1):
+        _assert_states_equal(ref.get_lattice(i).state,
+                             net.get_lattice(i).state, f"net lat{i}")
+    _assert_states_equal(ref.get_spike_train_lattice(2).state,
+                         net.get_spike_train_lattice(2).state, "net st")
+    assert (np.asarray(net.get_lattice(0).state["last_firing_time"]) >= 0).any()
+
+
+def test_sharded_reward_lattice(tp_mesh):
+    """R-STDP lattice with per-edge eligibility traces sharded like its
+    stencil weight planes."""
+    def build():
+        lat = snn.RewardModulatedLattice(snn.Izhikevich())
+        lat.populate(8, 8, gap_conductance=10.0)
+        rng = np.random.default_rng(2)
+        lat.state["v"] = jnp.asarray(rng.uniform(-65, 30, 64), jnp.float32)
+        lat.connect_stencil(radius=1.5, keep_prob=0.8, seed=7)
+        return lat
+
+    ref = build()
+    ref.run_lattice_with_reward(0.5, 60)
+    lat = build()
+    shard_lattice(lat, tp_mesh)
+    lat.run_lattice_with_reward(0.5, 60)
+
+    _assert_states_equal(ref.state, lat.state, "reward")
+    np.testing.assert_array_equal(np.asarray(ref.graph.weights),
+                                  np.asarray(lat.graph.weights))
+    for k in ref.trace:
+        np.testing.assert_array_equal(np.asarray(ref.trace[k]),
+                                      np.asarray(lat.trace[k]),
+                                      err_msg=f"trace[{k}]")
