@@ -163,6 +163,45 @@ def bench_rstdp_lattice(rows=64, cols=64, iters=3000):
     return sps
 
 
+def bench_reward_network(n_side=32, iters=3000):
+    """RewardModulatedLatticeNetwork (reward lattice + plastic plain lattice
+    + Poisson drive, mixed plain/reward connections) on the structured
+    runner (core/reward_structured.py; 6.2x over the flat COO path)."""
+    import spiking_neural_networks_tpu as snn
+
+    rng = np.random.default_rng(2)
+    rlat = snn.RewardModulatedLattice(snn.Izhikevich(), id=0)
+    rlat.populate(n_side, n_side, gap_conductance=10.0)
+    rlat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                 and x != y)
+    plain = snn.Lattice(snn.Izhikevich(), id=1)
+    plain.populate(n_side, n_side, gap_conductance=10.0)
+    plain.connect_stencil(radius=2.0, keep_prob=0.8, seed=4)
+    plain.do_plasticity = True
+    plain.apply(lambda s: {**s, "v": jnp.asarray(
+        rng.uniform(-65, 25, n_side * n_side), jnp.float32)})
+    st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=2)
+    st.populate(n_side, n_side)
+    st.state = st.model.init_from_firing_rate(n_side * n_side, hertz=40.0,
+                                              dt=0.1)
+    net = snn.RewardModulatedLatticeNetwork()
+    net.add_lattice(rlat)
+    net.add_lattice(plain)
+    net.add_spike_train_lattice(st)
+    net.connect(2, 1, lambda a, b: a == b, lambda a, b: 5.0)
+    net.connect_with_reward_modulation(1, 0, lambda a, b: a == b,
+                                       lambda a, b: 1.0)
+
+    net.run_lattices_with_reward(0.5, iters)
+    t0 = time.perf_counter()
+    net.run_lattices_with_reward(0.5, iters)
+    jax.block_until_ready(net.get_reward_modulated_lattice(0).state["v"])
+    dt = time.perf_counter() - t0
+    sps = iters / dt
+    log(f"reward network {n_side}x{n_side}: {sps:.1f} steps/s")
+    return sps
+
+
 def main():
     log("devices:", jax.devices())
     ups, _ = bench_izhikevich()
@@ -173,7 +212,9 @@ def main():
                      ("eeg_stdp_network_steps_per_sec_64x64",
                       bench_network_eeg_stdp),
                      ("rstdp_lattice_steps_per_sec_64x64",
-                      bench_rstdp_lattice)]:
+                      bench_rstdp_lattice),
+                     ("reward_network_steps_per_sec_32x32",
+                      bench_reward_network)]:
         try:
             extra[name] = fn()
         except Exception as e:  # secondary metrics must not sink the primary

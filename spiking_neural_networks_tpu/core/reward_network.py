@@ -74,6 +74,7 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             raise ValueError("all lattices must share one neuron model config")
         lattice.in_network = True
         self.reward_modulated_lattices[lattice.id] = lattice
+        self._conn_version += 1
 
     def get_reward_modulated_lattice(self, id):
         return self.reward_modulated_lattices[id]
@@ -124,6 +125,7 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             np.asarray(src, np.int64), np.asarray(dst, np.int64),
             np.asarray(w, np.float32), np.zeros(n, np.float32),
             np.zeros(n, np.float32), np.zeros(n, np.int32))
+        self._conn_version += 1
 
     # -- Agent trait ------------------------------------------------------------
     def update_and_apply_reward(self, reward):
@@ -242,6 +244,11 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             jnp.zeros((iterations,), jnp.float32), iterations,
             with_reward=False)
 
+    def _structured_supported(self):
+        return (type(self) is RewardModulatedLatticeNetwork
+                and not self.update_connecting_graph_history
+                and self._neuron_lattices())
+
     def run_lattices_with_reward(self, reward, iterations=1, with_reward=True):
         """`run_lattices_with_reward` (neuron/mod.rs): one dopamine update +
         full network step per iteration.  ``reward`` scalar or (iterations,)
@@ -252,6 +259,10 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             return
         rewards = jnp.broadcast_to(jnp.asarray(reward, jnp.float32),
                                    (iterations,))
+        if self.structured and self._structured_supported():
+            from .reward_structured import run_structured_reward
+            run_structured_reward(self, rewards, with_reward)
+            return
         plan = self._compile()
         plan = self._run_reward_chunk(plan, rewards, with_reward)
         self._write_back_reward(plan)

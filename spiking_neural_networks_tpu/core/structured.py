@@ -64,6 +64,12 @@ class OneToOne:
     def extract(self, w):
         return np.asarray(w)[self.dst_host]
 
+    def place(self, vals, dtype=np.float32):
+        """Scatter flat per-edge values into this op's layout."""
+        out = np.zeros(self.w0.shape, dtype)
+        out[self.dst_host] = vals
+        return jnp.asarray(out)
+
 
 class DenseBlock:
     """Small irregular connection as a dense (n_pre, n_post) block."""
@@ -83,6 +89,11 @@ class DenseBlock:
 
     def extract(self, w):
         return np.asarray(w)[self.src_host, self.dst_host]
+
+    def place(self, vals, dtype=np.float32):
+        out = np.zeros(self.w0.shape, dtype)
+        out[self.src_host, self.dst_host] = vals
+        return jnp.asarray(out)
 
 
 class PaddedBlock:
@@ -117,6 +128,11 @@ class PaddedBlock:
 
     def extract(self, w):
         return np.asarray(w).reshape(-1)[self.edge_slots]
+
+    def place(self, vals, dtype=np.float32):
+        out = np.zeros(self.w0.shape, dtype).reshape(-1)
+        out[self.edge_slots] = vals
+        return jnp.asarray(out.reshape(self.w0.shape))
 
 
 PADDED_MIN_ENTRIES = 1_000_000           # plastic blocks: padded above this
@@ -180,23 +196,29 @@ def _conn_gather_chemical(kind, aux, w, t_src, m_src):
     return sums, cnts
 
 
-def _conn_edge_update(kind, aux, w, delta_fn, pre_vals, post_vals):
+def _edge_layout(kind, aux, pre_vals, post_vals):
+    """Broadcast per-node value dicts into the connection op's edge layout.
+
+    For the padded kind the per-field takes fuse into ONE gather (TPU
+    gathers pay per row); f32 holds last_firing_time exactly up to 2^24
+    steps, beyond which STDP time diffs round to +-2 steps — irrelevant at
+    tau ~ 4.5."""
     if kind == "one2one":
-        dw = delta_fn(w, pre_vals, post_vals)
-        return jnp.where(aux["mask"], w + dw, w)
+        return dict(pre_vals), dict(post_vals)
     if kind == "padded":
-        # fuse the per-field takes into one gather (see _conn_gather);
-        # f32 holds last_firing_time exactly up to 2^24 steps, beyond which
-        # STDP time diffs round to +-2 steps — irrelevant at tau ~ 4.5
         keys = list(pre_vals)
         stacked = jnp.stack([pre_vals[k].astype(jnp.float32) for k in keys],
                             axis=-1)[aux["idx"]]    # (n_post, K, F)
         pre = {k: stacked[..., f] for f, k in enumerate(keys)}
         post = {k: v[:, None] for k, v in post_vals.items()}
-        dw = delta_fn(w, pre, post)
-        return jnp.where(aux["mask"], w + dw, w)
+        return pre, post
     pre = {k: v[:, None] for k, v in pre_vals.items()}
     post = {k: v[None, :] for k, v in post_vals.items()}
+    return pre, post
+
+
+def _conn_edge_update(kind, aux, w, delta_fn, pre_vals, post_vals):
+    pre, post = _edge_layout(kind, aux, pre_vals, post_vals)
     dw = delta_fn(w, pre, post)
     return jnp.where(aux["mask"], w + dw, w)
 

@@ -266,3 +266,25 @@ def test_sharded_reward_lattice(tp_mesh):
         np.testing.assert_array_equal(np.asarray(ref.trace[k]),
                                       np.asarray(lat.trace[k]),
                                       err_msg=f"trace[{k}]")
+
+
+def test_sharded_512_lattice_bit_exact(tp_mesh):
+    """The BASELINE north-star config (512x512, radius-2 stencil) sharded
+    over 8 devices matches the single-device trace exactly (VERDICT r1 #2)."""
+    def build():
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(512, 512, gap_conductance=10.0)
+        rng = np.random.default_rng(0)
+        lat.state["v"] = jnp.asarray(
+            rng.uniform(-65, 30, 512 * 512), jnp.float32)
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=3)
+        return lat
+
+    ref = build()
+    ref.run_lattice(30)
+    lat = build()
+    shard_lattice(lat, tp_mesh)
+    lat.run_lattice(30)
+    np.testing.assert_array_equal(np.asarray(ref.state["v"]),
+                                  np.asarray(lat.state["v"]))
+    assert (np.asarray(lat.state["last_firing_time"]) >= 0).any()
