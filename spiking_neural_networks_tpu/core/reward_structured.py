@@ -86,7 +86,9 @@ def compile_structured_reward(net):
                 plastic_like = bool(static or dynamic)
             op = classify_connection(np.asarray(src), np.asarray(dst),
                                      np.asarray(w), pre.n, post.n,
-                                     plastic_like)
+                                     plastic_like,
+                                     pre_shape=(pre.rows, pre.cols),
+                                     post_shape=(post.rows, post.cols))
             entry = dict(pre=pre_id, post=post_id, op=op,
                          pre_is_st=pre_is_st, key=(pre_id, post_id),
                          static=static,
