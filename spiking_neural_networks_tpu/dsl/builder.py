@@ -34,7 +34,7 @@ FUNCTIONS = {
     "exp": jnp.exp, "ln": jnp.log, "log": jnp.log, "log10": jnp.log10,
     "sqrt": jnp.sqrt, "abs": jnp.abs, "tanh": jnp.tanh, "sinh": jnp.sinh,
     "cosh": jnp.cosh, "sin": jnp.sin, "cos": jnp.cos,
-    "min": jnp.minimum, "max": jnp.maximum,
+    "min": jnp.minimum, "max": jnp.maximum, "tan": jnp.tan,
     "floor": jnp.floor, "ceil": jnp.ceil,
     "heaviside": lambda x: (x > 0).astype(jnp.float32),
 }
@@ -90,6 +90,20 @@ def eval_expr(expr, env):
         if op == "||":
             return jnp.logical_or(a, b)
     if isinstance(expr, P.Call):
+        ufn = env.get("__userfns__", {}).get(expr.name)
+        if ufn is not None:
+            # user `f(x, y) = expr` declaration: evaluate its body with the
+            # parameters bound over the current env (free variables resolve
+            # to model state, like the generated Rust local fn)
+            params, body = ufn
+            if len(params) != len(expr.args):
+                raise TypeError(
+                    f"DSL function {expr.name!r} takes {len(params)} args,"
+                    f" got {len(expr.args)}")
+            call_env = dict(env)
+            for prm, arg in zip(params, expr.args):
+                call_env[prm] = eval_expr(arg, env)
+            return eval_expr(body, call_env)
         fn = FUNCTIONS.get(expr.name)
         if fn is not None:
             return fn(*[eval_expr(a, env) for a in expr.args])
@@ -124,7 +138,11 @@ def run_statements(stmts, env, mask=None, methods=None):
             env[name] = value
 
     for stmt in stmts:
-        if isinstance(stmt, P.Assign):
+        if isinstance(stmt, P.FuncDef):
+            fns = dict(env.get("__userfns__", {}))
+            fns[stmt.name] = (stmt.params, stmt.expr)
+            env["__userfns__"] = fns
+        elif isinstance(stmt, P.Assign):
             write(stmt.target, eval_expr(stmt.expr, env))
         elif isinstance(stmt, P.DiffEq):
             delta = eval_expr(stmt.expr, env) * env["dt"]
@@ -443,7 +461,7 @@ def _names_in(stmts):
 
     def walk(sts):
         for st in sts:
-            if isinstance(st, (P.Assign, P.DiffEq)):
+            if isinstance(st, (P.Assign, P.DiffEq, P.FuncDef)):
                 walk_expr(st.expr)
             elif isinstance(st, P.MethodCall):
                 names.add(st.path.split(".")[-1])

@@ -76,6 +76,16 @@ class DiffEq:
 
 
 @dataclass
+class FuncDef:
+    """User function declaration `f(x, y) = expr`
+    (`func_declaration`, pest_ast/mod.rs:54-55): binds a named function
+    usable in subsequent expressions of the same statement scope."""
+    name: str
+    params: list
+    expr: object
+
+
+@dataclass
 class If:
     """[if] c1 [then] body1 [elseif] c2 [then] body2 [else] body3 [end]"""
     conditions: list
@@ -194,6 +204,10 @@ def parse_expression(text):
 
 DIFF_RE = re.compile(r"^d([A-Za-z_][A-Za-z0-9_$]*)/dt$")
 
+FUNC_DEF_RE = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*)\(\s*([A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*,?\s*\)$")
+
 
 METHOD_CALL_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*)\((.*)\)$")
 
@@ -238,6 +252,10 @@ def _parse_statement_line(line):
     expr = parse_expression(rhs)
     if m:
         return DiffEq(m.group(1), expr)
+    fm = FUNC_DEF_RE.match(target)
+    if fm and aug is None:
+        params = [x.strip() for x in fm.group(2).split(",")]
+        return FuncDef(fm.group(1), params, expr)
     if aug:
         return Assign(target, BinOp(aug, Var(target), expr))
     return Assign(target, expr)
@@ -347,7 +365,13 @@ def _parse_vars(text):
             continue
         if "=" in part:
             name, val = part.split("=", 1)
-            out[name.strip()] = float(val.strip())
+            val = val.strip()
+            # bool defaults (`flag = false`, grammar variables_assignment =
+            # name = (signed_number | bool)) stored as 0/1 f32 state
+            if val in ("true", "false"):
+                out[name.strip()] = 1.0 if val == "true" else 0.0
+            else:
+                out[name.strip()] = float(val)
         else:
             out[part] = 0.0
     return out

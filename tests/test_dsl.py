@@ -373,3 +373,129 @@ def test_dsl_electrochemical_in_chemical_lattice():
     assert np.isfinite(np.asarray(lat.state["v"])).all()
     # NT concentrations were driven by the explicit apply_t_changes call
     assert float(np.abs(np.asarray(lat.state["nt$t"])).max()) > 0.0
+
+
+FUNC_DECL_NB = """
+[neuron]
+    type: FuncDeclNeuron
+    vars: v_reset = -75, v_th = -55, e = 0, alpha = 2
+    on_spike:
+        v = v_reset
+    spike_detection: v >= v_th
+    on_iteration:
+        f(x, y) = x + alpha * y
+        g(x) = f(x, x) - e
+        dv/dt = f(e - v, i) + g(0.5)
+[end]
+"""
+
+
+def test_dsl_func_declaration():
+    """`f(x, y) = expr` user functions (func_declaration,
+    pest_ast/mod.rs:54-55): usable in later statements, can reference model
+    vars as free variables, and compose with other user functions."""
+    gen = neuron_builder(FUNC_DECL_NB)["FuncDeclNeuron"]
+    model = gen()
+    inputs = jnp.asarray([0.0, 5.0, 20.0])
+    s = model.init_state(3, v=-70.0)
+    v = np.full(3, -70.0, np.float32)
+    for _ in range(500):
+        s, spikes = model.step(s, inputs)
+        # handwritten equivalent: f(x,y)=x+2y; g(x)=3x-e; dv = f(e-v,i)+g(.5)
+        dv = ((0.0 - v) + 2.0 * np.asarray(inputs)) + (0.5 + 2.0 * 0.5 - 0.0)
+        v = v + 0.1 * dv
+        spiked = v >= -55.0
+        v = np.where(spiked, -75.0, v)
+        np.testing.assert_allclose(np.asarray(s["v"]), v, rtol=1e-5,
+                                   atol=1e-4)
+
+
+BOOL_VARS_NB = """
+[neuron]
+    type: BoolVarNeuron
+    vars: e = 0, v_reset = -75, v_th = -55, flag = false, out = 0
+    on_spike:
+        v = v_reset
+    spike_detection: v >= v_th
+    on_iteration:
+        [if] flag [then]
+            out = 1
+        [else]
+            out = 2
+        [end]
+        dv/dt = (v - e) + i
+[end]
+"""
+
+
+def test_dsl_bool_vars():
+    """Boolean vars with `false` defaults driving [if] branches
+    (nb_macro/tests/bool_vars.rs)."""
+    gen = neuron_builder(BOOL_VARS_NB)["BoolVarNeuron"]
+    model = gen()
+    s = model.init_state(2, v=-70.0)
+    s["flag"] = jnp.asarray([0.0, 1.0])   # per-neuron flag
+    s, _ = model.step(s, jnp.zeros(2))
+    np.testing.assert_array_equal(np.asarray(s["out"]), [2.0, 1.0])
+
+
+TAN_NB = """
+[neuron]
+    type: TanNeuron
+    vars: v_reset = -75, v_th = 50000
+    on_spike:
+        v = v_reset
+    spike_detection: v >= v_th
+    on_iteration:
+        v = tan(i)
+[end]
+"""
+
+
+def test_dsl_builtin_functions_sweep():
+    """Builtin function coverage incl. tan
+    (nb_macro/tests/function_usage.rs): exact equality across the
+    reference's input sweep."""
+    gen = neuron_builder(TAN_NB)["TanNeuron"]
+    model = gen()
+    inputs = jnp.asarray(np.arange(-10, 10, dtype=np.float32))
+    s = model.init_state(20)
+    s, _ = model.step(s, inputs)
+    np.testing.assert_allclose(np.asarray(s["v"]),
+                               np.tan(np.arange(-10, 10, dtype=np.float32)),
+                               rtol=1e-6)
+
+
+def test_dsl_struct_assignment_ion_channels():
+    """`ion_channels: l = TypeName` struct assignments inside [neuron]
+    (struct_assignment, pest_ast/mod.rs:70; parsed + instantiated)."""
+    src = """
+[ion_channel]
+    type: SimpleLeak
+    vars: current = 0, e = -80, g = 0.1
+    on_iteration:
+        current = g * (v - e)
+[end]
+
+[neuron]
+    type: LeakAssignNeuron
+    vars: v_reset = -75, v_th = -55
+    ion_channels: l1 = SimpleLeak, l2 = SimpleLeak
+    on_spike:
+        v = v_reset
+    spike_detection: v >= v_th
+    on_iteration:
+        l1.update_current(v)
+        l2.update_current(v)
+        dv/dt = i - l1.current - l2.current
+[end]
+"""
+    gen = neuron_builder(src)["LeakAssignNeuron"]
+    model = gen()
+    s = model.init_state(2, v=-70.0)
+    assert "l1$current" in s and "l2$current" in s
+    s, _ = model.step(s, jnp.zeros(2))
+    # leak current of each channel: 0.1 * (-70 + 80) = 1.0
+    np.testing.assert_allclose(np.asarray(s["l1$current"]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s["v"]), -70.0 + 0.1 * (0.0 - 1.0 - 1.0), rtol=1e-6)
