@@ -126,6 +126,34 @@ class Lattice:
         from ..parallel.lattice_sharding import shard_lattice
         return shard_lattice(self, mesh, axis)
 
+    # -- per-edge graph access (Graph trait, graph/mod.rs:42-72) -------------
+    def _flat(self, pos):
+        r, c = pos
+        if not (0 <= r < self.rows and 0 <= c < self.cols):
+            raise GraphError(f"position {pos} not in lattice")
+        return r * self.cols + c
+
+    def lookup_weight(self, presynaptic, postsynaptic):
+        """Weight of the synapse pre -> post, or None if unconnected
+        (`Graph::lookup_weight`); positions are (row, col) tuples."""
+        return self.graph.lookup_weight(self._flat(presynaptic),
+                                        self._flat(postsynaptic))
+
+    def edit_weight(self, presynaptic, postsynaptic, weight):
+        """Set (or with None: remove) one synapse (`Graph::edit_weight`)."""
+        self.graph = self.graph.edit_weight(self._flat(presynaptic),
+                                            self._flat(postsynaptic), weight)
+
+    def get_incoming_connections(self, pos):
+        """Presynaptic (row, col) positions of `pos`
+        (`Graph::get_incoming_connections`)."""
+        flat = self.graph.get_incoming_connections(self._flat(pos))
+        return {(i // self.cols, i % self.cols) for i in flat}
+
+    def get_outgoing_connections(self, pos):
+        flat = self.graph.get_outgoing_connections(self._flat(pos))
+        return {(i // self.cols, i % self.cols) for i in flat}
+
     # -- per-neuron mutation (`apply` / `apply_given_position`,
     #    neuron/mod.rs:424-452) ------------------------------------------------
     def apply(self, fn):

@@ -353,6 +353,89 @@ class LatticeNetwork:
         """`connect_interally` (neuron/mod.rs:2050-2084)."""
         self.lattices[id].connect(connecting_conditional, weight_logic)
 
+    # -- per-edge connecting-graph access (Graph<K=GraphPosition> trait,
+    #    graph/mod.rs:42-72) ---------------------------------------------------
+    def _graph_position(self, gp):
+        """Accept (id, (r, c)) tuples or objects with .id/.pos."""
+        if hasattr(gp, "id") and hasattr(gp, "pos"):
+            return gp.id, tuple(gp.pos)
+        lid, pos = gp
+        return lid, tuple(pos)
+
+    def _node_of(self, gp):
+        lid, pos = self._graph_position(gp)
+        lat = self.lattices.get(lid) \
+            or getattr(self, "reward_modulated_lattices", {}).get(lid) \
+            or self.spike_train_lattices.get(lid)
+        if lat is None:
+            raise LatticeNetworkError(f"unknown lattice id {lid}")
+        r, c = pos
+        if not (0 <= r < lat.rows and 0 <= c < lat.cols):
+            raise LatticeNetworkError(f"position {pos} not in lattice {lid}")
+        return lid, r * lat.cols + c
+
+    def lookup_weight(self, presynaptic, postsynaptic):
+        """Weight of a connecting edge between two lattices, or None.
+        Same-lattice queries delegate to that lattice's graph."""
+        pre_id, src = self._node_of(presynaptic)
+        post_id, dst = self._node_of(postsynaptic)
+        if pre_id == post_id:
+            return self.lattices[pre_id].graph.lookup_weight(src, dst)
+        conn = self.connections.get((pre_id, post_id))
+        if conn is None:
+            return None
+        hits = np.nonzero((conn[0] == src) & (conn[1] == dst))[0]
+        return float(conn[2][hits[0]]) if len(hits) else None
+
+    def edit_weight(self, presynaptic, postsynaptic, weight):
+        """Set (or with None: remove) one connecting edge."""
+        pre_id, src = self._node_of(presynaptic)
+        post_id, dst = self._node_of(postsynaptic)
+        if pre_id == post_id:
+            lat = self.lattices[pre_id]
+            lat.graph = lat.graph.edit_weight(src, dst, weight)
+            self._conn_version += 1
+            return
+        s, d, w = self.connections.get((pre_id, post_id),
+                                       (np.zeros(0, np.int64),
+                                        np.zeros(0, np.int64),
+                                        np.zeros(0, np.float32)))
+        hits = np.nonzero((s == src) & (d == dst))[0]
+        if weight is None:
+            if len(hits):
+                keep = np.ones(len(s), bool)
+                keep[hits[0]] = False
+                self.connections[(pre_id, post_id)] = (s[keep], d[keep],
+                                                       w[keep])
+        elif len(hits):
+            w = w.copy()
+            w[hits[0]] = weight
+            self.connections[(pre_id, post_id)] = (s, d, w)
+        else:
+            self.connections[(pre_id, post_id)] = (
+                np.append(s, src), np.append(d, dst),
+                np.append(w, np.float32(weight)))
+        self._conn_version += 1
+
+    def get_incoming_connections(self, pos):
+        """All (id, (r, c)) sources of `pos` across connecting edges AND its
+        own lattice graph (`get_all_input_positions`, neuron/mod.rs:2086)."""
+        post_id, dst = self._node_of(pos)
+        out = set()
+        lat = self.lattices.get(post_id)
+        if lat is not None and lat.graph is not None:
+            for i in lat.graph.get_incoming_connections(dst):
+                out.add((post_id, (i // lat.cols, i % lat.cols)))
+        for (pre_id, pid), (s, d, w) in self.connections.items():
+            if pid != post_id:
+                continue
+            pre = self.lattices.get(pre_id) \
+                or getattr(self, "reward_modulated_lattices", {}).get(pre_id) \
+                or self.spike_train_lattices.get(pre_id)
+            for i in s[d == dst]:
+                out.add((pre_id, (int(i) // pre.cols, int(i) % pre.cols)))
+        return out
+
     # -- flattening --------------------------------------------------------------
     def _compile(self):
         lat_ids = sorted(self.lattices)

@@ -138,6 +138,40 @@ class RewardModulatedLattice:
         from ..parallel.lattice_sharding import shard_lattice
         return shard_lattice(self, mesh, axis)
 
+    # -- per-edge graph access (Graph trait, graph/mod.rs:42-72) -------------
+    def _flat(self, pos):
+        from ..errors import GraphError
+        r, c = pos
+        if not (0 <= r < self.rows and 0 <= c < self.cols):
+            raise GraphError(f"position {pos} not in lattice")
+        return r * self.cols + c
+
+    def lookup_weight(self, presynaptic, postsynaptic):
+        return self.graph.lookup_weight(self._flat(presynaptic),
+                                        self._flat(postsynaptic))
+
+    def edit_weight(self, presynaptic, postsynaptic, weight):
+        """Edit one synapse; trace planes are zero-padded if the edit grows
+        the graph's structure (new stencil offset plane)."""
+        self.graph = self.graph.edit_weight(self._flat(presynaptic),
+                                            self._flat(postsynaptic), weight)
+        shape = self.graph.weights.shape
+        if self.trace is not None and self.trace["c"].shape != shape:
+            new = {}
+            for k, v in self.trace.items():
+                grown = jnp.zeros(shape, v.dtype)
+                grown = grown.at[tuple(slice(0, s) for s in v.shape)].set(v)
+                new[k] = grown
+            self.trace = new
+
+    def get_incoming_connections(self, pos):
+        flat = self.graph.get_incoming_connections(self._flat(pos))
+        return {(i // self.cols, i % self.cols) for i in flat}
+
+    def get_outgoing_connections(self, pos):
+        flat = self.graph.get_outgoing_connections(self._flat(pos))
+        return {(i // self.cols, i % self.cols) for i in flat}
+
     def set_dt(self, dt):
         self.state["dt"] = jnp.full_like(self.state["dt"], dt)
         self.reward_modulator.set_dt(dt)

@@ -297,6 +297,42 @@ class _LatticeMixin:
     def set_dt(self, dt):
         self._inner.set_dt(dt)
 
+    def get_weight(self, presynaptic, postsynaptic):
+        """`get_weight` (lattices/mod.rs:114-121): 0.0 when unconnected,
+        KeyError when a position is outside the lattice."""
+        from .errors import GraphError
+        try:
+            w = self._inner.lookup_weight(tuple(presynaptic),
+                                          tuple(postsynaptic))
+        except GraphError:
+            raise KeyError(
+                f"Weight at ({presynaptic}, {postsynaptic}) not found")
+        return 0.0 if w is None else w
+
+    def edit_weight(self, presynaptic, postsynaptic, weight):
+        """`Graph::edit_weight`: set or (None) remove one synapse."""
+        from .errors import GraphError
+        try:
+            self._inner.edit_weight(tuple(presynaptic), tuple(postsynaptic),
+                                    weight)
+        except GraphError:
+            raise KeyError(
+                f"Weight at ({presynaptic}, {postsynaptic}) not found")
+
+    def get_incoming_connections(self, position):
+        from .errors import GraphError
+        try:
+            return self._inner.get_incoming_connections(tuple(position))
+        except GraphError:
+            raise KeyError(f"Position {position} not found in lattice")
+
+    def get_outgoing_connections(self, position):
+        from .errors import GraphError
+        try:
+            return self._inner.get_outgoing_connections(tuple(position))
+        except GraphError:
+            raise KeyError(f"Position {position} not found in lattice")
+
     def get_id(self):
         return self._inner.id
 
@@ -548,6 +584,43 @@ class IzhikevichNeuronNetwork:
 
     def run_lattices(self, iterations):
         self._inner.run_lattices(iterations)
+
+    def get_weight(self, presynaptic, postsynaptic):
+        """`get_weight` with GraphPosition args (lattices/mod.rs:914-938):
+        same-lattice pairs read the lattice graph, otherwise the connecting
+        graph; 0.0 when unconnected."""
+        from .errors import LatticeNetworkError, GraphError
+        try:
+            w = self._inner.lookup_weight(
+                self._gp(presynaptic), self._gp(postsynaptic))
+        except (LatticeNetworkError, GraphError) as e:
+            raise KeyError(str(e))
+        return 0.0 if w is None else w
+
+    def edit_weight(self, presynaptic, postsynaptic, weight):
+        from .errors import LatticeNetworkError, GraphError
+        try:
+            self._inner.edit_weight(
+                self._gp(presynaptic), self._gp(postsynaptic), weight)
+        except (LatticeNetworkError, GraphError) as e:
+            raise KeyError(str(e))
+
+    @staticmethod
+    def _gp(gp):
+        if hasattr(gp, "id") and hasattr(gp, "pos"):
+            return (gp.id, tuple(gp.pos))
+        return gp
+
+    def get_incoming_connections_within_lattice(self, id, position):
+        """(lattices/mod.rs:942-952)"""
+        if id not in self._lattices:
+            raise KeyError(f"Lattice {id} not found in network")
+        return self._lattices[id].get_incoming_connections(position)
+
+    def get_outgoing_connections_within_lattice(self, id, position):
+        if id not in self._lattices:
+            raise KeyError(f"Lattice {id} not found in network")
+        return self._lattices[id].get_outgoing_connections(position)
 
     def set_dt(self, dt):
         self._inner.set_dt(dt)

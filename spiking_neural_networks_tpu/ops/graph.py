@@ -47,6 +47,23 @@ def _f32(x):
 
 
 # ---------------------------------------------------------------------------
+# Per-edge query/edit API (Graph trait, graph/mod.rs:42-72)
+#
+# `lookup_weight(src, dst)` -> float | None; `edit_weight(src, dst, w)` ->
+# new graph (functional; `None` removes the edge); `get_incoming_
+# connections(dst)` / `get_outgoing_connections(src)` -> set[int].  These
+# are HOST-side conveniences (device pull per call) mirroring the
+# reference's per-synapse access — simulation hot paths never use them.
+# ---------------------------------------------------------------------------
+
+
+def _check_node(graph, idx, n):
+    if not (0 <= idx < n):
+        from ..errors import GraphError
+        raise GraphError(f"position {idx} not in graph (n={n})")
+
+
+# ---------------------------------------------------------------------------
 # Dense graph
 # ---------------------------------------------------------------------------
 
@@ -114,6 +131,35 @@ class DenseGraph:
 
     def replace_weights(self, weights):
         return DenseGraph(weights, self.mask)
+
+    # -- per-edge API (graph/mod.rs:42-72) -----------------------------------
+    def lookup_weight(self, src, dst):
+        _check_node(self, src, self.n_pre)
+        _check_node(self, dst, self.n_post)
+        if not bool(np.asarray(self.mask[src, dst])):
+            return None
+        return float(np.asarray(self.weights[src, dst]))
+
+    def edit_weight(self, src, dst, w):
+        _check_node(self, src, self.n_pre)
+        _check_node(self, dst, self.n_post)
+        weights = np.asarray(self.weights).copy()
+        mask = np.asarray(self.mask).copy()
+        if w is None:
+            weights[src, dst] = 0.0
+            mask[src, dst] = False
+        else:
+            weights[src, dst] = w
+            mask[src, dst] = True
+        return DenseGraph(jnp.asarray(weights), jnp.asarray(mask))
+
+    def get_incoming_connections(self, dst):
+        _check_node(self, dst, self.n_post)
+        return set(np.nonzero(np.asarray(self.mask[:, dst]))[0].tolist())
+
+    def get_outgoing_connections(self, src):
+        _check_node(self, src, self.n_pre)
+        return set(np.nonzero(np.asarray(self.mask[src, :]))[0].tolist())
 
     def apply_edge_update(self, edge_dw, pre_vals, post_vals):
         """Apply ``edge_dw(w, pre, post) -> dw`` over all edges.
@@ -206,6 +252,50 @@ class SparseGraph:
     def replace_weights(self, weights):
         return SparseGraph(self.src, self.dst, weights,
                            self.n_pre, self.n_post, self.in_deg)
+
+    # -- per-edge API (graph/mod.rs:42-72) -----------------------------------
+    def _edge_index(self, src, dst):
+        hits = np.nonzero((np.asarray(self.src) == src)
+                          & (np.asarray(self.dst) == dst))[0]
+        return int(hits[0]) if len(hits) else None
+
+    def lookup_weight(self, src, dst):
+        _check_node(self, src, self.n_pre)
+        _check_node(self, dst, self.n_post)
+        e = self._edge_index(src, dst)
+        return None if e is None else float(np.asarray(self.weights[e]))
+
+    def edit_weight(self, src, dst, w):
+        _check_node(self, src, self.n_pre)
+        _check_node(self, dst, self.n_post)
+        e = self._edge_index(src, dst)
+        if w is None:
+            if e is None:
+                return self
+            keep = np.ones(self.weights.shape[0], bool)
+            keep[e] = False
+            return SparseGraph.from_arrays(
+                np.asarray(self.src)[keep], np.asarray(self.dst)[keep],
+                np.asarray(self.weights)[keep], self.n_pre, self.n_post)
+        if e is not None:
+            weights = np.asarray(self.weights).copy()
+            weights[e] = w
+            return self.replace_weights(jnp.asarray(weights))
+        return SparseGraph.from_arrays(
+            np.append(np.asarray(self.src), src),
+            np.append(np.asarray(self.dst), dst),
+            np.append(np.asarray(self.weights), np.float32(w)),
+            self.n_pre, self.n_post)
+
+    def get_incoming_connections(self, dst):
+        _check_node(self, dst, self.n_post)
+        sel = np.asarray(self.dst) == dst
+        return set(np.asarray(self.src)[sel].tolist())
+
+    def get_outgoing_connections(self, src):
+        _check_node(self, src, self.n_pre)
+        sel = np.asarray(self.src) == src
+        return set(np.asarray(self.dst)[sel].tolist())
 
     def apply_edge_update(self, edge_dw, pre_vals, post_vals):
         pre, post = self.edge_pre_post(pre_vals, post_vals)
@@ -395,6 +485,83 @@ class StencilGraph:
 
     def replace_weights(self, weights):
         return StencilGraph(self.offsets, weights, self.mask, self.in_deg)
+
+    # -- per-edge API (graph/mod.rs:42-72) -----------------------------------
+    def _edge_slot(self, src, dst):
+        rows, cols = self.shape
+        dr = src // cols - dst // cols
+        dc = src % cols - dst % cols
+        try:
+            o = self.offsets.index((int(dr), int(dc)))
+        except ValueError:
+            return None
+        return (o, dst // cols, dst % cols)
+
+    def lookup_weight(self, src, dst):
+        _check_node(self, src, self.n_pre)
+        _check_node(self, dst, self.n_post)
+        slot = self._edge_slot(src, dst)
+        if slot is None or not bool(np.asarray(self.mask[slot])):
+            return None
+        return float(np.asarray(self.weights[slot]))
+
+    def edit_weight(self, src, dst, w):
+        _check_node(self, src, self.n_pre)
+        _check_node(self, dst, self.n_post)
+        rows, cols = self.shape
+        slot = self._edge_slot(src, dst)
+        weights = np.asarray(self.weights)
+        mask = np.asarray(self.mask)
+        if slot is None:
+            if w is None:
+                return self
+            # new offset support: append a plane
+            dr = src // cols - dst // cols
+            dc = src % cols - dst % cols
+            offsets = self.offsets + ((int(dr), int(dc)),)
+            weights = np.concatenate(
+                [weights, np.zeros((1, rows, cols), np.float32)])
+            mask = np.concatenate([mask, np.zeros((1, rows, cols), bool)])
+            slot = (len(offsets) - 1, dst // cols, dst % cols)
+        else:
+            offsets = self.offsets
+            weights = weights.copy()
+            mask = mask.copy()
+        if w is None:
+            weights[slot] = 0.0
+            mask[slot] = False
+        else:
+            weights[slot] = w
+            mask[slot] = True
+        from ..utils.transfer import device_put_bool
+        return StencilGraph(offsets, jnp.asarray(weights),
+                            device_put_bool(mask),
+                            jnp.asarray(mask.sum(axis=0, dtype=np.float32)))
+
+    def _connections_of(self, idx, incoming):
+        rows, cols = self.shape
+        r, c = idx // cols, idx % cols
+        mask = np.asarray(self.mask)
+        out = set()
+        for o, (dr, dc) in enumerate(self.offsets):
+            if incoming:
+                sr, sc = r + dr, c + dc
+                if 0 <= sr < rows and 0 <= sc < cols and mask[o, r, c]:
+                    out.add(sr * cols + sc)
+            else:
+                # outgoing: idx is the source of dst (r-dr, c-dc)
+                tr, tc = r - dr, c - dc
+                if 0 <= tr < rows and 0 <= tc < cols and mask[o, tr, tc]:
+                    out.add(tr * cols + tc)
+        return out
+
+    def get_incoming_connections(self, dst):
+        _check_node(self, dst, self.n_post)
+        return self._connections_of(dst, incoming=True)
+
+    def get_outgoing_connections(self, src):
+        _check_node(self, src, self.n_pre)
+        return self._connections_of(src, incoming=False)
 
     def apply_edge_update(self, edge_dw, pre_vals, post_vals):
         """Batched over the offset axis when small: one (n_off, rows, cols)

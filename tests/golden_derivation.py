@@ -1,0 +1,151 @@
+"""Independent float32 derivation of golden traces, transcribed LINE BY LINE
+from the Rust reference (NOT from this repo's models or from
+tests/reference_impl.py — this file exists so correctness does not rest on
+two implementations by the same author agreeing; every arithmetic statement
+below mirrors one cited Rust statement).
+
+Sources:
+  Izhikevich: /root/reference/backend/src/neuron/integrate_and_fire/mod.rs
+    :1198-1220 (defaults), :1225-1247 (dw + spike handling),
+    :1255-1260 (dv), :217-233 (iterate order: dv and dw computed from the
+    same pre-step state, then applied, then spiking handled)
+  LIF: same file :149-171 (defaults), :176-181 (dv), :83-104 (refractory
+    spike handling), :189-196 (iterate order)
+  Hodgkin-Huxley: /root/reference/backend/src/neuron/hodgkin_huxley/mod.rs
+    :80-99 (defaults), :154-166 (voltage update), :182-192 (iterate:
+    update_gates THEN update_cell_voltage), :207-219 (peak-style spike
+    detection); channels /root/reference/backend/src/neuron/ion_channels/
+    mod.rs :14-45 (gating update), :190-240 (Na), :243-286 (K),
+    :290-315 (K leak)
+
+All arithmetic in np.float32, matching Rust f32.
+"""
+
+import numpy as np
+
+f32 = np.float32
+
+
+def izhikevich_trace(i, steps):
+    v = f32(-65.0)
+    w = f32(30.0)
+    a, b, c, d = f32(0.02), f32(0.2), f32(-55.0), f32(8.0)
+    v_th, tau_m, c_m, dt = f32(30.0), f32(1.0), f32(100.0), f32(0.1)
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        # izhikevich_get_dv_change (mod.rs:1255-1260)
+        dv = (f32(0.04) * v ** f32(2.0) + f32(5.0) * v + f32(140.0)
+              - w + i) * (dt / c_m)
+        # izhikevich_get_dw_change (mod.rs:1225-1230)
+        dw = (a * (b * v - w)) * (dt / tau_m)
+        v = v + dv
+        w = w + dw
+        # izhikevich_handle_spiking (mod.rs:1235-1247)
+        spiking = False
+        if v >= v_th:
+            spiking = True
+            v = c
+            w = w + d
+        out.append((float(v), float(w), spiking))
+    return out
+
+
+def lif_trace(i, steps):
+    v = f32(-75.0)
+    refractory_count = f32(0.0)
+    leak_constant, integration_constant = f32(-1.0), f32(1.0)
+    v_th, v_reset = f32(-55.0), f32(-75.0)
+    tau_m, g_l = f32(10.0), f32(10.0)
+    e_l, tref, dt = f32(-75.0), f32(10.0), f32(0.1)
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        # leaky_get_dv_change (mod.rs:176-181)
+        dv = ((leak_constant * (v - e_l))
+              + (integration_constant * (i / g_l))) * (dt / tau_m)
+        v = v + dv
+        # impl_default_handle_spiking (mod.rs:83-104)
+        spiking = False
+        if refractory_count > f32(0.0):
+            v = v_reset
+            refractory_count = refractory_count - f32(1.0)
+        elif v >= v_th:
+            spiking = True
+            v = v_reset
+            refractory_count = tref / dt
+        out.append((float(v), float(refractory_count), spiking))
+    return out
+
+
+class _Gate:
+    def __init__(self):
+        self.alpha = f32(0.0)
+        self.beta = f32(0.0)
+        self.state = f32(0.0)
+
+    def update(self, dt):
+        # BasicGatingVariable::update (ion_channels/mod.rs:40-44)
+        alpha_state = self.alpha * (f32(1.0) - self.state)
+        beta_state = self.beta * self.state
+        self.state = self.state + dt * (alpha_state - beta_state)
+
+
+def hh_trace(i, steps):
+    v = f32(-65.0)
+    c_m, dt, v_th = f32(1.0), f32(0.01), f32(0.0)
+    g_na, e_na = f32(120.0), f32(50.0)
+    g_k, e_k = f32(36.0), f32(-77.0)
+    g_k_leak, e_k_leak = f32(0.3), f32(-55.0)
+    m, h, n = _Gate(), _Gate(), _Gate()
+    i_na = i_k = i_k_leak = f32(0.0)
+    was_increasing = False
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        last_voltage = v
+        # update_gates (hodgkin_huxley/mod.rs:182-186):
+        # NaIonChannel::update_current (ion_channels/mod.rs:219-236)
+        m.alpha = f32(0.1) * ((v + f32(40.0))
+                              / (f32(1.0) - np.exp(-(v + f32(40.0)) / f32(10.0))))
+        m.beta = f32(4.0) * np.exp(-(v + f32(65.0)) / f32(18.0))
+        h.alpha = f32(0.07) * np.exp(-(v + f32(65.0)) / f32(20.0))
+        h.beta = f32(1.0) / (np.exp(-(v + f32(35.0)) / f32(10.0)) + f32(1.0))
+        m.update(dt)
+        h.update(dt)
+        i_na = m.state ** f32(3.0) * h.state * g_na * (v - e_na)
+        # KIonChannel::update_current (:268-279)
+        n.alpha = f32(0.01) * (v + f32(55.0)) \
+            / (f32(1.0) - np.exp(-(v + f32(55.0)) / f32(10.0)))
+        n.beta = f32(0.125) * np.exp(-(v + f32(65.0)) / f32(80.0))
+        n.update(dt)
+        i_k = n.state ** f32(4.0) * g_k * (v - e_k)
+        # KLeakChannel::update_current (:308-311)
+        i_k_leak = g_k_leak * (v - e_k_leak)
+        # update_cell_voltage (hodgkin_huxley/mod.rs:154-166); no receptors
+        i_sum = i - (i_na + i_k + i_k_leak)
+        v = v + dt * i_sum / c_m
+        # peak-style spike detection (:207-219)
+        increasing_right_now = bool(last_voltage < v)
+        threshold_crossed = bool(v > v_th)
+        spiking = threshold_crossed and was_increasing \
+            and not increasing_right_now
+        was_increasing = increasing_right_now
+        out.append((float(v), float(m.state), float(h.state), float(n.state),
+                    spiking))
+    return out
+
+
+if __name__ == "__main__":
+    for i in (10.0, 50.0):
+        tr = izhikevich_trace(i, 1000)
+        print(f"IZH i={i}: s1={tr[0]} s2={tr[1]} s3={tr[2]} "
+              f"s100={tr[99]} s1000={tr[999]}")
+        spikes = [k for k, t in enumerate(tr) if t[2]]
+        print("  spike steps:", spikes[:5])
+    tr = lif_trace(300.0, 1000)
+    print(f"LIF i=300: s1={tr[0]} s2={tr[1]} s100={tr[99]}")
+    print("  spike steps:", [k for k, t in enumerate(tr) if t[2]][:5])
+    tr = hh_trace(25.0, 2000)
+    print(f"HH i=25: s1={tr[0]} s2={tr[1]} s1000={tr[999]} s2000={tr[1999]}")
+    print("  spike steps:", [k for k, t in enumerate(tr) if t[4]][:5])

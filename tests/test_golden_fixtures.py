@@ -1,0 +1,139 @@
+"""Hand-derived golden fixtures.
+
+The constants below were produced by tests/golden_derivation.py — a
+line-by-line float32 transcription of the cited Rust statements, written
+independently of the framework AND of tests/reference_impl.py.  The literal
+values are committed (not recomputed from the derivation alone) so that a
+later edit to either implementation that shifts the numbers fails loudly;
+the derivation script is additionally cross-checked against the constants.
+
+Fidelity target: rtol 1e-5 vs the Rust reference equations (BASELINE.md).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spiking_neural_networks_tpu as snn
+from golden_derivation import izhikevich_trace, lif_trace, hh_trace
+
+# (input, step_index (1-based), expected (v, w)) from golden_derivation.py
+IZH_FIXTURES = [
+    (10.0, 1, (-65.03600311279297, 29.913999557495117)),
+    (10.0, 2, (-65.07190704345703, 29.828157424926758)),
+    (10.0, 3, (-65.10771942138672, 29.74247169494629)),
+    (10.0, 100, (-68.15202331542969, 22.137161254882812)),
+    (10.0, 1000, (-72.3055648803711, -8.525339126586914)),
+    (50.0, 1, (-64.99600219726562, 29.913999557495117)),
+    (50.0, 100, (-64.20713806152344, 22.21077537536621)),
+    (50.0, 1000, (-29.979511260986328, -4.114350318908691)),
+]
+
+# (input, step_index, expected (v, refractory_count)), first spikes at steps
+# 110, 320, 530, ... (1-based)
+LIF_FIXTURES = [
+    (300.0, 1, (-74.69999694824219, 0.0)),
+    (300.0, 2, (-74.40299987792969, 0.0)),
+    (300.0, 100, (-55.98097610473633, 0.0)),
+]
+LIF_SPIKE_STEPS = [110, 320, 530, 740, 950]
+
+# (input, step_index, expected (v, m, h, n)); peak-detected spikes at steps
+# 203 and 1215 (1-based)
+HH_FIXTURES = [
+    (25.0, 1, (-64.72000122070312, 0.0022356375120580196,
+               0.000699999975040555, 0.0005819766083732247)),
+    (25.0, 2, (-64.44084167480469, 0.004421653691679239,
+               0.0013894442236050963, 0.0011724268551915884)),
+    (25.0, 1000, (-53.21112060546875, 0.16999994218349457,
+                  0.24712376296520233, 0.45368874073028564)),
+    (25.0, 2000, (-57.16706085205078, 0.11498002707958221,
+                  0.3369198143482208, 0.4496263265609741)),
+]
+HH_SPIKE_STEPS = [203, 1215]
+
+
+def test_derivation_matches_committed_constants():
+    """Guard: the committed literals ARE what the transcription computes."""
+    for i, step, (v, w) in IZH_FIXTURES:
+        got = izhikevich_trace(i, step)[step - 1]
+        assert got[0] == v and got[1] == w
+    for i, step, (v, rc) in LIF_FIXTURES:
+        got = lif_trace(i, step)[step - 1]
+        assert got[0] == v and got[1] == rc
+    tr = lif_trace(300.0, 1000)
+    assert [k + 1 for k, t in enumerate(tr) if t[2]] == LIF_SPIKE_STEPS
+    for i, step, vals in HH_FIXTURES:
+        got = hh_trace(i, step)[step - 1]
+        np.testing.assert_allclose(got[:4], vals, rtol=0)
+    tr = hh_trace(25.0, 2000)
+    assert [k + 1 for k, t in enumerate(tr) if t[4]] == HH_SPIKE_STEPS
+
+
+def _run(model, i, steps, n=1):
+    s = model.init_state(n)
+    inp = jnp.full((n,), i, jnp.float32)
+    spike_steps = []
+    for k in range(steps):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k + 1)
+    return s, spike_steps
+
+
+def test_izhikevich_golden():
+    by_input = {}
+    for i, step, expected in IZH_FIXTURES:
+        by_input.setdefault(i, []).append((step, expected))
+    for i, rows in by_input.items():
+        model = snn.Izhikevich()
+        s = model.init_state(1)
+        inp = jnp.full((1,), i, jnp.float32)
+        k = 0
+        for step, (v, w) in sorted(rows):
+            while k < step:
+                s, _ = model.step(s, inp)
+                k += 1
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"i={i} step={step}")
+            np.testing.assert_allclose(float(s["w"][0]), w, rtol=1e-5,
+                                       err_msg=f"i={i} step={step}")
+
+
+def test_lif_golden():
+    model = snn.LeakyIntegrateAndFire()
+    s = model.init_state(1)
+    inp = jnp.full((1,), 300.0, jnp.float32)
+    spike_steps = []
+    rows = {step: vals for _, step, vals in LIF_FIXTURES}
+    for k in range(1, 1001):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, rc = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"step={k}")
+            np.testing.assert_allclose(float(s["refractory_count"][0]), rc,
+                                       rtol=1e-5, err_msg=f"step={k}")
+    assert spike_steps == LIF_SPIKE_STEPS
+
+
+def test_hodgkin_huxley_golden():
+    model = snn.HodgkinHuxley()
+    s = model.init_state(1)
+    inp = jnp.full((1,), 25.0, jnp.float32)
+    spike_steps = []
+    rows = {step: vals for _, step, vals in HH_FIXTURES}
+    for k in range(1, 2001):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, m, h, n = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"step={k}")
+            np.testing.assert_allclose(float(s["na$m_state"][0]), m, rtol=1e-4)
+            np.testing.assert_allclose(float(s["na$h_state"][0]), h, rtol=1e-4)
+            np.testing.assert_allclose(float(s["k$n_state"][0]), n, rtol=1e-4)
+    assert spike_steps == HH_SPIKE_STEPS

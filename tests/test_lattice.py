@@ -460,3 +460,55 @@ def test_graph_weight_history():
     first, last = lat.graph_history[0], lat.graph_history[-1]
     assert first.shape == last.shape
     assert not np.allclose(first, last)   # STDP moved weights
+
+
+def test_per_edge_graph_api_all_backends():
+    """Graph trait per-edge access (lookup_weight / edit_weight /
+    get_incoming_connections / get_outgoing_connections,
+    graph/mod.rs:42-72) on all three device graph backends."""
+    from spiking_neural_networks_tpu.ops.graph import (
+        DenseGraph, SparseGraph, StencilGraph, dense_to_sparse)
+    from spiking_neural_networks_tpu.errors import GraphError
+
+    rng = np.random.default_rng(3)
+    n = 9
+    mask = rng.random((n, n)) < 0.5
+    np.fill_diagonal(mask, False)
+    w = (rng.uniform(0.5, 1.5, (n, n)) * mask).astype(np.float32)
+    dense = DenseGraph(jnp.asarray(w), jnp.asarray(mask))
+    sparse = dense_to_sparse(dense)
+    stencil = StencilGraph.build(3, 3, ((0, 1), (1, 0)), seed=0)
+
+    for g in (dense, sparse):
+        src, dst = map(int, np.argwhere(mask)[0])
+        assert g.lookup_weight(src, dst) == pytest.approx(float(w[src, dst]))
+        no_src, no_dst = map(int, np.argwhere(~mask)[0])
+        assert g.lookup_weight(no_src, no_dst) is None
+        g2 = g.edit_weight(src, dst, 7.25)
+        assert g2.lookup_weight(src, dst) == 7.25
+        g3 = g2.edit_weight(src, dst, None)
+        assert g3.lookup_weight(src, dst) is None
+        assert src not in g3.get_incoming_connections(dst)
+        g4 = g3.edit_weight(no_src, no_dst, 1.5)   # create a new edge
+        assert g4.lookup_weight(no_src, no_dst) == 1.5
+        assert no_dst in g4.get_outgoing_connections(no_src)
+        assert g.get_incoming_connections(dst) == \
+            set(np.nonzero(mask[:, dst])[0].tolist())
+        with pytest.raises(GraphError):
+            g.lookup_weight(0, n + 5)
+
+    # stencil: in-support edit, out-of-support edit grows a plane
+    assert stencil.lookup_weight(1, 0) == 1.0       # offset (0,1): src=(0,1)
+    s2 = stencil.edit_weight(1, 0, 2.5)
+    assert s2.lookup_weight(1, 0) == 2.5
+    assert s2.lookup_weight(8, 0) is None
+    s3 = s2.edit_weight(8, 0, 0.5)                   # offset (2,2): new plane
+    assert s3.lookup_weight(8, 0) == 0.5
+    assert len(s3.offsets) == len(stencil.offsets) + 1
+    assert 8 in s3.get_incoming_connections(0)
+    assert 0 in s3.get_outgoing_connections(8)
+    # gather still works with the grown plane and reflects the new edge
+    v = jnp.arange(9, dtype=jnp.float32)
+    ones = jnp.ones(9)
+    out = s3.gather_electrical(v, ones, jnp.zeros(9), ones)
+    assert np.isfinite(np.asarray(out)).all()

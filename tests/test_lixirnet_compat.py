@@ -3,6 +3,7 @@ the reference's Python experiments (bayesian_inference_pipeline.py:242-281,
 interface_gpu/lixirnet/tests/networks.py)."""
 
 import numpy as np
+import pytest
 
 import spiking_neural_networks_tpu.lixirnet as ln
 
@@ -156,3 +157,82 @@ def test_lixirnet_matches_native_trajectory():
     want = np.stack(lat.grid_history.history)
 
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Per-edge graph access through the lixirnet surface
+# (port of interface_gpu/lixirnet/tests/lattices.py patterns; the reference's
+# CPU-vs-GPU split collapses to one device runtime here, so the parity
+# checks become direct weight/structure assertions)
+# ---------------------------------------------------------------------------
+
+
+def _get_neuron_setup(init_state):
+    def setup_neuron(pos, neuron):
+        x, y = pos
+        neuron.current_voltage = init_state[x][y]
+        return neuron
+    return setup_neuron
+
+
+def test_lattice_get_weight_and_connections():
+    exc_n = 3
+    neuron = ln.IzhikevichNeuron()
+    neuron.gap_conductance = 10
+    neuron.c_m = 25
+    init_state = np.random.default_rng(0).uniform(
+        neuron.c, neuron.v_th, (exc_n, exc_n))
+    lattice = ln.IzhikevichNeuronLattice(0)
+    lattice.populate(neuron, exc_n, exc_n)
+    lattice.apply_given_position(_get_neuron_setup(init_state))
+    lattice.connect(lambda x, y: x != y, lambda x, y: 5)
+
+    for n1 in range(exc_n):
+        for m1 in range(exc_n):
+            for n2 in range(exc_n):
+                for m2 in range(exc_n):
+                    expected = 0.0 if (n1, m1) == (n2, m2) else 5.0
+                    assert lattice.get_weight((n1, m1), (n2, m2)) == expected
+    # out-of-range positions -> KeyError (PyKeyError in the reference)
+    with pytest.raises(KeyError):
+        lattice.get_weight((0, 0), (5, 5))
+    incoming = lattice.get_incoming_connections((1, 1))
+    assert incoming == {(r, c) for r in range(3) for c in range(3)
+                        if (r, c) != (1, 1)}
+    outgoing = lattice.get_outgoing_connections((0, 0))
+    assert (1, 1) in outgoing and (0, 0) not in outgoing
+
+    # edit one synapse and verify both the query and the simulation see it
+    lattice.edit_weight((0, 0), (1, 1), 9.5)
+    assert lattice.get_weight((0, 0), (1, 1)) == 9.5
+    lattice.edit_weight((0, 0), (1, 1), None)
+    assert lattice.get_weight((0, 0), (1, 1)) == 0.0
+    assert (1, 1) not in lattice.get_outgoing_connections((0, 0))
+
+
+def test_network_get_weight_graph_positions():
+    exc_n = 2
+    neuron = ln.IzhikevichNeuron()
+    l0 = ln.IzhikevichNeuronLattice(0)
+    l0.populate(neuron, exc_n, exc_n)
+    l0.connect(lambda x, y: x != y, lambda x, y: 2.0)
+    l1 = ln.IzhikevichNeuronLattice(1)
+    l1.populate(neuron, exc_n, exc_n)
+    net = ln.IzhikevichNeuronNetwork.generate_network([l0, l1])
+    net.connect(0, 1, lambda x, y: x == y, lambda x, y: 3.0)
+
+    gp = ln.GraphPosition
+    # same-lattice query reads the lattice graph
+    assert net.get_weight(gp(0, (0, 0)), gp(0, (0, 1))) == 2.0
+    # cross-lattice query reads the connecting graph
+    assert net.get_weight(gp(0, (0, 1)), gp(1, (0, 1))) == 3.0
+    assert net.get_weight(gp(0, (0, 1)), gp(1, (1, 1))) == 0.0
+    with pytest.raises(KeyError):
+        net.get_weight(gp(7, (0, 0)), gp(1, (0, 0)))
+    assert net.get_incoming_connections_within_lattice(0, (0, 0)) == \
+        {(0, 1), (1, 0), (1, 1)}
+
+    # edit a connecting edge, then run: the simulation must use it
+    net.edit_weight(gp(0, (0, 0)), gp(1, (0, 0)), 4.5)
+    assert net.get_weight(gp(0, (0, 0)), gp(1, (0, 0))) == 4.5
+    net.run_lattices(5)
