@@ -662,6 +662,34 @@ class PoissonLattice(RateSpikeTrainLattice):
         self._prototype = None
 
 
-# GPU aliases: on TPU the "GPU" variants are the same device-resident classes
-IzhikevichNeuronLatticeGPU = IzhikevichNeuronLattice
-IzhikevichNeuronNetworkGPU = IzhikevichNeuronNetwork
+# GPU aliases: on TPU the "GPU" variants are the same device-resident
+# classes; `from_lattice`/`from_network` (impl_lattice_gpu `from_lattice`,
+# lattices/mod.rs:335+) deep-copy so the pair can be stepped independently
+# for parity checks, as the reference Python tests do.
+
+
+class IzhikevichNeuronLatticeGPU(IzhikevichNeuronLattice):
+    @classmethod
+    def from_lattice(cls, lattice):
+        out = cls.__new__(cls)
+        out._inner = copy.deepcopy(lattice._inner)
+        out._prototype = copy.deepcopy(lattice._prototype)
+        return out
+
+
+class IzhikevichNeuronNetworkGPU(IzhikevichNeuronNetwork):
+    @classmethod
+    def from_network(cls, network):
+        out = cls.__new__(cls)
+        out._inner = copy.deepcopy(network._inner)
+        out._lattices = {}
+        out._st_lattices = {}
+        for lid, lat in network._lattices.items():
+            wrapped = copy.copy(lat)
+            wrapped._inner = out._inner.lattices[lid]
+            out._lattices[lid] = wrapped
+        for lid, st in network._st_lattices.items():
+            wrapped = copy.copy(st)
+            wrapped._inner = out._inner.spike_train_lattices[lid]
+            out._st_lattices[lid] = wrapped
+        return out

@@ -236,3 +236,49 @@ def test_network_get_weight_graph_positions():
     net.edit_weight(gp(0, (0, 0)), gp(1, (0, 0)), 4.5)
     assert net.get_weight(gp(0, (0, 0)), gp(1, (0, 0))) == 4.5
     net.run_lattices(5)
+
+
+def test_single_lattice_electrical_using_from():
+    """Port of interface_gpu/lixirnet/tests/lattices.py::
+    test_single_lattice_electrical_using_from — the CPU/GPU pair collapses
+    to two independent device lattices here, so the reference's 2mV
+    tolerance becomes equality of weights and histories."""
+    exc_n, iterations = 3, 1000
+    neuron = ln.IzhikevichNeuron()
+    neuron.gap_conductance = 10
+    neuron.c_m = 25
+
+    init_state = np.random.default_rng(5).uniform(
+        neuron.c, neuron.v_th, (exc_n, exc_n))
+    setup_neuron = _get_neuron_setup(init_state)
+
+    lattice = ln.IzhikevichNeuronLattice(0)
+    lattice.populate(neuron, exc_n, exc_n)
+    lattice.apply_given_position(setup_neuron)
+    lattice.connect(lambda x, y: x != y, lambda x, y: 5)
+    lattice.update_grid_history = True
+    lattice.electrical_synapse = True
+    lattice.chemical_synapse = False
+
+    gpu_lattice = ln.IzhikevichNeuronLatticeGPU.from_lattice(lattice)
+
+    for n1 in range(exc_n):
+        for m1 in range(exc_n):
+            for n2 in range(exc_n):
+                for m2 in range(exc_n):
+                    assert abs(lattice.get_weight((n1, m1), (n2, m2))
+                               - gpu_lattice.get_weight((n1, m1), (n2, m2))) \
+                        < 0.1
+    for n in range(exc_n):
+        for m in range(exc_n):
+            assert abs(lattice.get_neuron(n, m).current_voltage
+                       - gpu_lattice.get_neuron(n, m).current_voltage) < 0.1
+
+    lattice.run_lattice(iterations)
+    gpu_lattice.run_lattice(iterations)
+
+    cpu_hist = np.asarray(lattice.history)
+    gpu_hist = np.asarray(gpu_lattice.history)
+    assert cpu_hist.shape == (iterations, exc_n, exc_n)
+    sel = cpu_hist > -80
+    np.testing.assert_allclose(cpu_hist[sel], gpu_hist[sel], atol=2.0)

@@ -288,3 +288,24 @@ def test_sharded_512_lattice_bit_exact(tp_mesh):
     np.testing.assert_array_equal(np.asarray(ref.state["v"]),
                                   np.asarray(lat.state["v"]))
     assert (np.asarray(lat.state["last_firing_time"]) >= 0).any()
+
+
+def test_hybrid_mesh_single_host_and_lattice_shard():
+    """Multi-host helpers degrade gracefully on one host: hybrid mesh is
+    (1, n) / 1-D prefer_ici, and a lattice shards over it bit-exactly."""
+    from spiking_neural_networks_tpu.parallel import (make_hybrid_mesh,
+                                                      initialize_multihost)
+    initialize_multihost()   # no-op without a coordinator
+    mesh2d = make_hybrid_mesh()
+    assert mesh2d.devices.shape == (1, 8)
+    assert mesh2d.axis_names == ("dp", "tp")
+    mesh1d = make_hybrid_mesh(prefer_ici=True)
+    assert mesh1d.devices.shape == (8,)
+
+    ref = _stencil_lattice(rows=16, cols=16)
+    ref.run_lattice(50)
+    lat = _stencil_lattice(rows=16, cols=16)
+    shard_lattice(lat, mesh1d)
+    lat.run_lattice(50)
+    np.testing.assert_array_equal(np.asarray(ref.state["v"]),
+                                  np.asarray(lat.state["v"]))
