@@ -182,6 +182,24 @@ def _graph_to_coo(graph):
     raise TypeError(f"unsupported graph type {type(graph)}")
 
 
+def _edge_history_to_layout(graph, prov, src, dst, w_steps):
+    """Per-step flat edge values (T, E) -> list of T backend-layout weight
+    arrays (what Lattice.graph_history stores)."""
+    kind, extra = prov
+    T = w_steps.shape[0]
+    if kind == "dense":
+        out = np.repeat(np.asarray(graph.weights)[None], T, axis=0)
+        out[:, src, dst] = w_steps
+        return list(out)
+    if kind == "sparse":
+        return list(w_steps)
+    if kind == "stencil":
+        out = np.repeat(np.asarray(graph.weights)[None], T, axis=0)
+        out[:, extra[:, 0], extra[:, 1], extra[:, 2]] = w_steps
+        return list(out)
+    raise TypeError(kind)
+
+
 def _write_back_graph(graph, src, dst, w, prov):
     kind, extra = prov
     if kind == "dense":
@@ -594,7 +612,7 @@ class LatticeNetwork:
             return
         if self.structured and self._structured_supported():
             from .structured import run_structured
-            any_history = any(l.update_grid_history
+            any_history = any(l.update_grid_history or l.update_graph_history
                               for l in self.lattices.values()) \
                 or any(s.update_grid_history
                        for s in self.spike_train_lattices.values())
@@ -606,7 +624,8 @@ class LatticeNetwork:
                 remaining -= chunk
             return
         plan = self._compile()
-        any_history = any(l.update_grid_history for l in self.lattices.values()) \
+        any_history = any(l.update_grid_history or l.update_graph_history
+                          for l in self.lattices.values()) \
             or any(s.update_grid_history
                    for s in self.spike_train_lattices.values()) \
             or self.update_connecting_graph_history
@@ -626,12 +645,24 @@ class LatticeNetwork:
         skip_nt = not bool(_mask_any(plan["nstate"]["nt$mask"]))
         hist_sig = self._history_signature(plan)
 
+        # per-lattice graph-history slices into the flat edge list
+        ghist = []
+        goffset = 0
+        for entry in plan["provenance"]:
+            kind_, owner_, count_, prov_, src_, dst_ = entry
+            if kind_ == "intra" \
+                    and getattr(self.lattices[owner_], "update_graph_history",
+                                False):
+                ghist.append((owner_, goffset, count_))
+            goffset += count_
+
         dense = plan.get("dense_w") is not None
         runner = _build_network_runner(
             neuron_model, st_model, self.electrical_synapse,
             self.chemical_synapse, do_plasticity, type(plasticity),
             hist_sig, plan["n_neurons"], plan["n_total"], skip_nt,
-            self.update_connecting_graph_history, length, dense)
+            self.update_connecting_graph_history, length, dense,
+            tuple(ghist))
 
         edges = dict(src=plan["src"], dst=plan["dst"], plastic=plan["plastic"],
                      node_plastic=plan["node_plastic"], in_deg=plan["in_deg"])
@@ -659,6 +690,14 @@ class LatticeNetwork:
             hist.extend(ys[key_id])
         if self.update_connecting_graph_history:
             self.connecting_graph_history.extend(np.asarray(ys["__w__"]))
+        for (i, start, count) in ghist:
+            lat = self.lattices[i]
+            for entry in plan["provenance"]:
+                if entry[0] == "intra" and entry[1] == i:
+                    _, _, _, prov_, src_, dst_ = entry
+                    break
+            lat.graph_history.extend(_edge_history_to_layout(
+                lat.graph, prov_, src_, dst_, np.asarray(ys[("gw", i)])))
         return plan
 
     def _write_back(self, plan):
@@ -692,7 +731,7 @@ class LatticeNetwork:
 def _build_network_runner(neuron_model, st_model, electrical, chemical,
                           do_plasticity, plasticity_cls, history_sig,
                           n_neurons, n_total, skip_nt, w_history, length,
-                          dense=False):
+                          dense=False, ghist=()):
     from .history import HISTORY_KINDS
 
     readouts = []
@@ -815,6 +854,12 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
             ys[key_id] = h.readout(sl, shape)
         if w_history:
             ys["__w__"] = w[src, dst] if dense else w
+        for (i, start, count) in ghist:
+            if dense:
+                ys[("gw", i)] = w[src[start:start + count],
+                                  dst[start:start + count]]
+            else:
+                ys[("gw", i)] = jax.lax.slice_in_dim(w, start, start + count)
         return (nstate, st_state, w, key, clock), ys
 
     def run(nstate, st_state, w, key, clock, edges, pparams):

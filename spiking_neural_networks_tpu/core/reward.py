@@ -87,6 +87,8 @@ class RewardModulatedLattice:
         self.dopamine = 0.0
         self.update_grid_history = False
         self.grid_history = GridVoltageHistory()
+        self.update_graph_history = False
+        self.graph_history = []
         self.internal_clock = 0
         self.key = jax.random.PRNGKey(0)
         self.history_chunk = 1024
@@ -214,7 +216,7 @@ class RewardModulatedLattice:
             _freeze(self.grid_history) if self.update_grid_history else None,
             (self.rows, self.cols),
             not bool(_mask_any(self.state["nt$mask"])),
-            int(iterations))
+            int(iterations), self.update_graph_history)
         pparams = {k: jnp.float32(v)
                    for k, v in self.reward_modulator.params.items()}
         state, graph, trace, dopamine, key, clock, ys = runner(
@@ -225,6 +227,8 @@ class RewardModulatedLattice:
         self.internal_clock += iterations
         if self.update_grid_history:
             self.grid_history.extend(ys["grid"])
+        if self.update_graph_history:
+            self.graph_history.extend(np.asarray(ys["__weights__"]))
 
     def voltages(self):
         return np.asarray(self.state["v"]).reshape(self.rows, self.cols)
@@ -233,7 +237,7 @@ class RewardModulatedLattice:
 @functools.lru_cache(maxsize=None)
 def _build_reward_runner(model, graph_cls, electrical, chemical,
                          do_modulation, with_reward, grid_history, hist_sig,
-                         shape, skip_nt, length):
+                         shape, skip_nt, length, graph_history=False):
     from .history import HISTORY_KINDS
     readout = None
     if grid_history:
@@ -288,6 +292,8 @@ def _build_reward_runner(model, graph_cls, electrical, chemical,
         ys = {}
         if readout is not None:
             ys["grid"] = readout.readout(state, shape)
+        if graph_history:
+            ys["__weights__"] = graph.weights
         return (state, graph, trace, dopamine, key, clock), ys
 
     def run(state, graph, trace, dopamine, key, clock, rewards, pparams):

@@ -142,6 +142,8 @@ def run_structured_reward(net, rewards, with_reward):
     st_hist = tuple(
         (i, s.grid_history.kind, _freeze(s.grid_history), (s.rows, s.cols))
         for i, s in zip(st_ids, sts) if s.update_grid_history)
+    ghist = tuple(i for i, l in zip(lat_ids, lattices)
+                  if getattr(l, "update_graph_history", False))
 
     conn_meta = tuple(
         (c["pre"], c["post"], c["op"].kind, c["pre_is_st"], c["static"],
@@ -155,7 +157,7 @@ def run_structured_reward(net, rewards, with_reward):
         model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta, rconn_meta,
         graph_types, lat_kind, net.electrical_synapse, net.chemical_synapse,
         type(plasticity), skip_nt, bool(with_reward), hist, st_hist,
-        int(rewards.shape[0]))
+        int(rewards.shape[0]), ghist)
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)
@@ -209,6 +211,8 @@ def run_structured_reward(net, rewards, with_reward):
         merged[i].grid_history.extend(ys[("lat", i)])
     for (i, kind, sig, shape) in st_hist:
         net.spike_train_lattices[i].grid_history.extend(ys[("st", i)])
+    for i in ghist:
+        merged[i].graph_history.extend(np.asarray(ys[("gw", i)]))
 
 
 def _conn_reward_update(kind, aux, w, tr, static, pre_plastic, post_plastic,
@@ -245,7 +249,7 @@ def _build_structured_reward_runner(model, st_model, lat_ids, st_ids,
                                     conn_meta, rconn_meta, graph_types,
                                     lat_kind, electrical, chemical,
                                     plasticity_cls, skip_nt, with_reward,
-                                    hist, st_hist, length):
+                                    hist, st_hist, length, ghist=()):
     from .history import HISTORY_KINDS
 
     lat_index = {i: k for k, i in enumerate(lat_ids)}
@@ -468,6 +472,8 @@ def _build_structured_reward_runner(model, st_model, lat_ids, st_ids,
         for key_id, h, shape, idx in readouts:
             pool = states if key_id[0] == "lat" else st_states
             ys[key_id] = h.readout(pool[idx], shape)
+        for i in ghist:
+            ys[("gw", i)] = graphs[lat_index[i]].weights
 
         return (tuple(states), tuple(st_states), tuple(graphs),
                 tuple(traces), tuple(conn_ws), conn_aux, tuple(rconn_ws),

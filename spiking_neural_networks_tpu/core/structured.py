@@ -433,6 +433,10 @@ def run_structured(net, iterations):
     st_hist = tuple(
         (i, s.grid_history.kind, _freeze(s.grid_history), (s.rows, s.cols))
         for i, s in zip(st_ids, sts) if s.update_grid_history)
+    # per-lattice graph (weight) histories (lattice.update_graph_history,
+    # updated inside the network step in the reference, mod.rs:2443)
+    ghist = tuple(i for i, l in zip(lat_ids, lattices)
+                  if getattr(l, "update_graph_history", False))
 
     conn_meta = tuple(
         (c["pre"], c["post"], c["op"].kind, c["pre_is_st"]) for c in conns)
@@ -441,7 +445,8 @@ def run_structured(net, iterations):
     runner = _build_structured_runner(
         model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,
         graph_types, net.electrical_synapse, net.chemical_synapse,
-        do_plast, type(plasticity), skip_nt, hist, st_hist, int(iterations))
+        do_plast, type(plasticity), skip_nt, hist, st_hist, int(iterations),
+        ghist)
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)
@@ -477,12 +482,15 @@ def run_structured(net, iterations):
         net.lattices[i].grid_history.extend(ys[("lat", i)])
     for (i, kind, sig, shape) in st_hist:
         net.spike_train_lattices[i].grid_history.extend(ys[("st", i)])
+    for i in ghist:
+        net.lattices[i].graph_history.extend(np.asarray(ys[("gw", i)]))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
                              graph_types, electrical, chemical, do_plast,
-                             plasticity_cls, skip_nt, hist, st_hist, length):
+                             plasticity_cls, skip_nt, hist, st_hist, length,
+                             ghist=()):
     from .history import HISTORY_KINDS
 
     lat_index = {i: k for k, i in enumerate(lat_ids)}
@@ -639,6 +647,8 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
         for key_id, h, shape, idx in readouts:
             pool = states if key_id[0] == "lat" else st_states
             ys[key_id] = h.readout(pool[idx], shape)
+        for i in ghist:
+            ys[("gw", i)] = graphs[lat_index[i]].weights
 
         return (tuple(states), tuple(st_states), tuple(graphs),
                 tuple(conn_ws), conn_aux, key, clock), ys

@@ -198,6 +198,16 @@ class GraphPosition:
         self.id = id
         self.pos = tuple(pos)
 
+    def __eq__(self, other):
+        return (isinstance(other, GraphPosition)
+                and self.id == other.id and self.pos == other.pos)
+
+    def __hash__(self):
+        return hash((self.id, self.pos))
+
+    def __repr__(self):
+        return f"GraphPosition {{ id: {self.id}, pos: {self.pos} }}"
+
 
 # ---------------------------------------------------------------------------
 # State broadcasting
@@ -338,6 +348,46 @@ class _LatticeMixin:
 
     def set_id(self, id):
         self._inner.id = id
+
+    def get_every_node(self):
+        """`Graph::get_every_node` (lattices/mod.rs:60-62)."""
+        return {(r, c) for r in range(self._inner.rows)
+                for c in range(self._inner.cols)}
+
+    @property
+    def update_graph_history(self):
+        return getattr(self._inner, "update_graph_history", False)
+
+    @update_graph_history.setter
+    def update_graph_history(self, value):
+        self._inner.update_graph_history = value
+
+    def weights_history(self):
+        """Per-step (N, N) weight matrices (lattices/mod.rs:234-248;
+        None entries become 0)."""
+        from .core.network import _graph_to_coo
+        g = self._inner.graph
+        n = self._inner.n
+        out = []
+        for w in self._inner.graph_history:
+            snap = g.replace_weights(jnp.asarray(w)) \
+                if hasattr(g, "replace_weights") else g
+            src, dst, wv, _ = _graph_to_coo(snap)
+            mat = np.zeros((n, n), np.float32)
+            mat[np.asarray(src), np.asarray(dst)] = np.asarray(wv)
+            out.append(mat)
+        return out
+
+    def get_position_to_index_for_weights(self):
+        cols = self._inner.cols
+        return {(r, c): r * cols + c
+                for r in range((self._inner.rows)) for c in range(cols)}
+
+    def __repr__(self):
+        return (f"{type(self).__name__} {{ ({self._inner.rows}x"
+                f"{self._inner.cols}), id: {self._inner.id}, "
+                f"do_plasticity: {getattr(self._inner, 'do_plasticity', False)}, "
+                f"update_grid_history: {self._inner.update_grid_history} }}")
 
 
 class IzhikevichNeuronLattice(_LatticeMixin):
@@ -491,6 +541,39 @@ class RateSpikeTrainLattice(_LatticeMixin):
             function(_NeuronView(arrays, idx, _ST_KEYMAP))
         self._write_back(arrays)
 
+    _ST_SCALARS = ("rate", "step", "v_th", "v_resting", "chance_of_firing")
+
+    def get_spike_train(self, row, col):
+        """`get_spike_train` analog of get_neuron
+        (lattices/mod.rs:1067-1086)."""
+        if not (0 <= row < self._inner.rows and 0 <= col < self._inner.cols):
+            raise KeyError(f"Position ({row}, {col}) not found")
+        idx = row * self._inner.cols + col
+        proto = copy.deepcopy(self._prototype) if self._prototype \
+            else RateSpikeTrain()
+        state = self._inner.state
+        for attr in self._ST_SCALARS:
+            key = _ST_KEYMAP.get(attr, attr)
+            if key in state:
+                setattr(proto, attr, float(np.asarray(state[key][idx])))
+        proto.current_voltage = float(np.asarray(state["v"][idx]))
+        lft = int(np.asarray(state["last_firing_time"][idx]))
+        proto.last_firing_time = None if lft < 0 else lft
+        proto.is_spiking = bool(np.asarray(state["is_spiking"][idx]))
+        return proto
+
+    def set_spike_train(self, row, col, neuron):
+        if not (0 <= row < self._inner.rows and 0 <= col < self._inner.cols):
+            raise KeyError(f"Position ({row}, {col}) not found")
+        idx = row * self._inner.cols + col
+        state = dict(self._inner.state)
+        for attr in self._ST_SCALARS + ("current_voltage",):
+            key = _ST_KEYMAP.get(attr, attr)
+            if key in state and hasattr(neuron, attr):
+                state[key] = state[key].at[idx].set(
+                    float(getattr(neuron, attr)))
+        self._inner.state = state
+
 
 # map spike-train attribute names in views
 def _view_getattr(self, name):
@@ -616,6 +699,145 @@ class IzhikevichNeuronNetwork:
         if id not in self._lattices:
             raise KeyError(f"Lattice {id} not found in network")
         return self._lattices[id].get_incoming_connections(position)
+
+    def get_incoming_connectings_across_lattices(self, id, position):
+        """Connecting-graph sources of (id, position) as GraphPositions
+        (lattices/mod.rs:970-984)."""
+        if id not in self._lattices and id not in self._st_lattices:
+            raise KeyError(f"Lattice {id} not found in network")
+        out = set()
+        for (pre_id, post_id), (src, dst, w) in \
+                self._inner.connections.items():
+            if post_id != id:
+                continue
+            pre = (self._lattices.get(pre_id)
+                   or self._st_lattices.get(pre_id))._inner
+            r, c = position
+            flat = r * (self._lattices.get(id)
+                        or self._st_lattices.get(id))._inner.cols + c
+            for i in np.asarray(src)[np.asarray(dst) == flat]:
+                out.add(GraphPosition(pre_id,
+                                      (int(i) // pre.cols, int(i) % pre.cols)))
+        return out
+
+    def get_outgoing_connectings_across_lattices(self, id, position):
+        if id not in self._lattices and id not in self._st_lattices:
+            raise KeyError(f"Lattice {id} not found in network")
+        out = set()
+        src_lat = (self._lattices.get(id) or self._st_lattices.get(id))._inner
+        r, c = position
+        flat = r * src_lat.cols + c
+        for (pre_id, post_id), (src, dst, w) in \
+                self._inner.connections.items():
+            if pre_id != id:
+                continue
+            post = self._lattices[post_id]._inner
+            for i in np.asarray(dst)[np.asarray(src) == flat]:
+                out.add(GraphPosition(post_id,
+                                      (int(i) // post.cols, int(i) % post.cols)))
+        return out
+
+    def clear(self):
+        """`LatticeNetwork::clear`: drop every lattice and connection."""
+        self._inner = _Network()
+        self._lattices = {}
+        self._st_lattices = {}
+
+    def get_all_ids(self):
+        return set(self._lattices) | set(self._st_lattices)
+
+    def apply_lattice_given_position(self, id, function):
+        self._lattices[id].apply_given_position(function)
+
+    def _global_index(self):
+        """GraphPosition -> flat index over lattices then spike trains in
+        sorted-id order (the InterleavingGraph ordering)."""
+        mapping = {}
+        off = 0
+        for lid in sorted(self._lattices):
+            lat = self._lattices[lid]._inner
+            for r in range(lat.rows):
+                for c in range(lat.cols):
+                    mapping[GraphPosition(lid, (r, c))] = off
+                    off += 1
+        for lid in sorted(self._st_lattices):
+            st = self._st_lattices[lid]._inner
+            for r in range(st.rows):
+                for c in range(st.cols):
+                    mapping[GraphPosition(lid, (r, c))] = off
+                    off += 1
+        return mapping
+
+    def get_connecting_position_to_index(self):
+        """(lattices/mod.rs:905-912)"""
+        return self._global_index()
+
+    def get_connecting_weights(self):
+        """Dense connecting-graph matrix over the global node ordering,
+        0.0 for absent edges (lattices/mod.rs:893-900)."""
+        index = self._global_index()
+        n = len(index)
+        offsets = {}
+        for gp, idx in index.items():
+            offsets.setdefault(gp.id, idx)   # first index of each lattice
+        mat = np.zeros((n, n), np.float32)
+        for (pre_id, post_id), (src, dst, w) in \
+                self._inner.connections.items():
+            mat[np.asarray(src) + offsets[pre_id],
+                np.asarray(dst) + offsets[post_id]] = np.asarray(w)
+        return mat
+
+    @property
+    def update_connecting_graph_history(self):
+        return self._inner.update_connecting_graph_history
+
+    @update_connecting_graph_history.setter
+    def update_connecting_graph_history(self, value):
+        self._inner.update_connecting_graph_history = value
+
+    def get_connecting_graph_history(self):
+        return [np.asarray(h) for h in self._inner.connecting_graph_history]
+
+    def get_spike_train(self, id, row, col):
+        if id not in self._st_lattices:
+            raise KeyError(f"Spike train lattice {id} not found")
+        return self._st_lattices[id].get_spike_train(row, col)
+
+    def set_spike_train(self, id, row, col, neuron):
+        if id not in self._st_lattices:
+            raise KeyError(f"Spike train lattice {id} not found")
+        self._st_lattices[id].set_spike_train(row, col, neuron)
+
+    def set_lattice(self, id, lattice):
+        """Replace the lattice registered under `id`
+        (lattices/mod.rs:1132-1140)."""
+        if id not in self._lattices:
+            raise KeyError("Id not found")
+        inner = copy.deepcopy(lattice._inner)
+        inner.id = id
+        inner.in_network = True
+        self._inner.lattices[id] = inner
+        self._inner._conn_version += 1
+        wrapped = copy.copy(lattice)
+        wrapped._inner = inner
+        self._lattices[id] = wrapped
+
+    def set_spike_train_lattice(self, id, lattice):
+        if id not in self._st_lattices:
+            raise KeyError("Id not found")
+        inner = copy.deepcopy(lattice._inner)
+        inner.id = id
+        inner.in_network = True
+        self._inner.spike_train_lattices[id] = inner
+        self._inner._conn_version += 1
+        wrapped = copy.copy(lattice)
+        wrapped._inner = inner
+        self._st_lattices[id] = wrapped
+
+    def __repr__(self):
+        return (f"{type(self).__name__} {{ lattices: "
+                f"{sorted(self._lattices)}, spike_train_lattices: "
+                f"{sorted(self._st_lattices)} }}")
 
     def get_outgoing_connections_within_lattice(self, id, position):
         if id not in self._lattices:

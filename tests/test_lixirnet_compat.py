@@ -282,3 +282,56 @@ def test_single_lattice_electrical_using_from():
     assert cpu_hist.shape == (iterations, exc_n, exc_n)
     sel = cpu_hist > -80
     np.testing.assert_allclose(cpu_hist[sel], gpu_hist[sel], atol=2.0)
+
+
+def test_network_surface_methods():
+    """Remaining impl_network surface: clear / get_all_ids / connecting
+    graph views / spike-train accessors / set_lattice / repr."""
+    exc_n = 2
+    neuron = ln.IzhikevichNeuron()
+    l0 = ln.IzhikevichNeuronLattice(0)
+    l0.populate(neuron, exc_n, exc_n)
+    l0.connect(lambda x, y: x != y, lambda x, y: 2.0)
+    st = ln.RateSpikeTrainLattice(2)
+    st.populate(ln.RateSpikeTrain(rate=3.0), exc_n, exc_n)
+    net = ln.IzhikevichNeuronNetwork.generate_network([l0], [st])
+    net.connect(2, 0, lambda x, y: x == y, lambda x, y: 1.5)
+
+    assert net.get_all_ids() == {0, 2}
+    assert l0.get_every_node() == {(r, c) for r in range(2) for c in range(2)}
+
+    # connecting graph views
+    idx = net.get_connecting_position_to_index()
+    assert len(idx) == 8
+    gp = ln.GraphPosition
+    assert idx[gp(0, (0, 0))] == 0
+    w = net.get_connecting_weights()
+    assert w.shape == (8, 8)
+    assert w[idx[gp(2, (0, 0))], idx[gp(0, (0, 0))]] == 1.5
+    incoming = net.get_incoming_connectings_across_lattices(0, (0, 1))
+    assert incoming == {gp(2, (0, 1))}
+    outgoing = net.get_outgoing_connectings_across_lattices(2, (0, 1))
+    assert outgoing == {gp(0, (0, 1))}
+
+    # spike-train accessors
+    t = net.get_spike_train(2, 0, 0)
+    assert t.rate == 3.0
+    t.rate = 7.0
+    net.set_spike_train(2, 0, 0, t)
+    assert net.get_spike_train(2, 0, 0).rate == 7.0
+
+    # graph history through the lattice wrapper
+    l0.update_graph_history = True
+    l0.do_plasticity = True
+    net.run_lattices(20)
+    hist = net.get_lattice(0).weights_history()
+    assert len(hist) == 20 and hist[0].shape == (4, 4)
+
+    # set_lattice replaces, clear empties
+    fresh = ln.IzhikevichNeuronLattice(0)
+    fresh.populate(neuron, exc_n, exc_n)
+    net.set_lattice(0, fresh)
+    assert float(np.abs(net.get_connecting_weights()).sum()) > 0
+    assert "IzhikevichNeuronNetwork" in repr(net)
+    net.clear()
+    assert net.get_all_ids() == set()

@@ -368,3 +368,33 @@ def test_structured_plan_cache_across_runs():
     assert net._structured_plan is not plan1      # invalidated + rebuilt
     w3 = np.asarray(net.connections[(1, 0)][2])
     assert np.all(np.abs(w3) <= 10.0)             # new weights took effect
+
+
+def test_network_per_lattice_graph_history():
+    """lattice.update_graph_history inside a network records per-step
+    backend-layout weight snapshots (reference updates lattice graph
+    history inside the network step, neuron/mod.rs:2443) — on both the
+    structured and flat runners, with identical values."""
+    def build(structured):
+        net, _, _, _ = build_network(chemical=False, plasticity=True, seed=2)
+        net.structured = structured
+        lat0 = net.get_lattice(0)
+        lat0.update_graph_history = True
+        # near-threshold start so spikes (and STDP movement) happen early
+        lat0.state["v"] = jnp.full_like(lat0.state["v"], 29.5)
+        return net
+
+    stru = build(True)
+    stru.run_lattices(200)
+    h_s = stru.get_lattice(0).graph_history
+    assert len(h_s) == 200
+    assert h_s[0].shape == np.asarray(stru.get_lattice(0).graph.weights).shape
+
+    flat = build(False)
+    flat.run_lattices(200)
+    h_f = flat.get_lattice(0).graph_history
+    assert len(h_f) == 200
+    np.testing.assert_allclose(np.asarray(h_s[-1]), np.asarray(h_f[-1]),
+                               rtol=1e-5, atol=1e-5)
+    # weights actually moved at some point
+    assert np.abs(np.asarray(h_s[-1]) - np.asarray(h_s[0])).max() > 0
