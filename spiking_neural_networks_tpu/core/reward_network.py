@@ -8,17 +8,22 @@ plain weights or trace-carrying reward-modulated weights
 (`RewardModulatedConnection`, neuron/mod.rs:3419-3432).
 
 Flattening follows `core/network.py`: one global node space, one edge list.
-Each edge carries (w, c, dw, counter) plus two static flags:
+Each edge carries (w, c, dw, counter) plus a static ``modulated`` flag
+(intra edges of reward lattices + reward connections).  Per step:
 
-* ``plastic``  — STDP applies, triggered by spiking endpoints in lattices
-  with ``do_plasticity`` (plain edges only);
-* ``visits``   — 0/1/2 R-STDP visits per step: one per endpoint that lives
-  in a reward-modulated lattice with ``do_modulation`` (the modulator's
-  `do_update` is always true, plasticity/mod.rs:239-241; spike trains never
-  trigger).
+* **modulated edges** receive 0-2 R-STDP visits: one per endpoint in a
+  reward lattice with ``do_modulation`` (every step — the modulator's
+  `do_update` is always true, plasticity/mod.rs:239-241) plus one per
+  SPIKING endpoint in a plain lattice with ``do_plasticity``
+  (mod.rs:4742-4762); spike trains never trigger;
+* **plain edges** receive STDP visits: one per spiking plastic endpoint,
+  plus the reward sweep's every-step visit when one endpoint is modulated
+  and the other is a plain lattice (mod.rs:4868-4898, 4928-4947).
 
-Per step the shared dopamine scalar decays with the reward
-(plasticity/mod.rs:204-206), then every modulated edge applies its visits.
+The shared dopamine scalar decays with the reward before the visits
+(plasticity/mod.rs:204-206).  The structure-preserving runner
+(`core/reward_structured.py`) is the default; this flat COO path is the
+fallback (connecting-graph history) and the equivalence oracle.
 """
 
 from __future__ import annotations
@@ -284,7 +289,8 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             neuron_model, st_model, self.electrical_synapse,
             self.chemical_synapse, do_plasticity, type(plasticity),
             hist_sig, plan["n_neurons"], plan["n_total"], skip_nt,
-            with_reward, int(rewards.shape[0]))
+            with_reward, int(rewards.shape[0]),
+            self.update_connecting_graph_history)
 
         pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
         rparams = {k: jnp.float32(v)
@@ -308,6 +314,8 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             hist = (merged[i].grid_history if scope == "lat"
                     else self.spike_train_lattices[i].grid_history)
             hist.extend(ys[key_id])
+        if self.update_connecting_graph_history:
+            self.connecting_graph_history.extend(np.asarray(ys["__w__"]))
         return plan
 
     def _history_signature(self, plan):
@@ -401,7 +409,7 @@ def _edges_to_trace(lattice, src, dst, c, dw, ct):
 def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
                                  do_plasticity, plasticity_cls, history_sig,
                                  n_neurons, n_total, skip_nt, with_reward,
-                                 length):
+                                 length, w_history=False):
     from .history import HISTORY_KINDS
 
     readouts = []
@@ -542,6 +550,8 @@ def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
             sl = {k: v[off:off + n] for k, v in state.items()
                   if k in ("v", "is_spiking")}
             ys[key_id] = h.readout(sl, shape)
+        if w_history:
+            ys["__w__"] = w
         return (nstate, st_state, w, trace, dopamine, key, clock), ys
 
     def run(nstate, st_state, w, trace, dopamine, key, clock, rewards,

@@ -118,6 +118,14 @@ class DeltaDiracRefractoriness:
     def __init__(self, k=10000.0):
         self.k = k
 
+    def get_effect(self, timestep, last_firing_time, v_max, v_resting, dt):
+        """`NeuralRefractoriness::get_effect` (spike_train/mod.rs:67-74)
+        with the DeltaDirac Gaussian decay (:84-86)."""
+        a = v_max - v_resting
+        time_difference = float(timestep - last_firing_time)
+        return float(a * np.exp((-1.0 / (self.k / dt))
+                                * time_difference ** 2.0) + v_resting)
+
 
 # ---------------------------------------------------------------------------
 # Prototype neurons
@@ -186,11 +194,37 @@ class RateSpikeTrain:
     def set_synaptic_neurotransmitters(self, mapping):
         self.synaptic_neurotransmitters = dict(mapping)
 
+    def iterate(self):
+        """`RateSpikeTrain::iterate` (spike_train/mod.rs:1016-1030):
+        host-side single-neuron stepping (prototype convenience; lattice
+        simulation runs on device)."""
+        self.step += self.dt
+        if self.rate != 0.0 and self.step >= self.rate:
+            self.step = 0.0
+            self.current_voltage = self.v_th
+            self.is_spiking = True
+        else:
+            self.current_voltage = self.v_resting
+            self.is_spiking = False
+        return self.is_spiking
+
 
 class PoissonNeuron(RateSpikeTrain):
     def __init__(self, chance_of_firing=0.0, **kw):
         super().__init__(**kw)
         self.chance_of_firing = chance_of_firing
+
+    def iterate(self):
+        """`PoissonNeuron::iterate` (spike_train/mod.rs:352-366):
+        host-side single-neuron stepping for prototype experimentation."""
+        import random
+        if random.random() <= self.chance_of_firing:
+            self.current_voltage = self.v_th
+            self.is_spiking = True
+        else:
+            self.current_voltage = self.v_resting
+            self.is_spiking = False
+        return self.is_spiking
 
 
 class GraphPosition:

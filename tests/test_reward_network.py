@@ -203,3 +203,13 @@ def test_plain_edge_into_modulated_lattice_gets_stdp(structured):
     # intra edges of the non-plastic plain lattice never move
     np.testing.assert_array_equal(
         np.asarray(net.get_lattice(3).graph.weights), q_before)
+
+
+def test_reward_network_connecting_graph_history():
+    """update_connecting_graph_history on a reward network records the
+    per-step edge weights (falls back to the flat runner)."""
+    net = _mixed_net(structured=True)  # history forces the flat path anyway
+    net.update_connecting_graph_history = True
+    net.run_lattices_with_reward(0.4, 30)
+    assert len(net.connecting_graph_history) == 30
+    assert np.isfinite(net.connecting_graph_history[-1]).all()
