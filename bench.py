@@ -35,6 +35,9 @@ def bench_izhikevich(rows=512, cols=512, iters=2000):
     lat = snn.Lattice(snn.Izhikevich())
     lat.populate(rows, cols, gap_conductance=10.0)
     lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=7)
+    # 4x-unrolled step loop amortizes the per-iteration multi-kernel
+    # overhead floor (measured 53.7 -> 48.0 us/step in-process on v5e)
+    lat.scan_unroll = 4
     v0 = np.random.default_rng(1).uniform(-65.0, 30.0, rows * cols)
     lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
 
@@ -69,6 +72,7 @@ def bench_hh_stdp(rows=128, cols=128, iters=2000):
     lat.chemical_synapse = True
     lat.do_plasticity = True
     lat.plasticity = snn.STDP()
+    lat.scan_unroll = 4  # 18.9k -> 21.7k steps/s in-process on v5e
 
     log("compiling HH+STDP lattice ...")
     lat.run_lattice(iters)

@@ -64,6 +64,10 @@ class Lattice:
         self.history_chunk = 1024
         self.in_network = False
         self.mesh = None  # set by shard(); informational
+        # lax.scan unroll factor for the step loop: >1 replicates the step
+        # body to amortize per-iteration loop overhead (measured ~15-25us
+        # multi-kernel floor per step on v5e); tune per workload via bench
+        self.scan_unroll = 1
         # opt-in fused Pallas kernel for the electrical Izhikevich+stencil
         # hot path (ops/pallas_stencil.py)
         self.use_pallas = False
@@ -214,7 +218,7 @@ class Lattice:
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),
             tuple((name, h.kind, _freeze(h)) for name, h in self._history_items()),
             self.update_graph_history, (self.rows, self.cols), length, skip_nt,
-            use_pallas)
+            use_pallas, int(self.scan_unroll))
         pparams = {k: jnp.float32(v) for k, v in self.plasticity.params.items()}
         state, graph, key, clock, ys = runner(
             self.state, self.graph, self.key,
@@ -253,7 +257,7 @@ def _freeze(hist):
 def _build_lattice_runner(model, graph_cls, electrical, chemical,
                           do_plasticity, plasticity_cls, history_sig,
                           graph_history, shape, length, skip_nt=False,
-                          use_pallas=False):
+                          use_pallas=False, unroll=1):
     from .history import HISTORY_KINDS
 
     # Rebuild readout objects from their frozen signatures.
@@ -309,7 +313,8 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
     def run(state, graph, key, clock, pparams):
         step = functools.partial(one_step, pparams)
         (state, graph, key, clock), ys = jax.lax.scan(
-            step, (state, graph, key, clock), None, length=length)
+            step, (state, graph, key, clock), None, length=length,
+            unroll=unroll)
         return state, graph, key, clock, ys
 
     return jax.jit(run, donate_argnums=(0, 1))

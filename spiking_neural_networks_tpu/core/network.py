@@ -636,6 +636,15 @@ class LatticeNetwork:
             remaining -= chunk
         self._write_back(plan)
 
+    def run_lattices_pipelined(self, iterations, mesh=None, order=None):
+        """Pipeline-parallel `run_lattices` for chain-topology networks:
+        one lattice per device of a ``("pp",)`` mesh, previous-stage fields
+        delivered by `ppermute` (parallel/pipeline.py)."""
+        if iterations == 0:
+            return
+        from ..parallel.pipeline import run_pipelined
+        run_pipelined(self, iterations, mesh=mesh, order=order)
+
     def _run_chunk(self, plan, length):
         neuron_model = next(iter(self.lattices.values())).model
         st_model = (next(iter(self.spike_train_lattices.values())).model

@@ -1,0 +1,385 @@
+"""Pipeline parallelism: a chain-topology LatticeNetwork with one lattice
+per device (SURVEY.md §2.5 pipeline-parallel row — "pipeline multi-lattice
+networks across devices (each lattice a stage)").
+
+The reference has no distributed execution at all; its closest analog is the
+single-device network runtime (`/root/reference/backend/src/neuron/
+gpu_lattices/mod.rs:2284-2580`).  Here a network whose lattices form a chain
+(stage 0 -> 1 -> ... -> S-1 via one-to-one connections) is executed as ONE
+SPMD program over a ``("pp",)`` mesh:
+
+* every per-stage array (state leaves, intra-lattice graph planes,
+  connecting-edge weights) is stacked along a leading stage axis and
+  sharded ``P("pp", ...)`` — one stage per device;
+* inside a single `shard_map` + `lax.scan`, each device runs the SAME
+  single-lattice step the structured network runner uses (core/
+  structured.py:509-654), and the previous stage's fields arrive by
+  `lax.ppermute` over the inter-chip interconnect — one hop per step for
+  the membrane voltage (electrical), the neurotransmitter concentrations
+  (chemical), and the plasticity node fields (STDP on connecting edges);
+* unlike GPipe-style microbatched pipelining there are no bubbles: an SNN
+  chain is a systolic array in time — stage k+1's step-t input depends
+  only on stage k's step t-1 state (the reference's two-phase semantics,
+  neuron/mod.rs:2420-2476), so all S stages compute every step and the
+  per-step communication is a single neighbor permute.
+
+Semantics are exactly the structured runner's (same expression order), so
+pipelined runs match `run_lattices` to float-accumulation order.
+
+Supported chains (validated, errors otherwise): homogeneous model + grid
+shape + intra-graph structure across stages, one-to-one connecting edges,
+electrical and/or chemical synapses, per-stage plasticity (intra + gated
+connecting-edge updates), grid histories.  Spike-train lattices are not
+part of the chain; drive stage 0 with state overrides instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..core.structured import (_chem_counts, _conn_edge_update, _conn_gather,
+                               _conn_gather_chemical, _freeze)
+from ..core.history import HISTORY_KINDS
+from ..errors import LatticeNetworkError
+from ..models.base import get_neurotransmitter_concentrations
+from ..ops.graph import DenseGraph, StencilGraph
+
+
+def make_pipeline_mesh(n_stages, devices=None, axis="pp"):
+    """A 1-D mesh with one device per pipeline stage."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_stages:
+        raise ValueError(
+            f"pipeline of {n_stages} stages needs {n_stages} devices, "
+            f"have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_stages]), (axis,))
+
+
+def _chain_order(net, order):
+    """Validate the chain topology and return the stage order."""
+    if net.spike_train_lattices:
+        raise LatticeNetworkError(
+            "pipelined networks cannot contain spike-train lattices; "
+            "drive stage 0 via state overrides")
+    if order is None:
+        order = sorted(net.lattices)
+    if sorted(order) != sorted(net.lattices):
+        raise LatticeNetworkError("order must list every lattice id once")
+    links = {(order[k], order[k + 1]) for k in range(len(order) - 1)}
+    extra = set(net.connections) - links
+    if extra:
+        raise LatticeNetworkError(
+            f"not a chain: connections {sorted(extra)} are not stage->next")
+    return list(order)
+
+
+def _stack_state(lattices, mesh, axis):
+    """Host-side stack of per-stage state dicts -> (S, ...) sharded leaves."""
+    keys = sorted(lattices[0].state)
+    out = {}
+    for k in keys:
+        stacked = np.stack([np.asarray(l.state[k]) for l in lattices])
+        sh = NamedSharding(mesh, P(axis, *([None] * (stacked.ndim - 1))))
+        leaf = jax.device_put(stacked, sh)
+        leaf.block_until_ready()  # sequential synced puts (utils/transfer)
+        out[k] = leaf
+    return out
+
+
+def _stack_graphs(lattices, mesh, axis):
+    """Stack per-stage intra graphs (same static structure) into leading-S
+    arrays; returns (graph_kind, static, arrays dict)."""
+    g0 = lattices[0].graph
+    if isinstance(g0, StencilGraph):
+        offsets = g0.offsets
+        for l in lattices:
+            if not isinstance(l.graph, StencilGraph) \
+                    or l.graph.offsets != offsets:
+                raise LatticeNetworkError(
+                    "pipelined stages need identical stencil offset sets")
+        arrs = dict(
+            weights=np.stack([np.asarray(l.graph.weights) for l in lattices]),
+            mask=np.stack([np.asarray(l.graph.mask) for l in lattices]),
+            in_deg=np.stack([np.asarray(l.graph.in_deg) for l in lattices]))
+        static = offsets
+        kind = "stencil"
+    elif isinstance(g0, DenseGraph):
+        for l in lattices:
+            if not isinstance(l.graph, DenseGraph):
+                raise LatticeNetworkError(
+                    "pipelined stages need one intra-graph backend")
+        arrs = dict(
+            weights=np.stack([np.asarray(l.graph.weights) for l in lattices]),
+            mask=np.stack([np.asarray(l.graph.mask) for l in lattices]))
+        static = None
+        kind = "dense"
+    else:
+        raise LatticeNetworkError(
+            "pipelined intra graphs must be StencilGraph or DenseGraph "
+            f"(got {type(g0).__name__}); COO edge lists have no stage-"
+            "stackable layout")
+    out = {}
+    for k, v in sorted(arrs.items()):
+        sh = NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1))))
+        leaf = jax.device_put(v, sh)
+        leaf.block_until_ready()
+        out[k] = leaf
+    return kind, static, out
+
+
+def _local_graph(kind, static, arrs):
+    """Rebuild the stage-local graph object from squeezed block arrays."""
+    if kind == "stencil":
+        return StencilGraph(static, arrs["weights"], arrs["mask"],
+                            arrs["in_deg"])
+    return DenseGraph(arrs["weights"], arrs["mask"])
+
+
+def _stack_connections(net, order, lattices, mesh, axis):
+    """(S, N) connecting-edge weights/mask/in_deg; row s is the one-to-one
+    link INTO stage s (row 0 all-zero)."""
+    n = lattices[0].n
+    S = len(order)
+    w = np.zeros((S, n), np.float32)
+    m = np.zeros((S, n), bool)
+    for s in range(1, S):
+        conn = net.connections.get((order[s - 1], order[s]))
+        if conn is None:
+            continue
+        src, dst, cw = conn
+        src, dst = np.asarray(src), np.asarray(dst)
+        if len(src) and not (src == dst).all():
+            raise LatticeNetworkError(
+                "pipelined connecting edges must be one-to-one "
+                "(src position == dst position)")
+        w[s, dst] = cw
+        m[s, dst] = True
+    spec = NamedSharding(mesh, P(axis, None))
+    out = {}
+    for k, v in (("w", w.astype(np.float32)), ("mask", m),
+                 ("in_deg", m.astype(np.float32))):
+        leaf = jax.device_put(v, spec)
+        leaf.block_until_ready()
+        out[k] = leaf
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pipeline_runner(mesh, axis, model, graph_kind, graph_static,
+                           electrical, chemical, plasticity_cls, any_plast,
+                           skip_nt, hist_sig, shape, S, length):
+    perm = tuple((k, k + 1) for k in range(S - 1))
+
+    readout = None
+    if hist_sig is not None:
+        cls = HISTORY_KINDS[hist_sig[0]]
+        readout = cls(*hist_sig[1:]) if len(hist_sig) > 1 else cls()
+
+    def hop(x):
+        """Previous stage's value of x (stage 0 receives zeros)."""
+        if S == 1:
+            return jnp.zeros_like(x)
+        return jax.lax.ppermute(x, axis, perm)
+
+    def one_step(pparams, plast, conn_aux, carry, _):
+        s, garrs, conn_w, clock = carry
+        g = _local_graph(graph_kind, graph_static, garrs)
+        flag, pre_flag = plast  # this stage / previous stage plastic (0/1)
+
+        # ---- Phase A (structured.py:520-576 specialized to one lattice
+        # plus one incoming one-to-one connection) ----
+        total = jnp.zeros_like(s["v"])
+        cnt = jnp.zeros_like(s["v"])
+        if electrical:
+            total = total + g.gather_electrical(
+                s["v"], jnp.ones_like(s["v"]), s["v"],
+                jnp.ones_like(s["v"])) * jnp.maximum(g.in_degree(), 1.0)
+            cnt = cnt + g.in_degree()
+            v_recv = hop(s["v"])
+            total = total + _conn_gather("one2one", conn_aux, conn_w,
+                                         v_recv, jnp.ones_like(v_recv),
+                                         s["v"])
+            cnt = cnt + conn_aux["in_deg"]
+        inputs = s["gap_conductance"] * total / jnp.maximum(cnt, 1.0) \
+            if electrical else jnp.zeros_like(s["v"])
+
+        if chemical:
+            t, m = get_neurotransmitter_concentrations(s)
+            mf = m.astype(jnp.float32)
+            t_in_g, _valid = g.gather_chemical(t, mf)
+            gc = _chem_counts(g, mf)
+            csum = t_in_g * jnp.maximum(gc, 1.0) * (gc > 0)
+            ccnt = gc
+            k_nt = t.shape[-1]
+            both = hop(jnp.concatenate([t, mf], axis=-1))
+            sums, cnts = _conn_gather_chemical(
+                "one2one", conn_aux, conn_w, both[..., :k_nt],
+                both[..., k_nt:])
+            csum = csum + sums
+            ccnt = ccnt + cnts
+            t_in = csum / jnp.maximum(ccnt, 1.0)
+            s, spk = model.step(s, inputs, t_in, ccnt > 0.0, skip_nt=skip_nt)
+        else:
+            s, spk = model.step(s, inputs, skip_nt=skip_nt)
+        s["last_firing_time"] = jnp.where(spk, clock, s["last_firing_time"])
+
+        # ---- deferred plasticity (structured.py:594-635); per-stage
+        # enables are data (0/1 floats), so the single SPMD program gates
+        # deltas instead of branching ----
+        if any_plast:
+            vals = {k: s[k] for k in plasticity_cls.NODE_KEYS}
+            garrs = _graph_arrays(g.apply_edge_update(
+                lambda w, pre, post: flag * (plasticity_cls.apply_visits(
+                    w, pre, post, pparams,
+                    pre["is_spiking"].astype(jnp.float32)
+                    + post["is_spiking"].astype(jnp.float32)) - w),
+                vals, vals), graph_kind)
+
+            keys = list(plasticity_cls.NODE_KEYS)
+            stacked = hop(jnp.stack(
+                [s[k].astype(jnp.float32) for k in keys], axis=-1))
+            pre_vals = {k: stacked[..., f] for f, k in enumerate(keys)}
+
+            def gated_delta(w, pre, post):
+                count = (pre["is_spiking"].astype(jnp.float32) * pre_flag
+                         + post["is_spiking"].astype(jnp.float32) * flag)
+                gate = jnp.maximum(pre_flag, flag)
+                return gate * (plasticity_cls.apply_visits(
+                    w, pre, post, pparams, count) - w)
+
+            conn_w = _conn_edge_update("one2one", conn_aux, conn_w,
+                                       gated_delta, pre_vals, vals)
+        else:
+            garrs = _graph_arrays(g, graph_kind)
+
+        clock = clock + 1
+        ys = readout.readout(s, shape) if readout is not None else ()
+        return (s, garrs, conn_w, clock), ys
+
+    def body(state, garrs, conn, plast_pair, clock, pparams):
+        # blocks carry a leading stage axis of length 1: squeeze it
+        s = {k: v[0] for k, v in state.items()}
+        garrs = {k: v[0] for k, v in garrs.items()}
+        conn_w = conn["w"][0]
+        conn_aux = dict(mask=conn["mask"][0], in_deg=conn["in_deg"][0])
+        plast = (plast_pair[0, 0], plast_pair[0, 1])
+        step = functools.partial(one_step, pparams, plast, conn_aux)
+        (s, garrs, conn_w, clock), ys = jax.lax.scan(
+            step, (s, garrs, conn_w, clock), None, length=length)
+        out_state = {k: v[None] for k, v in s.items()}
+        out_g = {k: v[None] for k, v in garrs.items()}
+        if readout is not None:
+            ys = ys[:, None]  # (T, 1, ...) local -> (T, S, ...) global
+        return out_state, out_g, conn_w[None], ys
+
+    stage = P(axis)
+    rep = P()
+    out_ys = P(None, axis) if readout is not None else rep
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(stage, stage, stage, stage, rep, rep),
+        out_specs=(stage, stage, stage, out_ys))
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+def _graph_arrays(g, kind):
+    if kind == "stencil":
+        return dict(weights=g.weights, mask=g.mask, in_deg=g.in_deg)
+    return dict(weights=g.weights, mask=g.mask)
+
+
+def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
+    """Run a chain-topology LatticeNetwork as one SPMD pipeline over a
+    ``("pp",)`` mesh (one lattice per device) and write results back to the
+    network exactly as `run_lattices` would."""
+    order = _chain_order(net, order)
+    lattices = [net.lattices[i] for i in order]
+    S = len(lattices)
+    if mesh is None:
+        mesh = make_pipeline_mesh(S, axis=axis)
+    if mesh.devices.size != S:
+        raise LatticeNetworkError(
+            f"mesh has {mesh.devices.size} devices for {S} stages")
+    axis = mesh.axis_names[0]
+    shape0 = (lattices[0].rows, lattices[0].cols)
+    for l in lattices:
+        if (l.rows, l.cols) != shape0:
+            raise LatticeNetworkError("pipelined stages must share (rows, "
+                                      "cols)")
+
+    model = lattices[0].model
+    plasticity = net._plasticity()
+    any_plast = any(bool(l.do_plasticity) for l in lattices)
+    from ..core.lattice import _mask_any
+    skip_nt = not any(bool(_mask_any(l.state["nt$mask"])) for l in lattices)
+
+    hist_flags = {bool(l.update_grid_history) for l in lattices}
+    if hist_flags == {True}:
+        sigs = {_freeze(l.grid_history) for l in lattices}
+        if len(sigs) != 1:
+            raise LatticeNetworkError(
+                "pipelined stages must share one grid-history kind")
+        hist_sig = next(iter(sigs))
+    elif hist_flags == {False}:
+        hist_sig = None
+    else:
+        raise LatticeNetworkError(
+            "grid history must be enabled on all stages or none")
+
+    graph_kind, graph_static, garrs = _stack_graphs(lattices, mesh, axis)
+    states = _stack_state(lattices, mesh, axis)
+    conn = _stack_connections(net, order, lattices, mesh, axis)
+    plast_pair = jax.device_put(
+        np.array([[float(bool(l.do_plasticity)),
+                   float(bool(lattices[k - 1].do_plasticity)) if k else 0.0]
+                  for k, l in enumerate(lattices)], np.float32),
+        NamedSharding(mesh, P(axis, None)))
+
+    runner = _build_pipeline_runner(
+        mesh, axis, model, graph_kind, graph_static,
+        bool(net.electrical_synapse), bool(net.chemical_synapse),
+        type(plasticity), any_plast, skip_nt, hist_sig, shape0, S,
+        int(iterations))
+    pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
+
+    states, garrs, conn_w, ys = runner(states, garrs, conn, plast_pair,
+                                       jnp.int32(net.internal_clock), pparams)
+    net.internal_clock += iterations
+
+    # ---- write back per stage (mirrors core/structured.run_structured) ----
+    host_state = {k: np.asarray(v) for k, v in states.items()}
+    host_g = {k: np.asarray(v) for k, v in garrs.items()}
+    host_cw = np.asarray(conn_w)
+    for s_idx, lat in enumerate(lattices):
+        lat.state = {k: jnp.asarray(v[s_idx]) for k, v in host_state.items()}
+        if graph_kind == "stencil":
+            lat.graph = StencilGraph(
+                graph_static, jnp.asarray(host_g["weights"][s_idx]),
+                jnp.asarray(host_g["mask"][s_idx]),
+                jnp.asarray(host_g["in_deg"][s_idx]))
+        else:
+            lat.graph = DenseGraph(jnp.asarray(host_g["weights"][s_idx]),
+                                   jnp.asarray(host_g["mask"][s_idx]))
+        lat.internal_clock = net.internal_clock
+    for s_idx in range(1, S):
+        key = (order[s_idx - 1], order[s_idx])
+        if key not in net.connections:
+            continue
+        src, dst, _old = net.connections[key]
+        net.connections[key] = (src, dst, host_cw[s_idx][np.asarray(dst)])
+    net._conn_version += 1  # weights may have moved: invalidate cached plans
+    if hist_sig is not None:
+        hist = np.asarray(ys)  # (T, S, rows, cols) or (T, S, ...)
+        for s_idx, lat in enumerate(lattices):
+            lat.grid_history.extend(hist[:, s_idx])
+    return net

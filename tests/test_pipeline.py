@@ -1,0 +1,139 @@
+"""Pipeline-parallel chain execution (parallel/pipeline.py) vs the
+structured single-mesh runner — same network, two execution strategies.
+
+The pipelined path must reproduce `run_lattices` semantics (the reference's
+two-phase network step, neuron/mod.rs:2420-2476) with one lattice per
+device and ppermute-delivered inter-stage fields."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spiking_neural_networks_tpu as snn
+from spiking_neural_networks_tpu.parallel import (make_pipeline_mesh,
+                                                  run_pipelined)
+from spiking_neural_networks_tpu.errors import LatticeNetworkError
+
+
+def _chain(stages=4, rows=8, cols=8, plastic=(), chemical=False, seed=0,
+           history=False, stagger=False):
+    rng = np.random.default_rng(seed)
+    lats = []
+    for k in range(stages):
+        lat = snn.Lattice(snn.Izhikevich(), id=k)
+        lat.populate(rows, cols, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=seed + k)
+        v0 = rng.uniform(-65.0, 30.0, rows * cols)
+        v0[rng.permutation(rows * cols)[:8]] = 40.0  # spike at t=0
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        if stagger:
+            # spike-history offsets so STDP time diffs are nonzero from the
+            # first visit (t_pre != t_post)
+            lft = np.full(rows * cols, -1, np.int32)
+            lft[::2] = 3
+            v1 = np.asarray(v0)
+            v1[1::2] = 40.0
+            lat.apply(lambda s: {**s,
+                                 "v": jnp.asarray(v1, jnp.float32),
+                                 "last_firing_time": jnp.asarray(lft)})
+        lat.do_plasticity = k in plastic
+        lat.update_grid_history = history
+        if chemical:
+            s = lat.state
+            for t in ("AMPA", "GABA"):
+                s = lat.model.insert_receptor(s, t)
+                s = lat.model.insert_neurotransmitter(s, t)
+            lat.state = s
+        lats.append(lat)
+    net = snn.LatticeNetwork.generate_network(lats, [])
+    for k in range(stages - 1):
+        net.connect(k, k + 1, lambda a, b: a == b, lambda a, b: 3.0)
+    net.chemical_synapse = chemical
+    net.electrical_synapse = not chemical
+    return net
+
+
+def _mesh(stages):
+    return make_pipeline_mesh(stages, devices=jax.devices()[:stages])
+
+
+def test_pipeline_matches_structured_electrical():
+    a = _chain(stages=4, seed=3)
+    b = _chain(stages=4, seed=3)
+    a.run_lattices(200)
+    run_pipelined(b, 200, mesh=_mesh(4))
+    total_fired = 0
+    for k in range(4):
+        va = np.asarray(a.get_lattice(k).state["v"])
+        vb = np.asarray(b.get_lattice(k).state["v"])
+        np.testing.assert_allclose(va, vb, rtol=2e-5, atol=2e-4)
+        fa = np.asarray(a.get_lattice(k).state["last_firing_time"])
+        fb = np.asarray(b.get_lattice(k).state["last_firing_time"])
+        total_fired += int((fa >= 0).sum())
+        assert ((fa >= 0) == (fb >= 0)).mean() > 0.99
+    assert total_fired > 0, "vacuous: no spikes anywhere in the chain"
+
+
+def test_pipeline_plasticity_matches_structured():
+    a = _chain(stages=3, plastic=(0, 2), seed=5, stagger=True)
+    b = _chain(stages=3, plastic=(0, 2), seed=5, stagger=True)
+    a.run_lattices(150)
+    run_pipelined(b, 150, mesh=_mesh(3))
+    # intra-lattice weights evolved identically (stage 0 and 2 plastic)
+    for k in (0, 2):
+        wa = np.asarray(a.get_lattice(k).graph.weights)
+        wb = np.asarray(b.get_lattice(k).graph.weights)
+        assert not np.array_equal(wa, np.asarray(
+            _chain(stages=3, plastic=(0, 2), seed=5, stagger=True)
+            .get_lattice(k).graph.weights)), "vacuous: no weight change"
+        np.testing.assert_allclose(wa, wb, rtol=2e-4, atol=2e-4)
+    # non-plastic stage untouched
+    w1a = np.asarray(a.get_lattice(1).graph.weights)
+    w1b = np.asarray(b.get_lattice(1).graph.weights)
+    np.testing.assert_array_equal(w1a, w1b)
+    # connecting-edge weights (pre- or post-plastic links are updated)
+    for key in ((0, 1), (1, 2)):
+        _, _, wa = a.connections[key]
+        _, _, wb = b.connections[key]
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_chemical_chain():
+    a = _chain(stages=2, chemical=True, seed=7)
+    b = _chain(stages=2, chemical=True, seed=7)
+    a.run_lattices(100)
+    run_pipelined(b, 100, mesh=_mesh(2))
+    for k in range(2):
+        np.testing.assert_allclose(
+            np.asarray(a.get_lattice(k).state["v"]),
+            np.asarray(b.get_lattice(k).state["v"]), rtol=2e-5, atol=2e-4)
+
+
+def test_pipeline_grid_history():
+    a = _chain(stages=2, seed=9, history=True)
+    b = _chain(stages=2, seed=9, history=True)
+    a.run_lattices(50)
+    run_pipelined(b, 50, mesh=_mesh(2))
+    for k in range(2):
+        ha = np.stack(a.get_lattice(k).grid_history.history)
+        hb = np.stack(b.get_lattice(k).grid_history.history)
+        assert ha.shape == hb.shape == (50, 8, 8)
+        np.testing.assert_allclose(ha, hb, rtol=2e-5, atol=2e-4)
+
+
+def test_pipeline_rejects_non_chain():
+    net = _chain(stages=3, seed=1)
+    net.connect(2, 0, lambda a, b: a == b, lambda a, b: 1.0)  # cycle edge
+    with pytest.raises(LatticeNetworkError):
+        run_pipelined(net, 10, mesh=_mesh(3))
+
+
+def test_pipeline_clock_and_repeat_runs():
+    net = _chain(stages=2, seed=11)
+    mesh = _mesh(2)
+    run_pipelined(net, 60, mesh=mesh)
+    run_pipelined(net, 60, mesh=mesh)
+    assert net.internal_clock == 120
+    assert net.get_lattice(0).internal_clock == 120
