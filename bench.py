@@ -136,6 +136,7 @@ def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):
     net.connect_vectorized(1, 0, lambda pr, pc, qr, qc: np.where(
         (pr == qr // 2) & (pc == qc // 2), -0.8, np.nan))
     net.history_chunk = iters
+    net.scan_unroll = 4  # 13.2k -> 14.8k steps/s in-process on v5e
 
     net.run_lattices(iters)
     t0 = time.perf_counter()
@@ -157,6 +158,7 @@ def bench_rstdp_lattice(rows=64, cols=64, iters=3000):
     lat.populate(rows, cols, gap_conductance=10.0)
     lat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
                 and x != y)
+    lat.scan_unroll = 4  # 17.9k -> 25.5k steps/s in-process on v5e
     lat.run_lattice_with_reward(0.5, iters)
     t0 = time.perf_counter()
     lat.run_lattice_with_reward(0.5, iters)

@@ -93,6 +93,7 @@ class RewardModulatedLattice:
         self.key = jax.random.PRNGKey(0)
         self.history_chunk = 1024
         self.in_network = False
+        self.scan_unroll = 1  # step-loop unroll factor (see Lattice)
 
     @property
     def n(self):
@@ -216,7 +217,8 @@ class RewardModulatedLattice:
             _freeze(self.grid_history) if self.update_grid_history else None,
             (self.rows, self.cols),
             not bool(_mask_any(self.state["nt$mask"])),
-            int(iterations), self.update_graph_history)
+            int(iterations), self.update_graph_history,
+            int(getattr(self, "scan_unroll", 1)))
         pparams = {k: jnp.float32(v)
                    for k, v in self.reward_modulator.params.items()}
         state, graph, trace, dopamine, key, clock, ys = runner(
@@ -237,7 +239,8 @@ class RewardModulatedLattice:
 @functools.lru_cache(maxsize=None)
 def _build_reward_runner(model, graph_cls, electrical, chemical,
                          do_modulation, with_reward, grid_history, hist_sig,
-                         shape, skip_nt, length, graph_history=False):
+                         shape, skip_nt, length, graph_history=False,
+                         unroll=1):
     from .history import HISTORY_KINDS
     readout = None
     if grid_history:
@@ -299,7 +302,8 @@ def _build_reward_runner(model, graph_cls, electrical, chemical,
     def run(state, graph, trace, dopamine, key, clock, rewards, pparams):
         step = functools.partial(one_step, pparams)
         (state, graph, trace, dopamine, key, clock), ys = jax.lax.scan(
-            step, (state, graph, trace, dopamine, key, clock), rewards)
+            step, (state, graph, trace, dopamine, key, clock), rewards,
+            unroll=unroll)
         return state, graph, trace, dopamine, key, clock, ys
 
     return jax.jit(run, donate_argnums=(0, 1, 2))

@@ -157,7 +157,7 @@ def run_structured_reward(net, rewards, with_reward):
         model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta, rconn_meta,
         graph_types, lat_kind, net.electrical_synapse, net.chemical_synapse,
         type(plasticity), skip_nt, bool(with_reward), hist, st_hist,
-        int(rewards.shape[0]), ghist)
+        int(rewards.shape[0]), ghist, int(getattr(net, "scan_unroll", 1)))
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)
@@ -249,7 +249,8 @@ def _build_structured_reward_runner(model, st_model, lat_ids, st_ids,
                                     conn_meta, rconn_meta, graph_types,
                                     lat_kind, electrical, chemical,
                                     plasticity_cls, skip_nt, with_reward,
-                                    hist, st_hist, length, ghist=()):
+                                    hist, st_hist, length, ghist=(),
+                                    unroll=1):
     from .history import HISTORY_KINDS
 
     lat_index = {i: k for k, i in enumerate(lat_ids)}
@@ -486,7 +487,7 @@ def _build_structured_reward_runner(model, st_model, lat_ids, st_ids,
         carry, ys = jax.lax.scan(
             step, (states, st_states, graphs, traces, conn_ws, conn_aux,
                    rconn_ws, rconn_traces, rconn_aux, dopamine, key, clock),
-            rewards)
+            rewards, unroll=unroll)
         return (carry[0], carry[1], carry[2], carry[3], carry[4], carry[6],
                 carry[7], carry[9], carry[10], ys)
 

@@ -446,7 +446,7 @@ def run_structured(net, iterations):
         model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,
         graph_types, net.electrical_synapse, net.chemical_synapse,
         do_plast, type(plasticity), skip_nt, hist, st_hist, int(iterations),
-        ghist)
+        ghist, int(getattr(net, "scan_unroll", 1)))
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)
@@ -490,7 +490,7 @@ def run_structured(net, iterations):
 def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
                              graph_types, electrical, chemical, do_plast,
                              plasticity_cls, skip_nt, hist, st_hist, length,
-                             ghist=()):
+                             ghist=(), unroll=1):
     from .history import HISTORY_KINDS
 
     lat_index = {i: k for k, i in enumerate(lat_ids)}
@@ -658,7 +658,7 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
         step = functools.partial(one_step, pparams)
         carry, ys = jax.lax.scan(
             step, (states, st_states, graphs, conn_ws, conn_aux, key, clock),
-            None, length=length)
+            None, length=length, unroll=unroll)
         return carry[0], carry[1], carry[2], carry[3], carry[5], ys
 
     return jax.jit(run, donate_argnums=(0, 1, 2, 3))

@@ -512,3 +512,23 @@ def test_per_edge_graph_api_all_backends():
     ones = jnp.ones(9)
     out = s3.gather_electrical(v, ones, jnp.zeros(9), ones)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scan_unroll_bit_exact():
+    """`scan_unroll` is a pure scheduling knob: unrolled step loops must be
+    bit-identical to the rolled loop (lattice and reward-lattice runners)."""
+    def lat_run(unroll):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(8, 8, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=4)
+        lat.do_plasticity = True
+        v0 = np.random.default_rng(0).uniform(-65.0, 35.0, 64)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        lat.scan_unroll = unroll
+        lat.run_lattice(101)  # odd length: exercises the unroll remainder
+        return np.asarray(lat.state["v"]), np.asarray(lat.graph.weights)
+
+    v1, w1 = lat_run(1)
+    v4, w4 = lat_run(4)
+    np.testing.assert_array_equal(v1, v4)
+    np.testing.assert_array_equal(w1, w4)

@@ -335,3 +335,151 @@ def test_network_surface_methods():
     assert "IzhikevichNeuronNetwork" in repr(net)
     net.clear()
     assert net.get_all_ids() == set()
+
+
+def test_network_electrical_using_from():
+    """Port of interface_gpu/lixirnet/tests/networks.py::
+    test_network_electrical_using_from — two Izhikevich lattices coupled
+    one-to-one in both directions, mirrored into a `from_network` GPU twin;
+    weights, per-neuron voltages, connecting weights, and 1000-step grid
+    histories must agree (the reference's CPU-vs-GPU 0.1/2mV tolerances
+    collapse to near-equality for two device runs)."""
+    e1, e2 = 0, 1
+    exc_n1, exc_n2, iterations = 3, 2, 1000
+    neuron = ln.IzhikevichNeuron()
+    neuron.gap_conductance = 10
+    neuron.c_m = 25
+
+    rng = np.random.default_rng(11)
+    init_state1 = rng.uniform(neuron.c, neuron.v_th, (exc_n1, exc_n1))
+    init_state2 = rng.uniform(neuron.c, neuron.v_th, (exc_n2, exc_n2))
+
+    lattice1 = ln.IzhikevichNeuronLattice(e1)
+    lattice1.populate(neuron, exc_n1, exc_n1)
+    lattice1.apply_given_position(_get_neuron_setup(init_state1))
+    lattice1.connect(lambda x, y: x != y, lambda x, y: 5)
+    lattice1.update_grid_history = True
+
+    lattice2 = ln.IzhikevichNeuronLattice(e2)
+    lattice2.populate(neuron, exc_n2, exc_n2)
+    lattice2.apply_given_position(_get_neuron_setup(init_state2))
+    lattice2.connect(lambda x, y: x != y, lambda x, y: 3)
+    lattice2.update_grid_history = True
+
+    network = ln.IzhikevichNeuronNetwork.generate_network(
+        [lattice1, lattice2], [])
+    network.connect(e1, e2, lambda x, y: x == y, lambda x, y: 5)
+    network.connect(e2, e1, lambda x, y: x == y, lambda x, y: 3)
+    network.electrical_synapse = True
+    network.chemical_synapse = False
+    gpu_network = ln.IzhikevichNeuronNetworkGPU.from_network(network)
+
+    for lat_id, n_side in ((e1, exc_n1), (e2, exc_n2)):
+        for n1 in range(n_side):
+            for m1 in range(n_side):
+                for n2 in range(n_side):
+                    for m2 in range(n_side):
+                        wa = network.get_lattice(lat_id).get_weight(
+                            (n1, m1), (n2, m2))
+                        wb = gpu_network.get_lattice(lat_id).get_weight(
+                            (n1, m1), (n2, m2))
+                        assert abs(wa - wb) < 0.1
+                va = network.get_lattice(lat_id).get_neuron(
+                    n1, m1).current_voltage
+                vb = gpu_network.get_lattice(lat_id).get_neuron(
+                    n1, m1).current_voltage
+                assert abs(va - vb) < 0.1
+
+    np.testing.assert_allclose(network.get_connecting_weights(),
+                               gpu_network.get_connecting_weights())
+
+    network.run_lattices(iterations)
+    gpu_network.run_lattices(iterations)
+
+    for lat_id, n_side in ((e1, exc_n1), (e2, exc_n2)):
+        cpu_hist = np.asarray(network.get_lattice(lat_id).history)
+        gpu_hist = np.asarray(gpu_network.get_lattice(lat_id).history)
+        assert cpu_hist.shape == (iterations, n_side, n_side)
+        # reference asserts |sum of differences| < 0.1 over the histories
+        assert np.abs((cpu_hist - gpu_hist).sum()) < 0.1
+
+
+def test_dopamine_network_chemical_drive():
+    """Port of interface_gpu/lixirnet/tests/dopa_testing.py — glutamate and
+    dopamine RateSpikeTrain lattices chemically driving a D1-receptor
+    Izhikevich lattice (`dopa.s_d1 = 1`); per-position `spike_train.step`
+    setup, `network.parallel`, and `set_dt(1)` all through the compat
+    surface.  The `from_network` twin must match the source network."""
+    exc_n1, e1, c1, c2 = 4, 0, 1, 2
+
+    def get_spike_train_setup(init_state):
+        def setup_spike_train(pos, neuron):
+            x, y = pos
+            neuron.step = init_state[x][y]
+            return neuron
+        return setup_spike_train
+
+    exc_neuron = ln.IzhikevichNeuron()
+    exc_neuron.gap_conductance = 10
+    exc_neuron.c_m = 25
+
+    exc_nts = {ln.DopaGluGABANeurotransmitterType.Glutamate:
+               ln.BoundedNeurotransmitterKinetics()}
+    dopa_nts = {ln.DopaGluGABANeurotransmitterType.Dopamine:
+                ln.BoundedNeurotransmitterKinetics()}
+
+    dopa = ln.DopamineReceptor()
+    dopa.s_d1 = 1
+    dopa.s_d2 = 0
+    receptors = ln.DopaGluGABA()
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.Glutamate,
+                     ln.GlutamateReceptor())
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.Dopamine, dopa)
+    exc_neuron.set_synaptic_neurotransmitters(exc_nts)
+    exc_neuron.set_receptors(receptors)
+
+    rng = np.random.default_rng(13)
+    exc_spike_train = ln.RateSpikeTrain(rate=100)
+    exc_spike_train.set_synaptic_neurotransmitters(exc_nts)
+    dopa_spike_train = ln.RateSpikeTrain(rate=100)
+    dopa_spike_train.set_synaptic_neurotransmitters(dopa_nts)
+
+    st1 = ln.RateSpikeTrainLattice(c1)
+    st1.populate(exc_spike_train, exc_n1, exc_n1)
+    st1.apply_given_position(get_spike_train_setup(
+        rng.uniform(0, 100, (exc_n1, exc_n1))))
+    st2 = ln.RateSpikeTrainLattice(c2)
+    st2.populate(dopa_spike_train, exc_n1, exc_n1)
+    st2.apply_given_position(get_spike_train_setup(
+        rng.uniform(0, 100, (exc_n1, exc_n1))))
+
+    lattice1 = ln.IzhikevichNeuronLattice(e1)
+    lattice1.populate(exc_neuron, exc_n1, exc_n1)
+    lattice1.apply_given_position(_get_neuron_setup(
+        rng.uniform(exc_neuron.c, exc_neuron.v_th, (exc_n1, exc_n1))))
+    lattice1.connect(lambda x, y: x != y, lambda x, y: 1)
+    lattice1.update_grid_history = True
+
+    network = ln.IzhikevichNeuronNetwork.generate_network(
+        [lattice1], [st1, st2])
+    network.connect(c1, e1, lambda x, y: x == y, lambda x, y: 1)
+    network.connect(c2, e1, lambda x, y: x == y, lambda x, y: 1)
+    network.electrical_synapse = False
+    network.chemical_synapse = True
+    network.parallel = True
+    network.set_dt(1)
+
+    gpu_network = ln.IzhikevichNeuronNetworkGPU.from_network(network)
+
+    network.run_lattices(1000)
+    gpu_network.run_lattices(1000)
+
+    hist = np.asarray(network.get_lattice(e1).history)
+    assert hist.shape == (1000, exc_n1, exc_n1)
+    # chemical drive engages: voltages leave rest and spikes fire
+    assert hist.max() > 0.0
+    lft = np.array([[network.get_lattice(e1).get_neuron(r, c).last_firing_time
+                     for c in range(exc_n1)] for r in range(exc_n1)])
+    assert (lft >= 0).any(), "no neuron fired under Glu+dopamine drive"
+    gpu_hist = np.asarray(gpu_network.get_lattice(e1).history)
+    assert np.abs((hist - gpu_hist).sum()) < 0.1
