@@ -38,6 +38,21 @@ def _mask_any(mask):
     return jnp.sum(mask.astype(jnp.float32)) > 0.0
 
 
+AUTO_UNROLL_MAX_N = 1 << 20
+
+
+def resolve_unroll(setting, n):
+    """Resolve a `scan_unroll` setting for an n-neuron step loop.
+
+    None = auto: 4-way unroll up to ~1M neurons (amortizes the per-step
+    multi-kernel loop overhead floor; measured wins at 64^2..512^2 on v5e),
+    rolled above (4.2M-neuron grids regress ~2x when unrolled).  Unrolled
+    loops are bit-exact vs rolled (pure scheduling)."""
+    if setting is None:
+        return 4 if n <= AUTO_UNROLL_MAX_N else 1
+    return max(1, int(setting))
+
+
 class Lattice:
     """A 2-D grid of one neuron model plus a weighted synapse graph.
 
@@ -65,9 +80,11 @@ class Lattice:
         self.in_network = False
         self.mesh = None  # set by shard(); informational
         # lax.scan unroll factor for the step loop: >1 replicates the step
-        # body to amortize per-iteration loop overhead (measured ~15-25us
-        # multi-kernel floor per step on v5e); tune per workload via bench
-        self.scan_unroll = 1
+        # body to amortize the per-iteration loop overhead (~15-25us
+        # multi-kernel floor per step on v5e).  None = auto: 4 up to ~1M
+        # neurons (53.7->48us/step at 512x512, +15-42%% on chemical/R-STDP
+        # rows), 1 above (4.2M-neuron grids regress ~2x when unrolled)
+        self.scan_unroll = None
         # opt-in fused Pallas kernel for the electrical Izhikevich+stencil
         # hot path (ops/pallas_stencil.py)
         self.use_pallas = False
@@ -218,7 +235,7 @@ class Lattice:
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),
             tuple((name, h.kind, _freeze(h)) for name, h in self._history_items()),
             self.update_graph_history, (self.rows, self.cols), length, skip_nt,
-            use_pallas, int(self.scan_unroll))
+            use_pallas, resolve_unroll(self.scan_unroll, self.n))
         pparams = {k: jnp.float32(v) for k, v in self.plasticity.params.items()}
         state, graph, key, clock, ys = runner(
             self.state, self.graph, self.key,

@@ -247,7 +247,7 @@ class LatticeNetwork:
         self.connecting_graph_history = []
         self.internal_clock = 0
         self.history_chunk = 1024
-        self.scan_unroll = 1  # step-loop unroll factor (see Lattice)
+        self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
         self.key = jax.random.PRNGKey(0)
         # bumped on any topology/weight mutation; run_structured caches its
         # compiled plan (and device-resident connection weights) against it

@@ -38,7 +38,7 @@ from ..models.base import NEVER, get_neurotransmitter_concentrations
 from ..ops.graph import (SparseGraph, connect_dense, dense_to_stencil,
                          radius_offsets, StencilGraph)
 from .history import GridVoltageHistory
-from .lattice import _freeze, _mask_any
+from .lattice import resolve_unroll, _freeze, _mask_any
 from .plasticity import RewardModulatedSTDP
 
 
@@ -93,7 +93,7 @@ class RewardModulatedLattice:
         self.key = jax.random.PRNGKey(0)
         self.history_chunk = 1024
         self.in_network = False
-        self.scan_unroll = 1  # step-loop unroll factor (see Lattice)
+        self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
 
     @property
     def n(self):
@@ -218,7 +218,7 @@ class RewardModulatedLattice:
             (self.rows, self.cols),
             not bool(_mask_any(self.state["nt$mask"])),
             int(iterations), self.update_graph_history,
-            int(getattr(self, "scan_unroll", 1)))
+            resolve_unroll(self.scan_unroll, self.n))
         pparams = {k: jnp.float32(v)
                    for k, v in self.reward_modulator.params.items()}
         state, graph, trace, dopamine, key, clock, ys = runner(

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ..models.base import get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
-from .lattice import _freeze, _mask_any
+from .lattice import _freeze, _mask_any, resolve_unroll
 from .reward import rstdp_visit, stdp_delta_arrays
 from .structured import (classify_connection, _conn_gather,
                          _conn_gather_chemical, _conn_edge_update,
@@ -157,7 +157,8 @@ def run_structured_reward(net, rewards, with_reward):
         model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta, rconn_meta,
         graph_types, lat_kind, net.electrical_synapse, net.chemical_synapse,
         type(plasticity), skip_nt, bool(with_reward), hist, st_hist,
-        int(rewards.shape[0]), ghist, int(getattr(net, "scan_unroll", 1)))
+        int(rewards.shape[0]), ghist,
+        resolve_unroll(net.scan_unroll, sum(l.n for l in lattices)))
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..models.base import NEVER, get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
 from ..ops.graph import DenseGraph
-from .lattice import _freeze, _mask_any
+from .lattice import _freeze, _mask_any, resolve_unroll
 
 
 # ---------------------------------------------------------------------------
@@ -446,7 +446,8 @@ def run_structured(net, iterations):
         model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,
         graph_types, net.electrical_synapse, net.chemical_synapse,
         do_plast, type(plasticity), skip_nt, hist, st_hist, int(iterations),
-        ghist, int(getattr(net, "scan_unroll", 1)))
+        ghist, resolve_unroll(net.scan_unroll,
+                              sum(l.n for l in lattices)))
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)

@@ -48,6 +48,7 @@ except ImportError:  # older jax
 
 from ..core.structured import (_chem_counts, _conn_edge_update, _conn_gather,
                                _conn_gather_chemical, _freeze)
+from ..core.lattice import resolve_unroll
 from ..core.history import HISTORY_KINDS
 from ..errors import LatticeNetworkError
 from ..models.base import get_neurotransmitter_concentrations
@@ -177,7 +178,7 @@ def _stack_connections(net, order, lattices, mesh, axis):
 @functools.lru_cache(maxsize=None)
 def _build_pipeline_runner(mesh, axis, model, graph_kind, graph_static,
                            electrical, chemical, plasticity_cls, any_plast,
-                           skip_nt, hist_sig, shape, S, length):
+                           skip_nt, hist_sig, shape, S, length, unroll=1):
     perm = tuple((k, k + 1) for k in range(S - 1))
 
     readout = None
@@ -275,7 +276,8 @@ def _build_pipeline_runner(mesh, axis, model, graph_kind, graph_static,
         plast = (plast_pair[0, 0], plast_pair[0, 1])
         step = functools.partial(one_step, pparams, plast, conn_aux)
         (s, garrs, conn_w, clock), ys = jax.lax.scan(
-            step, (s, garrs, conn_w, clock), None, length=length)
+            step, (s, garrs, conn_w, clock), None, length=length,
+            unroll=unroll)
         out_state = {k: v[None] for k, v in s.items()}
         out_g = {k: v[None] for k, v in garrs.items()}
         if readout is not None:
@@ -349,7 +351,8 @@ def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
         mesh, axis, model, graph_kind, graph_static,
         bool(net.electrical_synapse), bool(net.chemical_synapse),
         type(plasticity), any_plast, skip_nt, hist_sig, shape0, S,
-        int(iterations))
+        int(iterations),
+        resolve_unroll(getattr(net, "scan_unroll", None), lattices[0].n))
     pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
 
     states, garrs, conn_w, ys = runner(states, garrs, conn, plast_pair,

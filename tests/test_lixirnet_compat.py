@@ -483,3 +483,116 @@ def test_dopamine_network_chemical_drive():
     assert (lft >= 0).any(), "no neuron fired under Glu+dopamine drive"
     gpu_hist = np.asarray(gpu_network.get_lattice(e1).history)
     assert np.abs((hist - gpu_hist).sum()) < 0.1
+
+
+def test_network_chemical_various_neurotransmitters():
+    """Port of interface_gpu/lixirnet/tests/networks.py::
+    test_network_chemical_various_neurotransmitters — Glutamate, GABA, and
+    Dopamine sources (exc lattice, inh lattice, rate + dopamine spike
+    trains) mixed in one chemical network; `from_network` twin must agree
+    on spike-train histories and on spike-peak timing per neuron."""
+    e1, i1, c1, c2 = 0, 2, 4, 5
+    exc_n1, exc_n2, iterations = 3, 2, 1000
+
+    def get_spike_train_setup(init_state):
+        def setup(pos, neuron):
+            x, y = pos
+            neuron.step = init_state[x][y]
+            return neuron
+        return setup
+
+    def find_peaks_above_threshold(series, threshold):
+        s = np.asarray(series)
+        peaks = [i for i in range(1, len(s) - 1)
+                 if s[i] > s[i - 1] and s[i] > s[i + 1] and s[i] > threshold]
+        return peaks
+
+    exc_neuron = ln.IzhikevichNeuron()
+    exc_neuron.gap_conductance = 10
+    exc_neuron.c_m = 25
+    inh_neuron = ln.IzhikevichNeuron()
+    inh_neuron.gap_conductance = 10
+    inh_neuron.c_m = 25
+
+    exc_nts = {ln.DopaGluGABANeurotransmitterType.Glutamate:
+               ln.BoundedNeurotransmitterKinetics()}
+    inh_nts = {ln.DopaGluGABANeurotransmitterType.GABA:
+               ln.BoundedNeurotransmitterKinetics()}
+    dopa_nts = {ln.DopaGluGABANeurotransmitterType.Dopamine:
+                ln.BoundedNeurotransmitterKinetics()}
+
+    dopa = ln.DopamineReceptor()
+    dopa.s_d1 = 1
+    dopa.s_d2 = 0
+    receptors = ln.DopaGluGABA()
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.Glutamate,
+                     ln.GlutamateReceptor())
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.GABA,
+                     ln.GABAReceptor())
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.Dopamine, dopa)
+
+    exc_neuron.set_synaptic_neurotransmitters(exc_nts)
+    exc_neuron.set_receptors(receptors)
+    inh_neuron.set_synaptic_neurotransmitters(inh_nts)
+    inh_neuron.set_receptors(receptors)
+
+    exc_spike_train = ln.RateSpikeTrain(rate=100)
+    exc_spike_train.set_synaptic_neurotransmitters(exc_nts)
+    dopa_spike_train = ln.RateSpikeTrain(rate=100)
+    dopa_spike_train.set_synaptic_neurotransmitters(dopa_nts)
+
+    rng = np.random.default_rng(17)
+    st1 = ln.RateSpikeTrainLattice(c1)
+    st1.populate(exc_spike_train, exc_n1, exc_n1)
+    st1.apply_given_position(get_spike_train_setup(
+        rng.uniform(0, 100, (exc_n1, exc_n1))))
+    st1.update_grid_history = True
+    st2 = ln.RateSpikeTrainLattice(c2)
+    st2.populate(dopa_spike_train, exc_n1, exc_n1)
+    st2.apply_given_position(get_spike_train_setup(
+        rng.uniform(0, 100, (exc_n1, exc_n1))))
+    st2.update_grid_history = True
+
+    lattice1 = ln.IzhikevichNeuronLattice(e1)
+    lattice1.populate(exc_neuron, exc_n1, exc_n1)
+    lattice1.apply_given_position(_get_neuron_setup(
+        rng.uniform(exc_neuron.c, exc_neuron.v_th, (exc_n1, exc_n1))))
+    lattice1.connect(lambda x, y: x != y, lambda x, y: 1)
+    lattice1.update_grid_history = True
+
+    lattice2 = ln.IzhikevichNeuronLattice(i1)
+    lattice2.populate(inh_neuron, exc_n2, exc_n2)
+    lattice2.apply_given_position(_get_neuron_setup(
+        rng.uniform(inh_neuron.c, inh_neuron.v_th, (exc_n2, exc_n2))))
+    lattice2.connect(lambda x, y: x != y, lambda x, y: 0.5)
+    lattice2.update_grid_history = True
+
+    network = ln.IzhikevichNeuronNetwork.generate_network(
+        [lattice1, lattice2], [st1, st2])
+    network.connect(e1, i1, lambda x, y: x == y, lambda x, y: 2)
+    network.connect(i1, e1, lambda x, y: x == y, lambda x, y: 1)
+    network.connect(c1, e1, lambda x, y: x == y, lambda x, y: 3)
+    network.connect(c2, e1, lambda x, y: x == y, lambda x, y: 1)
+    network.electrical_synapse = False
+    network.chemical_synapse = True
+    gpu_network = ln.IzhikevichNeuronNetworkGPU.from_network(network)
+
+    network.run_lattices(iterations)
+    gpu_network.run_lattices(iterations)
+
+    for cid in (c1, c2):
+        a = np.asarray(network.get_spike_train_lattice(cid).history)
+        b = np.asarray(gpu_network.get_spike_train_lattice(cid).history)
+        assert np.abs((a - b).sum()) < 0.1
+
+    for lat_id, n_side in ((i1, exc_n2), (e1, exc_n1)):
+        cpu_history = np.asarray(network.get_lattice(lat_id).history)
+        gpu_history = np.asarray(gpu_network.get_lattice(lat_id).history)
+        for n in range(n_side):
+            for m in range(n_side):
+                assert all(abs(i - j) < 100 for i, j in zip(
+                    find_peaks_above_threshold(cpu_history[:, n, m], 20),
+                    find_peaks_above_threshold(gpu_history[:, n, m], 20)))
+    # the drive must actually excite the exc lattice (non-vacuous peaks)
+    hist_e1 = np.asarray(network.get_lattice(e1).history)
+    assert hist_e1.max() > 20.0
