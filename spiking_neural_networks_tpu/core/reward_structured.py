@@ -45,7 +45,7 @@ from .lattice import _freeze, _mask_any, resolve_unroll
 from .reward import rstdp_visit, stdp_delta_arrays
 from .structured import (classify_connection, _conn_gather,
                          _conn_gather_chemical, _conn_edge_update,
-                         _edge_layout, _chem_counts)
+                         _edge_layout, _chem_counts, _phase_b)
 
 
 def compile_structured_reward(net):
@@ -348,20 +348,10 @@ def _build_structured_reward_runner(model, st_model, lat_ids, st_ids,
             dopamine = dopamine * jnp.exp(-rparams["dt"] / rparams["tau_d"]) \
                 + rparams["tau_d"] * reward
 
-        # ---- Phase B: step every lattice ----
-        spikes_list = []
-        for k in range(len(lat_ids)):
-            if chemical:
-                t_in = chem_sums[k] / jnp.maximum(chem_cnts[k], 1.0)
-                states[k], spk = model.step(states[k], inputs[k], t_in,
-                                            chem_cnts[k] > 0.0,
-                                            skip_nt=skip_nt)
-            else:
-                states[k], spk = model.step(states[k], inputs[k],
-                                            skip_nt=skip_nt)
-            states[k]["last_firing_time"] = jnp.where(
-                spk, clock, states[k]["last_firing_time"])
-            spikes_list.append(spk)
+        # ---- Phase B: step every lattice (one concatenated model call;
+        # structured._phase_b) ----
+        states, spikes_list = _phase_b(model, states, inputs, chem_sums,
+                                       chem_cnts, chemical, skip_nt, clock)
 
         def vals_of(node_id, keys):
             """Per-node value dict for an endpoint population."""

@@ -577,19 +577,8 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
                 chem_cnts.append(ccnt)
 
         # ---- Phase B: step every lattice ----
-        spikes_list = []
-        for k in range(len(lat_ids)):
-            if chemical:
-                t_in = chem_sums[k] / jnp.maximum(chem_cnts[k], 1.0)
-                states[k], spk = model.step(states[k], inputs[k], t_in,
-                                            chem_cnts[k] > 0.0,
-                                            skip_nt=skip_nt)
-            else:
-                states[k], spk = model.step(states[k], inputs[k],
-                                            skip_nt=skip_nt)
-            states[k]["last_firing_time"] = jnp.where(
-                spk, clock, states[k]["last_firing_time"])
-            spikes_list.append(spk)
+        states, spikes_list = _phase_b(model, states, inputs, chem_sums,
+                                       chem_cnts, chemical, skip_nt, clock)
 
         # ---- deferred plasticity per structured component ----
         if any(do_plast):
@@ -663,6 +652,32 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
         return carry[0], carry[1], carry[2], carry[3], carry[5], ys
 
     return jax.jit(run, donate_argnums=(0, 1, 2, 3))
+
+
+def _phase_b(model, states, inputs, chem_sums, chem_cnts, chemical, skip_nt,
+             clock):
+    """Step every lattice of a network (Phase B, neuron/mod.rs:2420-2444).
+
+    Deliberately a per-lattice loop.  Stepping the CONCATENATION of all
+    lattice states in one model call (exact, since the update is
+    elementwise) was measured in-process on v5e and REGRESSES 10-20% on
+    both the EEG and reward-network rows: the per-leaf concat/split copies
+    and the broken carry-donation aliasing (slices of the concatenated
+    output cannot alias the donated per-lattice carries) cost more than
+    the L-1 saved model-step kernel groups.  Do not re-attempt without new
+    evidence."""
+    out_states, spikes_list = [], []
+    for k in range(len(states)):
+        if chemical:
+            t_in = chem_sums[k] / jnp.maximum(chem_cnts[k], 1.0)
+            s, spk = model.step(states[k], inputs[k], t_in,
+                                chem_cnts[k] > 0.0, skip_nt=skip_nt)
+        else:
+            s, spk = model.step(states[k], inputs[k], skip_nt=skip_nt)
+        s["last_firing_time"] = jnp.where(spk, clock, s["last_firing_time"])
+        out_states.append(s)
+        spikes_list.append(spk)
+    return out_states, spikes_list
 
 
 def _chem_counts(graph, nt_mask_src):
