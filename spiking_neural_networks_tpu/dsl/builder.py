@@ -695,6 +695,13 @@ def neuron_builder(source):
     """Compile `.nb` source; returns a dict of generated classes / kinds
     (the TPU equivalent of `neuron_builder!`, nb_macro/src/lib.rs:9303-9365)."""
     blocks = P.parse(source)
+    # two definitions with one type name would be a Rust name collision in
+    # the reference (nb_macro emits a struct per block); reject up front
+    seen = set()
+    for b in blocks:
+        if b.type_name in seen:
+            raise SyntaxError(f"duplicate definition: {b.type_name!r}")
+        seen.add(b.type_name)
     out = {}
     registry = {}
     # kinetics first (neurons reference them by name)

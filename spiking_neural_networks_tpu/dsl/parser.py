@@ -365,15 +365,22 @@ def _parse_vars(text):
             continue
         if "=" in part:
             name, val = part.split("=", 1)
+            name = name.strip()
             val = val.strip()
             # bool defaults (`flag = false`, grammar variables_assignment =
             # name = (signed_number | bool)) stored as 0/1 f32 state
             if val in ("true", "false"):
-                out[name.strip()] = 1.0 if val == "true" else 0.0
+                value = 1.0 if val == "true" else 0.0
             else:
-                out[name.strip()] = float(val)
+                value = float(val)
         else:
-            out[part] = 0.0
+            name, value = part, 0.0
+        if name in out:
+            # the reference rejects duplicate variable declarations at
+            # macro-expansion time (nb_macro/tests/duplicate_variables.rs
+            # compile_fail doctest)
+            raise SyntaxError(f"duplicate variable declaration: {name!r}")
+        out[name] = value
     return out
 
 

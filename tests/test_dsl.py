@@ -3,6 +3,7 @@
 (nb_macro/tests/basic_lif.rs:26-50, izhikevich_testing.rs)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import spiking_neural_networks_tpu as snn
@@ -499,3 +500,61 @@ def test_dsl_struct_assignment_ion_channels():
     np.testing.assert_allclose(np.asarray(s["l1$current"]), 1.0, rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(s["v"]), -70.0 + 0.1 * (0.0 - 1.0 - 1.0), rtol=1e-6)
+
+
+def test_dsl_duplicate_variable_rejected():
+    """Duplicate names in a `vars:` section fail to compile, matching the
+    reference's compile_fail doctest (nb_macro/tests/duplicate_variables.rs)."""
+    with pytest.raises(SyntaxError, match="duplicate variable"):
+        neuron_builder("""
+[neuron]
+    type: DupVarNeuron
+    vars: e = 0, e = 1, v_reset = -75, v_th = -55
+    on_spike:
+        v = v_reset
+    spike_detection: v >= v_th
+    on_iteration:
+        dv/dt = (v - e) + i
+[end]
+""")
+
+
+def test_dsl_duplicate_definition_rejected():
+    """Two blocks defining the same type name collide (a Rust struct name
+    collision in the reference's macro expansion)."""
+    src = """
+[neuron]
+    type: TwiceDefined
+    vars: e = 0
+    on_spike:
+        v = -75
+    spike_detection: v >= -55
+    on_iteration:
+        dv/dt = (v - e) + i
+[end]
+"""
+    with pytest.raises(SyntaxError, match="duplicate definition"):
+        neuron_builder(src + src)
+
+
+def test_dsl_mandatory_vars_injected():
+    """Mandatory iterate-and-spike fields (current_voltage, is_spiking,
+    dt, gap conductance) are injected with defaults even when the block
+    declares none of them (nb_macro mandatory_vars_tests crate)."""
+    out = neuron_builder("""
+[neuron]
+    type: MinimalNeuron
+    vars: e = 0
+    on_spike:
+        v = -75
+    spike_detection: v >= -55
+    on_iteration:
+        dv/dt = (v - e) + i
+[end]
+""")
+    model = out["MinimalNeuron"]()
+    state = model.init_state(4)
+    for key in ("v", "is_spiking", "last_firing_time", "dt",
+                "gap_conductance"):
+        assert key in state, key
+    assert state["v"].shape == (4,)
