@@ -135,3 +135,42 @@ def test_reward_structured_matches_flat_random(seed):
                                    np.asarray(
             b.get_reward_modulated_lattice(0).trace[field]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _build_bcm(structured):
+    rng = np.random.default_rng(77)
+    lats = []
+    for k in range(2):
+        lat = snn.Lattice(snn.BCMIzhikevich(), id=k)
+        lat.populate(5, 5, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=70 + k)
+        v0 = rng.uniform(-65.0, 30.0, 25)
+        v0[rng.permutation(25)[:4]] = 40.0
+        lat.apply(lambda s, v0=v0: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        lat.do_plasticity = True
+        lat.plasticity = snn.BCM()
+        lats.append(lat)
+    net = snn.LatticeNetwork.generate_network(lats, [])
+    net.connect(0, 1, lambda a, b: a == b, lambda a, b: 2.0)
+    net.structured = structured
+    return net
+
+
+def test_bcm_network_structured_matches_flat():
+    """BCM plasticity (activity-dependent, weight-dependent decay) through
+    the network runners — both intra-lattice and connecting edges."""
+    a = _build_bcm(True)
+    b = _build_bcm(False)
+    a.run_lattices(150)
+    b.run_lattices(150)
+    changed = False
+    for k in range(2):
+        np.testing.assert_allclose(
+            np.asarray(a.get_lattice(k).state["v"]),
+            np.asarray(b.get_lattice(k).state["v"]), rtol=2e-5, atol=2e-4)
+        wa = np.asarray(a.get_lattice(k).graph.weights)
+        wb = np.asarray(b.get_lattice(k).graph.weights)
+        np.testing.assert_allclose(wa, wb, rtol=2e-4, atol=2e-4)
+        w0 = np.asarray(_build_bcm(True).get_lattice(k).graph.weights)
+        changed = changed or not np.array_equal(wa, w0)
+    assert changed, "vacuous: BCM never changed any weight"
