@@ -208,6 +208,33 @@ def bench_reward_network(n_side=32, iters=3000):
     return sps
 
 
+def bench_closed_loop(iters=1500):
+    """Fused on-device RL loop (interactable.JitEnvironment): reward ->
+    R-STDP agent update -> env state -> cue encoding, one lax.scan."""
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.interactable import JitEnvironment
+
+    lat = snn.RewardModulatedLattice(snn.Izhikevich())
+    lat.populate(10, 10, gap_conductance=10.0)
+    lat.connect_stencil(radius=2.0, keep_prob=1.0, seed=5)
+    v0 = np.random.default_rng(0).uniform(-65, 30, 100).astype(np.float32)
+    lat.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+    env = JitEnvironment(
+        lat, {"rate": jnp.float32(0.0)},
+        lambda e, s: {**s, "v": s["v"].at[:6].set(31.0)},
+        lambda e, s: jnp.clip(0.08 - e["rate"], -0.05, 0.05),
+        lambda e, s: {"rate": 0.9 * e["rate"]
+                      + 0.1 * s["is_spiking"].astype(jnp.float32).mean()})
+    env.run_with_reward(iters)
+    t0 = time.perf_counter()
+    env.run_with_reward(iters)
+    jax.block_until_ready(lat.state["v"])
+    dt = time.perf_counter() - t0
+    sps = iters / dt
+    log(f"closed-loop RL (JitEnvironment): {sps:.1f} steps/s")
+    return sps
+
+
 def main():
     log("devices:", jax.devices())
     ups, _ = bench_izhikevich()
@@ -220,7 +247,8 @@ def main():
                      ("rstdp_lattice_steps_per_sec_64x64",
                       bench_rstdp_lattice),
                      ("reward_network_steps_per_sec_32x32",
-                      bench_reward_network)]:
+                      bench_reward_network),
+                     ("closed_loop_rl_steps_per_sec", bench_closed_loop)]:
         try:
             extra[name] = fn()
         except Exception as e:  # secondary metrics must not sink the primary

@@ -1,10 +1,15 @@
-"""Reward-driven agent in a closed-loop environment.
+"""Reward-driven agent in a closed-loop environment — fused on device.
 
 Demonstrates the `Environment`/`Agent` protocol
 (`/root/reference/backend/src/interactable/mod.rs:21-60`): a reward-modulated
-Izhikevich lattice is the agent; the environment's scalar state tracks the
+Izhikevich lattice is the agent; the environment's state tracks the
 lattice's firing rate; the reward pushes the firing rate toward a target by
 dopamine-modulating the recurrent weights (R-STDP).
+
+Unlike the reference's per-step host loop, `JitEnvironment` compiles the
+WHOLE episode — reward computation, R-STDP agent update, state update, cue
+encoding — into one `lax.scan` device program (the host-loop `Environment`
+pays a device dispatch per step: ~90 ms over a remote TPU link).
 
 Run: python examples/agent_environment.py
 """
@@ -14,38 +19,40 @@ import sys
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import jax
+import jax.numpy as jnp
+
 import spiking_neural_networks_tpu as snn
-from spiking_neural_networks_tpu.interactable import Environment
+from spiking_neural_networks_tpu.interactable import JitEnvironment
 
 TARGET_RATE = 0.08      # fraction of neurons spiking per step
 
 
-class RateState:
-    """Environment state: smoothed population firing rate."""
-
-    def __init__(self):
-        self.rate = 0.0
-
-    def update_state(self, agent):
-        spiking = float(np.asarray(agent.state["is_spiking"]).mean())
-        self.rate = 0.9 * self.rate + 0.1 * spiking
-
-
-_enc_rng = np.random.default_rng(7)
-
-
-def state_encoder(state, agent):
-    # constant cue: a random subset fires every step; the recurrent weights
-    # (shaped by R-STDP) determine how far the activity spreads beyond it
-    idx = _enc_rng.choice(100, size=6, replace=False)
-    agent.apply(lambda s: {**s, "v": s["v"].at[idx].set(31.0)})
-
-
-def reward_function(state, agent):
+def reward_fn(env, s):
     # proportional control toward the target rate; the sign of the reward
     # (via dopamine) gates whether the eligibility traces strengthen or
     # weaken the recurrent weights
-    return float(np.clip(TARGET_RATE - state.rate, -0.05, 0.05))
+    return jnp.clip(env["target"] - env["rate"], -0.05, 0.05)
+
+
+def update_fn(env, s):
+    spiking = s["is_spiking"].astype(jnp.float32).mean()
+    return {**env, "rate": 0.9 * env["rate"] + 0.1 * spiking,
+            "key": env["key"]}
+
+
+def encoder_fn(env, s):
+    # random cue: a fresh subset fires every step; the recurrent weights
+    # (shaped by R-STDP) determine how far the activity spreads beyond it
+    key, sub = jax.random.split(env["key"])
+    idx = jax.random.choice(sub, 100, (6,), replace=False)
+    return {**s, "v": s["v"].at[idx].set(31.0)}
+
+
+def encoder_key_fn(env, s):
+    """update_state advances the cue key so encoder_fn sees a fresh draw."""
+    key, _ = jax.random.split(env["key"])
+    return {**env, "key": key}
 
 
 def main(iterations=1500):
@@ -55,15 +62,19 @@ def main(iterations=1500):
                   and x != y,
                   lambda x, y: 2.0)
     rng = np.random.default_rng(0)
-    import jax.numpy as jnp
     agent.apply(lambda s: {**s, "v": jnp.asarray(
         rng.uniform(-65, 30, 100), jnp.float32)})
 
-    env = Environment(agent, RateState(), state_encoder, reward_function)
+    def update_state(env, s):
+        return encoder_key_fn(update_fn(env, s), s)
+
+    env = JitEnvironment(
+        agent,
+        {"rate": jnp.float32(0.0), "target": jnp.float32(TARGET_RATE),
+         "key": jax.random.PRNGKey(3)},
+        encoder_fn, reward_fn, update_state)
 
     def weight_drift():
-        """Max deviation of any recurrent weight from its initial 2.0."""
-        import jax.numpy as jnp
         g = agent.graph
         return float(jnp.abs(jnp.where(g.mask, g.weights - 2.0, 0.0)).max())
 
@@ -71,16 +82,15 @@ def main(iterations=1500):
     rates = []
     for chunk in range(10):
         env.run_with_reward(iterations // 10)
-        rates.append(env.state.rate)
+        rates.append(float(env.state["rate"]))
     w_mid = weight_drift()
 
     # flip the objective: an over-target setpoint makes the reward negative,
     # reversing the dopamine-gated drift
-    global TARGET_RATE
-    TARGET_RATE = -1.0
+    env.state = {**env.state, "target": jnp.float32(-1.0)}
     for chunk in range(10):
         env.run_with_reward(iterations // 10)
-        rates.append(env.state.rate)
+        rates.append(float(env.state["rate"]))
     w_end = weight_drift()
 
     print("firing-rate trajectory:", " ".join(f"{r:.3f}" for r in rates))

@@ -236,6 +236,57 @@ class RewardModulatedLattice:
         return np.asarray(self.state["v"]).reshape(self.rows, self.cols)
 
 
+def reward_lattice_step(model, electrical, chemical, do_modulation,
+                        with_reward, skip_nt, pparams, state, graph, trace,
+                        dopamine, clock, reward):
+    """One reward-modulated lattice step (`update_and_apply_reward`,
+    interactable/mod.rs:7-12 + the R-STDP double visit,
+    plasticity/mod.rs:199-242).  Pure; shared by the standalone reward
+    runner and the fused on-device environment loop (interactable.py)."""
+    if electrical:
+        sub_v = jnp.ones_like(state["v"])
+        elec = graph.gather_electrical(
+            state["v"], sub_v, state["v"], state["gap_conductance"])
+    else:
+        elec = jnp.zeros_like(state["v"])
+
+    if with_reward:
+        # reward_modulator.update(reward) before iterating
+        dopamine = dopamine * jnp.exp(-pparams["dt"] / pparams["tau_d"]) \
+            + pparams["tau_d"] * reward
+
+    if chemical:
+        t, mask = get_neurotransmitter_concentrations(state)
+        t_in, t_valid = graph.gather_chemical(t, mask.astype(jnp.float32))
+        state, spikes = model.step(state, elec, t_in, t_valid,
+                                   skip_nt=skip_nt)
+    else:
+        state, spikes = model.step(state, elec, skip_nt=skip_nt)
+
+    state["last_firing_time"] = jnp.where(
+        spikes, clock, state["last_firing_time"])
+
+    if do_modulation:
+        # every edge visited twice per step (both endpoints trigger,
+        # do_update always true — plasticity/mod.rs:239-241)
+        vals = {"last_firing_time": state["last_firing_time"]}
+        pre, post = graph.edge_pre_post(vals, vals)
+        delta = stdp_delta_arrays(pre["last_firing_time"],
+                                  post["last_firing_time"], pparams)
+        w0 = graph.weights
+        w, c, dw, ct = rstdp_visit(
+            w0, trace["c"], trace["dw"], trace["counter"], delta,
+            dopamine, pparams)
+        w, c, dw, ct = rstdp_visit(w, c, dw, ct, delta, dopamine, pparams)
+        m = graph.edge_mask
+        graph = graph.replace_weights(jnp.where(m, w, w0))
+        trace = dict(c=jnp.where(m, c, trace["c"]),
+                     dw=jnp.where(m, dw, trace["dw"]),
+                     counter=jnp.where(m, ct, trace["counter"]))
+
+    return state, graph, trace, dopamine, clock + 1
+
+
 @functools.lru_cache(maxsize=None)
 def _build_reward_runner(model, graph_cls, electrical, chemical,
                          do_modulation, with_reward, grid_history, hist_sig,
@@ -249,49 +300,9 @@ def _build_reward_runner(model, graph_cls, electrical, chemical,
 
     def one_step(pparams, carry, reward):
         state, graph, trace, dopamine, key, clock = carry
-
-        if electrical:
-            sub_v = jnp.ones_like(state["v"])
-            elec = graph.gather_electrical(
-                state["v"], sub_v, state["v"], state["gap_conductance"])
-        else:
-            elec = jnp.zeros_like(state["v"])
-
-        if with_reward:
-            # reward_modulator.update(reward) before iterating
-            dopamine = dopamine * jnp.exp(-pparams["dt"] / pparams["tau_d"]) \
-                + pparams["tau_d"] * reward
-
-        if chemical:
-            t, mask = get_neurotransmitter_concentrations(state)
-            t_in, t_valid = graph.gather_chemical(t, mask.astype(jnp.float32))
-            state, spikes = model.step(state, elec, t_in, t_valid,
-                                       skip_nt=skip_nt)
-        else:
-            state, spikes = model.step(state, elec, skip_nt=skip_nt)
-
-        state["last_firing_time"] = jnp.where(
-            spikes, clock, state["last_firing_time"])
-
-        if do_modulation:
-            # every edge visited twice per step (both endpoints trigger,
-            # do_update always true — plasticity/mod.rs:239-241)
-            vals = {"last_firing_time": state["last_firing_time"]}
-            pre, post = graph.edge_pre_post(vals, vals)
-            delta = stdp_delta_arrays(pre["last_firing_time"],
-                                      post["last_firing_time"], pparams)
-            w0 = graph.weights
-            w, c, dw, ct = rstdp_visit(
-                w0, trace["c"], trace["dw"], trace["counter"], delta,
-                dopamine, pparams)
-            w, c, dw, ct = rstdp_visit(w, c, dw, ct, delta, dopamine, pparams)
-            m = graph.edge_mask
-            graph = graph.replace_weights(jnp.where(m, w, w0))
-            trace = dict(c=jnp.where(m, c, trace["c"]),
-                         dw=jnp.where(m, dw, trace["dw"]),
-                         counter=jnp.where(m, ct, trace["counter"]))
-
-        clock = clock + 1
+        state, graph, trace, dopamine, clock = reward_lattice_step(
+            model, electrical, chemical, do_modulation, with_reward, skip_nt,
+            pparams, state, graph, trace, dopamine, clock, reward)
         ys = {}
         if readout is not None:
             ys["grid"] = readout.readout(state, shape)

@@ -45,3 +45,92 @@ class Environment:
 class UnsupervisedEnvironment(Environment):
     def __init__(self, agent, state, state_encoder):
         super().__init__(agent, state, state_encoder, reward_function=None)
+
+
+class JitEnvironment:
+    """Fully on-device closed loop: the reference's `run_with_reward`
+    iteration (interactable/mod.rs:33-46) fused into ONE `lax.scan`.
+
+    The host :class:`Environment` dispatches a device program per step —
+    ~90 ms/step over a remote TPU link, milliseconds locally.  Here the
+    environment state is a pytree of arrays and the three callbacks are
+    PURE jax functions, so a whole episode compiles into a single device
+    program (same design as the lattice runners):
+
+    - ``reward_function(env_state, agent_state) -> f32 scalar``
+    - ``update_state(env_state, agent_state) -> env_state``
+    - ``state_encoder(env_state, agent_state) -> agent_state`` (write
+      cues/drive into agent fields, e.g. ``state["v"]`` overrides)
+
+    Per-step order matches the reference exactly: reward -> agent update
+    (R-STDP double visit) -> state update -> encoder.  The agent must be a
+    :class:`~.core.reward.RewardModulatedLattice`."""
+
+    def __init__(self, agent, state, state_encoder, reward_function,
+                 update_state):
+        self.agent = agent
+        self.state = state
+        self.state_encoder = state_encoder
+        self.reward_function = reward_function
+        self.update_state = update_state
+        self._runner = None  # (iterations, flags) -> jitted scan
+
+    def _build(self, iterations, skip_nt):
+        import functools
+        import jax
+        import jax.numpy as jnp
+        from .core.reward import reward_lattice_step
+        from .core.lattice import resolve_unroll
+
+        agent = self.agent
+        model = agent.model
+        electrical = agent.electrical_synapse
+        chemical = agent.chemical_synapse
+        do_modulation = agent.do_modulation
+        unroll = resolve_unroll(agent.scan_unroll, agent.n)
+
+        def one_step(pparams, carry, _):
+            s, graph, trace, dopamine, clock, env = carry
+            reward = self.reward_function(env, s)
+            s, graph, trace, dopamine, clock = reward_lattice_step(
+                model, electrical, chemical, do_modulation, True, skip_nt,
+                pparams, s, graph, trace, dopamine, clock, reward)
+            env = self.update_state(env, s)
+            s = dict(self.state_encoder(env, s))
+            return (s, graph, trace, dopamine, clock, env), reward
+
+        def run(state, graph, trace, dopamine, clock, env, pparams):
+            step = functools.partial(one_step, pparams)
+            carry, rewards = jax.lax.scan(
+                step, (state, graph, trace, dopamine, clock, env), None,
+                length=iterations, unroll=unroll)
+            return carry, rewards
+
+        return jax.jit(run, donate_argnums=(0, 1, 2, 5))
+
+    def run_with_reward(self, iterations):
+        """Run `iterations` fused closed-loop steps; returns the per-step
+        reward trace (host array)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from .core.lattice import _mask_any
+
+        agent = self.agent
+        skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
+        key = (int(iterations), skip_nt, agent.electrical_synapse,
+               agent.chemical_synapse, agent.do_modulation)
+        if self._runner is None or self._runner[0] != key:
+            self._runner = (key, self._build(iterations, skip_nt))
+        runner = self._runner[1]
+        pparams = {k: jnp.float32(v)
+                   for k, v in agent.reward_modulator.params.items()}
+        carry, rewards = runner(
+            agent.state, agent.graph, agent.trace,
+            jnp.float32(agent.dopamine), jnp.int32(agent.internal_clock),
+            self.state, pparams)
+        s, graph, trace, dopamine, clock, env = carry
+        agent.state, agent.graph, agent.trace = s, graph, trace
+        agent.dopamine = float(dopamine)
+        agent.internal_clock = int(clock)
+        self.state = env
+        return np.asarray(rewards)

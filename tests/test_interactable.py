@@ -1,0 +1,101 @@
+"""Agent/Environment protocol: host loop (reference semantics) and the
+fused on-device JitEnvironment must produce the same trajectory."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import spiking_neural_networks_tpu as snn
+from spiking_neural_networks_tpu.interactable import (Environment,
+                                                      JitEnvironment)
+
+TARGET = 0.10
+
+
+def _agent():
+    lat = snn.RewardModulatedLattice(snn.Izhikevich())
+    lat.populate(8, 8, gap_conductance=10.0)
+    lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=2)
+    v0 = np.random.default_rng(0).uniform(-65.0, 30.0, 64).astype(np.float32)
+    v0[:6] = 40.0
+    # staggered spike history so R-STDP time diffs are nonzero immediately
+    lft = np.full(64, -1, np.int32)
+    lft[::2] = 3
+    lat.apply(lambda s: {**s, "v": jnp.asarray(v0),
+                         "last_firing_time": jnp.asarray(lft)})
+    return lat
+
+
+class _HostState:
+    def __init__(self):
+        self.rate = np.float32(0.0)
+
+    def update_state(self, agent):
+        spiking = np.float32(np.asarray(
+            agent.state["is_spiking"], np.float32).mean())
+        self.rate = np.float32(0.9) * self.rate + np.float32(0.1) * spiking
+
+
+def _host_encoder(state, agent):
+    # constant cue: clamp the first 6 neurons high every step
+    v = np.asarray(agent.state["v"]).copy()
+    v[:6] = 40.0
+    agent.state = {**agent.state, "v": jnp.asarray(v, jnp.float32)}
+
+
+def _host_reward(state, agent):
+    return float(np.float32(TARGET) - state.rate)
+
+
+def test_jit_environment_matches_host_loop():
+    steps = 40
+
+    host_agent = _agent()
+    host_env = Environment(host_agent, _HostState(), _host_encoder,
+                           _host_reward)
+    host_env.run_with_reward(steps)
+
+    jit_agent = _agent()
+
+    def reward_fn(env, s):
+        return jnp.float32(TARGET) - env["rate"]
+
+    def update_fn(env, s):
+        spiking = s["is_spiking"].astype(jnp.float32).mean()
+        return {"rate": jnp.float32(0.9) * env["rate"]
+                + jnp.float32(0.1) * spiking}
+
+    def encoder_fn(env, s):
+        v = s["v"].at[:6].set(40.0)
+        return {**s, "v": v}
+
+    jit_env = JitEnvironment(jit_agent, {"rate": jnp.float32(0.0)},
+                             encoder_fn, reward_fn, update_fn)
+    rewards = jit_env.run_with_reward(steps)
+
+    assert rewards.shape == (steps,)
+    np.testing.assert_allclose(np.asarray(host_agent.state["v"]),
+                               np.asarray(jit_agent.state["v"]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(host_agent.graph.weights),
+                               np.asarray(jit_agent.graph.weights),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(host_agent.dopamine, jit_agent.dopamine,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(host_env.state.rate,
+                               float(jit_env.state["rate"]), rtol=1e-4,
+                               atol=1e-6)
+    # non-vacuous: the loop spiked and modulated weights
+    assert (np.asarray(jit_agent.state["last_firing_time"]) >= 0).any()
+    w0 = np.asarray(_agent().graph.weights)
+    assert not np.array_equal(np.asarray(jit_agent.graph.weights), w0)
+
+
+def test_jit_environment_repeat_and_clock():
+    agent = _agent()
+    env = JitEnvironment(agent, {"rate": jnp.float32(0.0)},
+                         lambda e, s: s,
+                         lambda e, s: jnp.float32(0.5),
+                         lambda e, s: e)
+    env.run_with_reward(30)
+    env.run_with_reward(30)
+    assert agent.internal_clock == 60
