@@ -262,6 +262,35 @@ class Lattice:
         return arr
 
 
+def lattice_step(model, electrical, chemical, do_plasticity, skip_nt,
+                 plasticity, pparams, state, graph, clock):
+    """One single-lattice step (Phase A gather + model update + deferred
+    plasticity; neuron/mod.rs:884-982).  Pure; shared by the lattice runner
+    and the fused environment loop (interactable.JitEnvironment.run)."""
+    if electrical:
+        sub_v = jnp.ones_like(state["v"])
+        elec = graph.gather_electrical(
+            state["v"], sub_v, state["v"], state["gap_conductance"])
+    else:
+        elec = jnp.zeros_like(state["v"])
+
+    if chemical:
+        t, mask = get_neurotransmitter_concentrations(state)
+        t_in, t_valid = graph.gather_chemical(t, mask.astype(jnp.float32))
+        state, spikes = model.step(state, elec, t_in, t_valid,
+                                   skip_nt=skip_nt)
+    else:
+        state, spikes = model.step(state, elec, skip_nt=skip_nt)
+
+    state["last_firing_time"] = jnp.where(
+        spikes, clock, state["last_firing_time"])
+
+    if do_plasticity:
+        graph = plasticity.apply(graph, state, pparams)
+
+    return state, graph, clock + 1
+
+
 def _freeze(hist):
     """Hashable signature of a history readout (for the jit cache)."""
     if hasattr(hist, "reference_voltage"):
@@ -299,28 +328,9 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
                 ys["__weights__"] = graph.weights
             return (state, graph, key, clock), ys
 
-        if electrical:
-            sub_v = jnp.ones_like(state["v"])
-            elec = graph.gather_electrical(
-                state["v"], sub_v, state["v"], state["gap_conductance"])
-        else:
-            elec = jnp.zeros_like(state["v"])
-
-        if chemical:
-            t, mask = get_neurotransmitter_concentrations(state)
-            t_in, t_valid = graph.gather_chemical(t, mask.astype(jnp.float32))
-            state, spikes = model.step(state, elec, t_in, t_valid,
-                                       skip_nt=skip_nt)
-        else:
-            state, spikes = model.step(state, elec, skip_nt=skip_nt)
-
-        state["last_firing_time"] = jnp.where(
-            spikes, clock, state["last_firing_time"])
-
-        if do_plasticity:
-            graph = plasticity.apply(graph, state, pparams)
-
-        clock = clock + 1
+        state, graph, clock = lattice_step(
+            model, electrical, chemical, do_plasticity, skip_nt, plasticity,
+            pparams, state, graph, clock)
 
         ys = {name: h.readout(state, shape) for name, h in readouts}
         if graph_history:

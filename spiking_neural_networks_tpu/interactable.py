@@ -134,3 +134,59 @@ class JitEnvironment:
         agent.internal_clock = int(clock)
         self.state = env
         return np.asarray(rewards)
+
+    # -- unsupervised fused loop (Environment::run, interactable/
+    #    mod.rs:48-59): agent is a plain Lattice, no reward ----------------
+    def _build_unsupervised(self, iterations, skip_nt):
+        import functools
+        import jax
+        from .core.lattice import lattice_step, resolve_unroll
+
+        agent = self.agent
+        model = agent.model
+        electrical = agent.electrical_synapse
+        chemical = agent.chemical_synapse
+        do_plasticity = bool(agent.do_plasticity)
+        plasticity = agent.plasticity
+        unroll = resolve_unroll(agent.scan_unroll, agent.n)
+
+        def one_step(pparams, carry, _):
+            s, graph, clock, env = carry
+            s, graph, clock = lattice_step(
+                model, electrical, chemical, do_plasticity, skip_nt,
+                plasticity, pparams, s, graph, clock)
+            env = self.update_state(env, s)
+            s = dict(self.state_encoder(env, s))
+            return (s, graph, clock, env), ()
+
+        def run(state, graph, clock, env, pparams):
+            step = functools.partial(one_step, pparams)
+            carry, _ = jax.lax.scan(
+                step, (state, graph, clock, env), None, length=iterations,
+                unroll=unroll)
+            return carry
+
+        return jax.jit(run, donate_argnums=(0, 1, 3))
+
+    def run(self, iterations):
+        """Unsupervised fused loop: agent step -> state update -> encoder
+        per step, one device program; agent is a plain :class:`Lattice`."""
+        import jax.numpy as jnp
+        from .core.lattice import _mask_any
+
+        agent = self.agent
+        skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
+        key = ("unsup", int(iterations), skip_nt, agent.electrical_synapse,
+               agent.chemical_synapse, bool(agent.do_plasticity))
+        if self._runner is None or self._runner[0] != key:
+            self._runner = (key, self._build_unsupervised(iterations,
+                                                          skip_nt))
+        runner = self._runner[1]
+        pparams = {k: jnp.float32(v)
+                   for k, v in agent.plasticity.params.items()}
+        s, graph, clock, env = runner(
+            agent.state, agent.graph, jnp.int32(agent.internal_clock),
+            self.state, pparams)
+        agent.state, agent.graph = s, graph
+        agent.internal_clock = int(clock)
+        self.state = env

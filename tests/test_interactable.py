@@ -99,3 +99,50 @@ def test_jit_environment_repeat_and_clock():
     env.run_with_reward(30)
     env.run_with_reward(30)
     assert agent.internal_clock == 60
+
+
+def test_jit_environment_unsupervised_matches_host():
+    """`JitEnvironment.run` (unsupervised, plain-Lattice agent) vs the
+    host-loop `UnsupervisedEnvironment` (interactable/mod.rs:48-59)."""
+    from spiking_neural_networks_tpu.interactable import (
+        UnsupervisedEnvironment)
+
+    def plain_agent():
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(8, 8, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=4)
+        lat.do_plasticity = True
+        v0 = np.random.default_rng(1).uniform(-65.0, 30.0, 64) \
+            .astype(np.float32)
+        v0[:5] = 40.0
+        lft = np.full(64, -1, np.int32)
+        lft[::2] = 3
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0),
+                             "last_firing_time": jnp.asarray(lft)})
+        return lat
+
+    class HState:
+        def update_state(self, agent):
+            pass
+
+    def host_encoder(state, agent):
+        agent.apply(lambda s: {**s, "v": s["v"].at[:5].set(40.0)})
+
+    host = plain_agent()
+    henv = UnsupervisedEnvironment(host, HState(), host_encoder)
+    henv.run(50)
+
+    fused = plain_agent()
+    jenv = JitEnvironment(fused, {}, lambda e, s: {**s,
+                                                   "v": s["v"].at[:5]
+                                                   .set(40.0)},
+                          None, lambda e, s: e)
+    jenv.run(50)
+
+    np.testing.assert_allclose(np.asarray(host.state["v"]),
+                               np.asarray(fused.state["v"]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(host.graph.weights),
+                               np.asarray(fused.graph.weights),
+                               rtol=2e-4, atol=2e-4)
+    assert fused.internal_clock == 50
