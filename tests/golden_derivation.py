@@ -149,3 +149,68 @@ if __name__ == "__main__":
     tr = hh_trace(25.0, 2000)
     print(f"HH i=25: s1={tr[0]} s2={tr[1]} s1000={tr[999]} s2000={tr[1999]}")
     print("  spike steps:", [k for k, t in enumerate(tr) if t[4]][:5])
+
+
+def morris_lecar_trace(i, steps):
+    """Morris-Lecar (morris_lecar/mod.rs:50-70 defaults, :82-100
+    update_channels/get_dv_change, :94-103 peak-style handle_spiking);
+    channels ion_channels/mod.rs:321-360 (ReducedCalcium), :363-423
+    (KSteadyState), :425-452 (Leak)."""
+    v = f32(-70.0)
+    v_th = f32(25.0)
+    c_m, dt = f32(6.6), f32(0.01)
+    g_ca, v_ca, v_1, v_2 = f32(4.0), f32(120.0), f32(-1.2), f32(18.0)
+    g_k, v_k, phi, v_3, v_4 = f32(8.0), f32(-84.0), f32(0.067), f32(12.0), \
+        f32(17.4)
+    n = f32(0.0)
+    g_l, v_l = f32(2.0), f32(-60.0)
+    was_increasing = False
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        # ReducedCalciumChannel::update_current (ion_channels/mod.rs:349-357)
+        m_ss = f32(0.5) * (f32(1.0) + np.tanh((v - v_1) / v_2, dtype=f32))
+        i_ca = g_ca * m_ss * (v - v_ca)
+        # KSteadyStateChannel::update_current (:400-420)
+        n_ss = f32(0.5) * (f32(1.0) + np.tanh((v - v_3) / v_4, dtype=f32))
+        t_n = f32(1.0) / (phi * np.cosh((v - v_3) / (f32(2.0) * v_4),
+                                        dtype=f32))
+        n = n + ((n_ss - n) / t_n) * dt
+        i_k = g_k * n * (v - v_k)
+        # LeakChannel::update_current (:444-447)
+        i_l = g_l * (v - v_l)
+        # get_dv_change + peak-style handle_spiking (morris_lecar/mod.rs
+        # :88-103, :113-120)
+        last_v = v
+        v = v + (i - i_l - i_ca - i_k) * (dt / c_m)
+        increasing_now = last_v < v
+        spiking = bool((v > v_th) and was_increasing and not increasing_now)
+        was_increasing = increasing_now
+        out.append((float(v), float(n), spiking))
+    return out
+
+
+def qif_trace(i, steps):
+    """Quadratic IF (integrate_and_fire/mod.rs:298-321 defaults, :324-328
+    dv, :83-104 refractory handle_spiking)."""
+    v = f32(-75.0)
+    v_th, v_reset, v_c = f32(-55.0), f32(-75.0), f32(-60.0)
+    alpha, integration_constant = f32(1.0), f32(1.0)
+    tau_m, dt, tref = f32(100.0), f32(0.1), f32(10.0)
+    refractory_count = f32(0.0)
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        dv = ((alpha * (v - v_reset) * (v - v_c))
+              + integration_constant * i) * (dt / tau_m)
+        v = v + dv
+        spiking = False
+        if refractory_count > 0:
+            v = v_reset
+            refractory_count = refractory_count - f32(1.0)
+        elif v >= v_th:
+            spiking = True
+            v = v_reset
+            refractory_count = tref / dt
+        out.append((float(v), float(refractory_count), spiking))
+    return out

@@ -137,3 +137,75 @@ def test_hodgkin_huxley_golden():
             np.testing.assert_allclose(float(s["na$h_state"][0]), h, rtol=1e-4)
             np.testing.assert_allclose(float(s["k$n_state"][0]), n, rtol=1e-4)
     assert spike_steps == HH_SPIKE_STEPS
+
+
+# Morris-Lecar, i=60, dt=0.01 (morris_lecar/mod.rs defaults): (step, (v, n))
+ML_FIXTURES = [
+    (100, (-59.43805694580078, 4.260112109477632e-05)),
+    (1000, (-14.302948951721191, 0.0066414885222911835)),
+    (1295, (45.09712600708008, 0.14336080849170685)),
+    (3000, (-46.36225128173828, 0.08135108649730682)),
+]
+ML_SPIKE_STEPS = [1295]
+
+# Quadratic IF, i=100, dt=0.1 (integrate_and_fire/mod.rs:298-321 defaults):
+# (step, (v, refractory_count))
+QIF_FIXTURES = [
+    (100, (-68.73091888427734, 0.0)),
+    (293, (-75.0, 100.0)),
+    (1000, (-63.269412994384766, 0.0)),
+    (2000, (-72.17388153076172, 0.0)),
+]
+QIF_SPIKE_STEPS = [293, 686, 1079, 1472, 1865]
+
+
+def test_ml_qif_derivations_match_committed_constants():
+    from golden_derivation import morris_lecar_trace, qif_trace
+    tr = morris_lecar_trace(60.0, 3000)
+    for step, (v, n) in ML_FIXTURES:
+        assert tr[step - 1][0] == v and tr[step - 1][1] == n
+    assert [k + 1 for k, t in enumerate(tr) if t[2]] == ML_SPIKE_STEPS
+    tr = qif_trace(100.0, 2000)
+    for step, (v, rc) in QIF_FIXTURES:
+        assert tr[step - 1][0] == v and tr[step - 1][1] == rc
+    assert [k + 1 for k, t in enumerate(tr) if t[2]] == QIF_SPIKE_STEPS
+
+
+def test_morris_lecar_golden():
+    model = snn.MorrisLecar()
+    s = model.init_state(1)
+    inp = jnp.full((1,), 60.0, jnp.float32)
+    rows = dict(ML_FIXTURES)
+    spike_steps = []
+    for k in range(1, 3001):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, n = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"step={k}")
+            # tanh/cosh differ by ~1 ulp between numpy-f32 and XLA,
+            # visible in the tiny early-time n values
+            np.testing.assert_allclose(float(s["kss$n"][0]), n, rtol=1e-3,
+                                       atol=1e-8, err_msg=f"step={k}")
+    assert spike_steps == ML_SPIKE_STEPS
+
+
+def test_quadratic_if_golden():
+    model = snn.QuadraticIntegrateAndFire()
+    s = model.init_state(1)
+    inp = jnp.full((1,), 100.0, jnp.float32)
+    rows = dict(QIF_FIXTURES)
+    spike_steps = []
+    for k in range(1, 2001):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, rc = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"step={k}")
+            np.testing.assert_allclose(float(s["refractory_count"][0]), rc,
+                                       rtol=1e-5, err_msg=f"step={k}")
+    assert spike_steps == QIF_SPIKE_STEPS
