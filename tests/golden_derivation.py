@@ -214,3 +214,49 @@ def qif_trace(i, steps):
             refractory_count = tref / dt
         out.append((float(v), float(refractory_count), spiking))
     return out
+
+
+def _adaptive_trace(i, steps, exp_term):
+    """Adaptive (exp) LIF (integrate_and_fire/mod.rs:948-976/1100-1127
+    defaults, :1032-1040/1130-1139 dv, :998-1008 dw, :1011-1028 adaptive
+    refractory spike handling; iterate order :217-233: dv and dw computed
+    from the same pre-step state, then both applied)."""
+    v = f32(-75.0)
+    w = f32(0.0)
+    v_th, v_reset, e_l = f32(-55.0), f32(-75.0), f32(-75.0)
+    alpha, beta = f32(6.0), f32(10.0)
+    leak_constant, integration_constant = f32(-1.0), f32(1.0)
+    g_l, tau_m, c_m = f32(10.0), f32(10.0), f32(100.0)
+    dt, tref = f32(0.1), f32(10.0)
+    slope_factor = f32(1.0)
+    refractory_count = f32(0.0)
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        dv = (leak_constant * (v - e_l)
+              + (slope_factor * np.exp((v - v_th) / slope_factor, dtype=f32)
+                 if exp_term else f32(0.0))
+              + integration_constant * (i / g_l)
+              - (w / g_l)) * (dt / c_m)
+        dw = (alpha * (v - e_l) - w) * (dt / tau_m)
+        v = v + dv
+        w = w + dw
+        spiking = False
+        if refractory_count > 0:
+            v = v_reset
+            refractory_count = refractory_count - f32(1.0)
+        elif v >= v_th:
+            spiking = True
+            v = v_reset
+            w = w + beta
+            refractory_count = tref / dt
+        out.append((float(v), float(w), spiking))
+    return out
+
+
+def alif_trace(i, steps):
+    return _adaptive_trace(i, steps, exp_term=False)
+
+
+def adex_trace(i, steps):
+    return _adaptive_trace(i, steps, exp_term=True)

@@ -209,3 +209,57 @@ def test_quadratic_if_golden():
             np.testing.assert_allclose(float(s["refractory_count"][0]), rc,
                                        rtol=1e-5, err_msg=f"step={k}")
     assert spike_steps == QIF_SPIKE_STEPS
+
+
+# Adaptive LIF / adaptive exponential LIF, i=400, dt=0.1: (step, (v, w))
+ALIF_FIXTURES = [
+    (100, (-71.22103118896484, 8.445464134216309)),
+    (942, (-75.0, 123.77133178710938)),
+    (1500, (-61.78314208984375, 65.63562774658203)),
+]
+ALIF_SPIKE_STEPS = [942]
+ADEX_FIXTURES = [
+    (100, (-71.22103118896484, 8.445464134216309)),
+    (933, (-75.0, 123.44351196289062)),
+    (1500, (-61.601619720458984, 66.863525390625)),
+]
+ADEX_SPIKE_STEPS = [933]
+
+
+def test_adaptive_derivations_match_committed_constants():
+    from golden_derivation import alif_trace, adex_trace
+    for trace, fixtures, spike_steps in (
+            (alif_trace, ALIF_FIXTURES, ALIF_SPIKE_STEPS),
+            (adex_trace, ADEX_FIXTURES, ADEX_SPIKE_STEPS)):
+        tr = trace(400.0, 1500)
+        for step, (v, w) in fixtures:
+            assert tr[step - 1][0] == v and tr[step - 1][1] == w
+        assert [k + 1 for k, t in enumerate(tr) if t[2]] == spike_steps
+
+
+def _adaptive_golden(model, fixtures, spike_ref):
+    s = model.init_state(1)
+    inp = jnp.full((1,), 400.0, jnp.float32)
+    rows = dict(fixtures)
+    spike_steps = []
+    for k in range(1, 1501):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, w = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"step={k}")
+            np.testing.assert_allclose(float(s["w"][0]), w, rtol=1e-5,
+                                       err_msg=f"step={k}")
+    assert spike_steps == spike_ref
+
+
+def test_adaptive_lif_golden():
+    _adaptive_golden(snn.AdaptiveLeakyIntegrateAndFire(), ALIF_FIXTURES,
+                     ALIF_SPIKE_STEPS)
+
+
+def test_adaptive_exp_lif_golden():
+    _adaptive_golden(snn.AdaptiveExpLeakyIntegrateAndFire(), ADEX_FIXTURES,
+                     ADEX_SPIKE_STEPS)
