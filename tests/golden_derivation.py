@@ -260,3 +260,48 @@ def alif_trace(i, steps):
 
 def adex_trace(i, steps):
     return _adaptive_trace(i, steps, exp_term=True)
+
+
+def leaky_izhikevich_trace(i, steps):
+    """Leaky Izhikevich (integrate_and_fire/mod.rs:1296-1318 defaults,
+    :1342-1348 dv with w*(v-e_l) leak coupling, :1225-1247 dw + spike
+    handling; same iterate order as Izhikevich)."""
+    v = f32(-65.0)
+    w = f32(30.0)
+    a, b, c, d = f32(0.02), f32(0.2), f32(-55.0), f32(8.0)
+    e_l = f32(-65.0)
+    v_th, tau_m, c_m, dt = f32(30.0), f32(10.0), f32(100.0), f32(0.1)
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        dv = (f32(0.04) * v ** f32(2.0) + f32(5.0) * v + f32(140.0)
+              - w * (v - e_l) + i) * (dt / c_m)
+        dw = (a * (b * v - w)) * (dt / tau_m)
+        v = v + dv
+        w = w + dw
+        spiking = False
+        if v >= v_th:
+            spiking = True
+            v = c
+            w = w + d
+        out.append((float(v), float(w), spiking))
+    return out
+
+
+def simple_lif_trace(i, steps):
+    """SimpleLeakyIntegrateAndFire (integrate_and_fire/mod.rs:1540-1558
+    defaults, :1580-1582 dv = (g*(v-e)+i)*dt, :1567-1577 reset-only spike
+    handling, no refractory period)."""
+    v = f32(-75.0)
+    g, e = f32(-0.1), f32(0.0)
+    v_th, v_reset, dt = f32(-55.0), f32(-75.0), f32(0.1)
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        v = v + (g * (v - e) + i) * dt
+        spiking = False
+        if v >= v_th:
+            spiking = True
+            v = v_reset
+        out.append((float(v), spiking))
+    return out

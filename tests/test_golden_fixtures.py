@@ -263,3 +263,64 @@ def test_adaptive_lif_golden():
 def test_adaptive_exp_lif_golden():
     _adaptive_golden(snn.AdaptiveExpLeakyIntegrateAndFire(), ADEX_FIXTURES,
                      ADEX_SPIKE_STEPS)
+
+
+# Leaky Izhikevich, i=5000, dt=0.1: (step, (v, w))
+LIZH_FIXTURES = [
+    (27, (-55.0, 37.82438278198242)),
+    (100, (-28.27825164794922, 53.171119689941406)),
+    (1000, (23.938488006591797, 59.18878173828125)),
+    (1500, (19.919116973876953, 61.6777458190918)),
+]
+LIZH_SPIKE_STEPS = [27, 56, 93, 148, 598, 1320]
+
+# Simple LIF, i=8, dt=0.1 (reset-only spiking, 14-step period): (step, v)
+SLIF_FIXTURES = [(14, -75.0), (100, -71.91549682617188),
+                 (500, -60.17921447753906)]
+
+
+def test_lizh_slif_derivations_match_committed_constants():
+    from golden_derivation import leaky_izhikevich_trace, simple_lif_trace
+    tr = leaky_izhikevich_trace(5000.0, 1500)
+    for step, (v, w) in LIZH_FIXTURES:
+        assert tr[step - 1][0] == v and tr[step - 1][1] == w
+    assert [k + 1 for k, t in enumerate(tr) if t[2]] == LIZH_SPIKE_STEPS
+    tr = simple_lif_trace(8.0, 500)
+    for step, v in SLIF_FIXTURES:
+        assert tr[step - 1][0] == v
+    assert [k + 1 for k, t in enumerate(tr) if t[1]][:3] == [14, 28, 42]
+
+
+def test_leaky_izhikevich_golden():
+    model = snn.LeakyIzhikevich()
+    s = model.init_state(1)
+    inp = jnp.full((1,), 5000.0, jnp.float32)
+    rows = dict(LIZH_FIXTURES)
+    spike_steps = []
+    for k in range(1, 1501):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, w = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"step={k}")
+            np.testing.assert_allclose(float(s["w"][0]), w, rtol=1e-5,
+                                       err_msg=f"step={k}")
+    assert spike_steps == LIZH_SPIKE_STEPS
+
+
+def test_simple_lif_golden():
+    model = snn.SimpleLeakyIntegrateAndFire()
+    s = model.init_state(1)
+    inp = jnp.full((1,), 8.0, jnp.float32)
+    rows = dict(SLIF_FIXTURES)
+    spike_steps = []
+    for k in range(1, 501):
+        s, spikes = model.step(s, inp)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            np.testing.assert_allclose(float(s["v"][0]), rows[k], rtol=1e-5,
+                                       err_msg=f"step={k}")
+    assert spike_steps[:5] == [14, 28, 42, 56, 70]
