@@ -305,3 +305,48 @@ def simple_lif_trace(i, steps):
             v = v_reset
         out.append((float(v), spiking))
     return out
+
+
+def bcm_izhikevich_trace(i, steps):
+    """BCM Izhikevich (integrate_and_fire/mod.rs:1388-1416 defaults,
+    :1432-1456 iterate: num_spikes counted from the PREVIOUS step's
+    is_spiking and NEVER reset — current_activity therefore accumulates
+    lifetime spikes / (window * dt); average_activity is a period-3
+    leaky average updated at window crossings)."""
+    v = f32(-65.0)
+    w = f32(30.0)
+    a, b, c, d = f32(0.02), f32(0.2), f32(-55.0), f32(8.0)
+    v_th, tau_m, c_m, dt = f32(30.0), f32(1.0), f32(100.0), f32(0.1)
+    period = 3
+    num_spikes = 0
+    firing_rate_clock = f32(0.0)
+    firing_rate_window = f32(500.0)
+    current_activity = f32(0.0)
+    average_activity = f32(0.0)
+    spiking = False
+    i = f32(i)
+    out = []
+    for _ in range(steps):
+        if spiking:
+            num_spikes += 1
+        firing_rate_clock = firing_rate_clock + dt
+        if firing_rate_clock >= firing_rate_window:
+            firing_rate_clock = f32(0.0)
+            current_activity = f32(num_spikes) / (firing_rate_window * dt)
+            average_activity = average_activity \
+                - average_activity / f32(period)
+            average_activity = average_activity \
+                + current_activity / f32(period)
+        dv = (f32(0.04) * v ** f32(2.0) + f32(5.0) * v + f32(140.0)
+              - w + i) * (dt / c_m)
+        dw = (a * (b * v - w)) * (dt / tau_m)
+        v = v + dv
+        w = w + dw
+        spiking = False
+        if v >= v_th:
+            spiking = True
+            v = c
+            w = w + d
+        out.append((float(v), float(current_activity),
+                    float(average_activity), num_spikes, spiking))
+    return out

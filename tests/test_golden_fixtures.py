@@ -324,3 +324,39 @@ def test_simple_lif_golden():
             np.testing.assert_allclose(float(s["v"][0]), rows[k], rtol=1e-5,
                                        err_msg=f"step={k}")
     assert spike_steps[:5] == [14, 28, 42, 56, 70]
+
+
+# BCM Izhikevich, i=400, dt=0.1: (step, (v, current_activity,
+# average_activity, num_spikes)).  current_activity accumulates LIFETIME
+# spikes over the window denominator (num_spikes never resets —
+# integrate_and_fire/mod.rs:1437-1444, replicated faithfully)
+BCM_FIXTURES = [
+    (5000, (-33.93001937866211, 0.5400000214576721, 0.18000000715255737, 27)),
+    (10000, (5.575139999389648, 1.0800000429153442, 0.48000001907348633, 54)),
+    (12000, (4.478339672088623, 1.0800000429153442, 0.48000001907348633, 65)),
+]
+
+
+def test_bcm_derivation_matches_committed_constants():
+    from golden_derivation import bcm_izhikevich_trace
+    tr = bcm_izhikevich_trace(400.0, 12000)
+    for step, (v, ca, aa, ns) in BCM_FIXTURES:
+        t = tr[step - 1]
+        assert t[0] == v and t[1] == ca and t[2] == aa and t[3] == ns
+
+
+def test_bcm_izhikevich_activity_golden():
+    model = snn.BCMIzhikevich()
+    s = model.init_state(1)
+    inp = jnp.full((1,), 400.0, jnp.float32)
+    rows = {step: vals for step, vals in BCM_FIXTURES}
+    for k in range(1, 12001):
+        s, spikes = model.step(s, inp)
+        if k in rows:
+            v, ca, aa, ns = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5)
+            np.testing.assert_allclose(float(s["current_activity"][0]), ca,
+                                       rtol=1e-6)
+            np.testing.assert_allclose(float(s["average_activity"][0]), aa,
+                                       rtol=1e-6)
+            assert int(s["num_spikes"][0]) == ns
