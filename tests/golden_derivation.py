@@ -350,3 +350,49 @@ def bcm_izhikevich_trace(i, steps):
         out.append((float(v), float(current_activity),
                     float(average_activity), num_spikes, spiking))
     return out
+
+
+def izhikevich_chemical_trace(t_sched, steps):
+    """Izhikevich driven purely chemically through AMPA/NMDA/GABA ionotropic
+    receptors with Approximate kinetics (iterate_and_spike/mod.rs:234-252
+    order: r = t (ApproximateReceptor :430-441), receptor currents from the
+    PRE-update voltage (:1078-1167: AMPA/GABA I = g*r*(v-e); NMDA Mg block
+    1/(1+exp(-0.062 v)*mg/3.75), g=0.6, mg=0.3; GABA g=1.2, e=-80), then
+    v += dv + (-(sum I) * dt / c_m); nt release uses the PREVIOUS step's
+    spike flag (ApproximateNeurotransmitter :192-195 reads is_spiking
+    before handle_spiking updates it).
+
+    ``t_sched(step) -> (t_ampa, t_nmda, t_gaba)`` is the presynaptic
+    concentration schedule."""
+    v = f32(-65.0)
+    w = f32(30.0)
+    a, b, c, d = f32(0.02), f32(0.2), f32(-55.0), f32(8.0)
+    v_th, tau_m, c_m, dt = f32(30.0), f32(1.0), f32(100.0), f32(0.1)
+    g_ampa, e_ampa = f32(1.0), f32(0.0)
+    g_nmda, mg, e_nmda = f32(0.6), f32(0.3), f32(0.0)
+    g_gaba, e_gaba = f32(1.2), f32(-80.0)
+    out = []
+    for k in range(steps):
+        t_ampa, t_nmda, t_gaba = (f32(x) for x in t_sched(k))
+        # update_receptor_kinetics: ApproximateReceptor r = t
+        r_ampa, r_nmda, r_gaba = t_ampa, t_nmda, t_gaba
+        # set_receptor_currents at the pre-update voltage
+        i_ampa = (g_ampa * r_ampa) * (v - e_ampa)
+        block = f32(1.0) / (f32(1.0)
+                            + (np.exp(f32(-0.062) * v, dtype=f32) * mg)
+                            / f32(3.75))
+        i_nmda = ((block * g_nmda) * r_nmda) * (v - e_nmda)
+        i_gaba = (g_gaba * r_gaba) * (v - e_gaba)
+        nt_dv = -(i_ampa + i_nmda + i_gaba) * (dt / c_m)
+        dv = (f32(0.04) * v ** f32(2.0) + f32(5.0) * v + f32(140.0)
+              - w) * (dt / c_m)
+        dw = (a * (b * v - w)) * (dt / tau_m)
+        v = v + dv + nt_dv
+        w = w + dw
+        spiking = False
+        if v >= v_th:
+            spiking = True
+            v = c
+            w = w + d
+        out.append((float(v), float(w), spiking))
+    return out

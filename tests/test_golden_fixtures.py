@@ -360,3 +360,50 @@ def test_bcm_izhikevich_activity_golden():
             np.testing.assert_allclose(float(s["average_activity"][0]), aa,
                                        rtol=1e-6)
             assert int(s["num_spikes"][0]) == ns
+
+
+# Izhikevich driven chemically (AMPA 0.9 / NMDA 0.7 / GABA 0.2 until step
+# 1500, then silence): (step, (v, w)).  Exercises the Mg-block (3.75
+# denominator), receptor currents from the pre-update voltage, and the
+# receptor-update-before-voltage-update iterate order
+CHEM_FIXTURES = [
+    (100, (-63.3039436340332, 22.228078842163086)),
+    (1000, (-33.065284729003906, -3.974364995956421)),
+    (1588, (-55.0, 5.998130798339844)),
+    (2000, (-61.55084991455078, -3.996185302734375)),
+]
+CHEM_SPIKE_STEPS = [1588]
+
+
+def _chem_sched(k):
+    return (0.9, 0.7, 0.2) if k < 1500 else (0.0, 0.0, 0.0)
+
+
+def test_chemical_derivation_matches_committed_constants():
+    from golden_derivation import izhikevich_chemical_trace
+    tr = izhikevich_chemical_trace(_chem_sched, 2000)
+    for step, (v, w) in CHEM_FIXTURES:
+        assert tr[step - 1][0] == v and tr[step - 1][1] == w
+    assert [k + 1 for k, t in enumerate(tr) if t[2]] == CHEM_SPIKE_STEPS
+
+
+def test_izhikevich_chemical_golden():
+    model = snn.Izhikevich()
+    s = model.init_state(1)
+    for t in ("AMPA", "NMDA", "GABA"):
+        s = model.insert_receptor(s, t)
+    rows = dict(CHEM_FIXTURES)
+    spike_steps = []
+    for k in range(1, 2001):
+        t_in = jnp.asarray([list(_chem_sched(k - 1))], jnp.float32)
+        valid = jnp.ones((1, 3), bool)
+        s, spikes = model.step(s, jnp.zeros((1,)), t_in, valid)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, w = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5,
+                                       err_msg=f"step={k}")
+            np.testing.assert_allclose(float(s["w"][0]), w, rtol=1e-5,
+                                       err_msg=f"step={k}")
+    assert spike_steps == CHEM_SPIKE_STEPS
