@@ -396,3 +396,55 @@ def izhikevich_chemical_trace(t_sched, steps):
             w = w + d
         out.append((float(v), float(w), spiking))
     return out
+
+
+def dopa_glu_gaba_trace(t_sched, s_d1, s_d2, steps):
+    """lixirnet DopaGluGABA Izhikevich (DSL source embedded at
+    interface_gpu/lixirnet/src/lib.rs:22-79): BoundedReceptorKinetics
+    r = clamp(t, 0, r_max); Glutamate current with the 3.57 Mg denominator
+    and nmda_r ^ nmda_modifier; Dopamine block runs LAST, so the D1/D2
+    modifiers it computes apply to the NEXT step's currents; neuron block
+    dv/dt = (0.04v^2+5v+140-u+i)/c_m with tau_m=1, c_m=100, u0=30.
+
+    ``t_sched(step) -> (t_glu, t_gaba, t_dopa)``."""
+    v = f32(-65.0)
+    u = f32(30.0)
+    a, b, c, d = f32(0.02), f32(0.2), f32(-55.0), f32(8.0)
+    v_th, tau_m, c_m, dt = f32(30.0), f32(1.0), f32(100.0), f32(0.1)
+    g_ampa, g_nmda, mg = f32(1.0), f32(0.6), f32(0.3)
+    e_ampa = e_nmda = f32(0.0)
+    g_gaba, e_gaba = f32(1.2), f32(-80.0)
+    s_d1, s_d2 = f32(s_d1), f32(s_d2)
+    inh_mod = f32(1.0)
+    nmda_mod = f32(1.0)
+    out = []
+    for k in range(steps):
+        t_glu, t_gaba, t_dopa = (f32(x) for x in t_sched(k))
+        # BoundedReceptorKinetics: r = min(max(t, 0), r_max)
+        ampa_r = nmda_r = min(max(t_glu, f32(0.0)), f32(1.0))
+        gaba_r = min(max(t_gaba, f32(0.0)), f32(1.0))
+        r_d1 = r_d2 = min(max(t_dopa, f32(0.0)), f32(1.0))
+        # receptor blocks in declaration order at the pre-update voltage
+        block = f32(1.0) / (f32(1.0)
+                            + np.exp(f32(-0.062) * v, dtype=f32) * mg
+                            / f32(3.57))
+        glu_current = inh_mod * g_ampa * ampa_r * (v - e_ampa) \
+            + block * inh_mod * g_nmda \
+            * np.power(nmda_r, nmda_mod, dtype=f32) * (v - e_nmda)
+        gaba_current = g_gaba * gaba_r * (v - e_gaba)
+        inh_mod = f32(1.0) - r_d2 * s_d2       # applies NEXT step
+        nmda_mod = f32(1.0) - r_d1 * s_d1
+        nt_dv = -(glu_current + gaba_current) * (dt / c_m)
+        dv = (f32(0.04) * v ** f32(2.0) + f32(5.0) * v + f32(140.0)
+              - u) * (dt / c_m)
+        du = (a * (b * v - u)) * (dt / tau_m)
+        v = v + dv + nt_dv
+        u = u + du
+        spiking = False
+        if v >= v_th:
+            spiking = True
+            v = c
+            u = u + d
+        out.append((float(v), float(u), float(inh_mod), float(nmda_mod),
+                    spiking))
+    return out

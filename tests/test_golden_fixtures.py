@@ -407,3 +407,57 @@ def test_izhikevich_chemical_golden():
             np.testing.assert_allclose(float(s["w"][0]), w, rtol=1e-5,
                                        err_msg=f"step={k}")
     assert spike_steps == CHEM_SPIKE_STEPS
+
+
+# lixirnet DopaGluGABA Izhikevich (Glu 0.9 / GABA 0.1 / Dopamine 0.6 until
+# step 1500; s_d1=0.8, s_d2=0.5): (step, (v, w, inh_mod, nmda_mod)).
+# Exercises the 3.57 Mg denominator, nmda_r^nmda_modifier gain, and the
+# one-step-delayed D1/D2 modifier application (Dopamine block runs last)
+DOPA_FIXTURES = [
+    (100, (-64.8182144165039, 22.199766159057617, 0.699999988079071,
+           0.5199999809265137)),
+    (1000, (-45.63336181640625, -5.384042739868164, 0.699999988079071,
+            0.5199999809265137)),
+    (1901, (-55.0, 5.082145690917969, 1.0, 1.0)),
+    (2000, (-56.79095458984375, 2.1571664810180664, 1.0, 1.0)),
+]
+DOPA_SPIKE_STEPS = [1901]
+
+
+def _dopa_sched(k):
+    return (0.9, 0.1, 0.6) if k < 1500 else (0.0, 0.0, 0.0)
+
+
+def test_dopa_derivation_matches_committed_constants():
+    from golden_derivation import dopa_glu_gaba_trace
+    tr = dopa_glu_gaba_trace(_dopa_sched, 0.8, 0.5, 2000)
+    for step, (v, w, im, nm) in DOPA_FIXTURES:
+        t = tr[step - 1]
+        assert (t[0], t[1], t[2], t[3]) == (v, w, im, nm)
+    assert [k + 1 for k, t in enumerate(tr) if t[4]] == DOPA_SPIKE_STEPS
+
+
+def test_dopa_glu_gaba_golden():
+    model = snn.DopaIzhikevich()
+    s = model.init_state(1)
+    for t in ("Glutamate", "GABA", "Dopamine"):
+        s = model.insert_receptor(s, t)
+    s["rec$s_d1"] = jnp.full((1,), 0.8, jnp.float32)
+    s["rec$s_d2"] = jnp.full((1,), 0.5, jnp.float32)
+    rows = dict(DOPA_FIXTURES)
+    spike_steps = []
+    for k in range(1, 2001):
+        t_in = jnp.asarray([list(_dopa_sched(k - 1))], jnp.float32)
+        valid = jnp.ones((1, 3), bool)
+        s, spikes = model.step(s, jnp.zeros((1,)), t_in, valid)
+        if bool(np.asarray(spikes)[0]):
+            spike_steps.append(k)
+        if k in rows:
+            v, w, im, nm = rows[k]
+            np.testing.assert_allclose(float(s["v"][0]), v, rtol=1e-5)
+            np.testing.assert_allclose(float(s["w"][0]), w, rtol=1e-5)
+            np.testing.assert_allclose(float(s["rec$inh_modifier"][0]), im,
+                                       rtol=1e-6)
+            np.testing.assert_allclose(float(s["rec$nmda_modifier"][0]), nm,
+                                       rtol=1e-6)
+    assert spike_steps == DOPA_SPIKE_STEPS
