@@ -583,8 +583,12 @@ def build_refractoriness(block):
     defaults = dict(block.vars)
 
     def effect(k, a, time_difference, v_resting, dt):
+        # the grammar's effect scope exposes v_th/v_max alongside the
+        # amplitude (caller passes a = v_th - v_resting,
+        # spike_train/mod.rs:84-86 / delta_dirac_refractoriness.rs:9-12)
         env = {"decay": k, "k": k, "a": a, "time_difference": time_difference,
-               "v_resting": v_resting, "dt": dt}
+               "v_resting": v_resting, "dt": dt,
+               "v_th": a + v_resting, "v_max": a + v_resting}
         env.update({name: jnp.float32(v) for name, v in defaults.items()
                     if name not in env})
         return eval_expr(effect_expr, env)

@@ -558,3 +558,82 @@ def test_dsl_mandatory_vars_injected():
                 "gap_conductance"):
         assert key in state, key
     assert state["v"].shape == (4,)
+
+
+def test_dsl_neural_refractoriness_matches_delta_dirac():
+    """Port of nb_macro/tests/delta_dirac_refractoriness.rs: a DSL
+    [neural_refractoriness] block spelling out the Gaussian-decay effect
+    must match the built-in DeltaDiracRefractoriness for random decay /
+    times / amplitudes."""
+    from spiking_neural_networks_tpu.models.spike_train import REFRACTORINESS
+
+    neuron_builder("""
+[neural_refractoriness]
+    type: TestRefractoriness
+    effect: (v_th - v_resting) * exp((-1 / (decay / dt)) * (time_difference ^ 2)) + v_resting
+[end]
+""")
+    assert "TestRefractoriness" in REFRACTORINESS
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        decay = jnp.float32(rng.uniform(0.0, 20000.0))
+        lft = int(rng.integers(0, 1000))
+        timestep = int(rng.integers(lft, lft + 1000))
+        v_max = jnp.float32(rng.uniform(10.0, 30.0))
+        v_resting = jnp.float32(0.0)
+        dt = jnp.float32(0.1)
+        diff = jnp.float32(timestep - lft)
+        ours = REFRACTORINESS["delta_dirac"](decay, v_max - v_resting, diff,
+                                             v_resting, dt)
+        generated = REFRACTORINESS["TestRefractoriness"](
+            decay, v_max - v_resting, diff, v_resting, dt)
+        np.testing.assert_allclose(float(ours), float(generated), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_dsl_timestep_dependent_ion_channel():
+    """Port of nb_macro/tests/timestep_dependent_ion_channel.rs: a calcium
+    channel whose alpha/beta are voltage expressions, with `s.update(dt)`
+    and `current = g * -(s.state ^ 2) * (v - e)`, checked against a
+    hand-written f32 reference at 9 voltages x 1000 steps."""
+    out = neuron_builder("""
+[ion_channel]
+    type: CalciumIonChannel
+    vars: e = 80, g = 0.025
+    gating_vars: s
+    on_iteration:
+        s.alpha = 1.6 / (1 + exp(-0.072 * (v - 5)))
+        s.beta = (0.02 * (v + 8.9)) / ((exp(v + 8.9) / 5) - 1)
+        s.update(dt)
+        current = g * -(s.state ^ 2) * (v - e)
+[end]
+""")
+    f32 = np.float32
+
+    def reference(voltage, steps, dt=0.01):
+        # ReferenceCalciumIonChannel (timestep_dependent_ion_channel.rs:7-48)
+        s_state, current = f32(0.0), f32(0.0)
+        g_ca, e_ca = f32(0.025), f32(80.0)
+        v, dt = f32(voltage), f32(dt)
+        outs = []
+        for _ in range(steps):
+            alpha = f32(1.6) / (f32(1.0) + np.exp(f32(-0.072) * (v - f32(5.0)),
+                                                  dtype=f32))
+            beta = (f32(0.02) * (v + f32(8.9))) \
+                / ((np.exp(v + f32(8.9), dtype=f32) / f32(5.0)) - f32(1.0))
+            # BasicGatingVariable::update (ion_channels/mod.rs:40-44)
+            s_state = s_state + dt * (alpha * (f32(1.0) - s_state)
+                                      - beta * s_state)
+            current = -s_state ** f32(2.0) * g_ca * (v - e_ca)
+            outs.append(float(current))
+        return outs
+
+    for voltage in (-50.0, -40.0, -30.0, -20.0, -10.0, 0.0, 10.0, 20.0,
+                    30.0):
+        ch = out["CalciumIonChannel"]()
+        ref = reference(voltage, 200)
+        for k in range(200):
+            cur = ch.update_current(voltage, dt=0.01)
+        np.testing.assert_allclose(float(np.asarray(cur).reshape(-1)[0]),
+                                   ref[-1], rtol=1e-5, atol=1e-8,
+                                   err_msg=f"v={voltage}")
