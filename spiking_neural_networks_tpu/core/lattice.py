@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import (DenseGraph, SparseGraph, StencilGraph, connect_dense,
+from ..ops.graph import (SparseGraph, StencilGraph, connect_dense,
                          dense_to_stencil, radius_offsets)
 from ..models.base import NEVER, get_neurotransmitter_concentrations
 from .history import GridVoltageHistory

@@ -19,8 +19,9 @@ averaging across ALL incoming components, deferred plasticity with
 per-spiking-plastic-endpoint counts, clock sync, spike trains last); the
 equivalence is tested directly against the flat path.
 
-Enabled via ``LatticeNetwork.structured = True`` (the default for plain
-networks); reward-modulated networks use the flat path (per-edge traces).
+Enabled via ``LatticeNetwork.structured = True`` (the default); reward-
+modulated networks have their own structure-preserving runner built on
+these operators (`core/reward_structured.py`).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.base import NEVER, get_neurotransmitter_concentrations
+from ..models.base import get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
 from ..ops.graph import DenseGraph
 from .lattice import _freeze, _mask_any, resolve_unroll
