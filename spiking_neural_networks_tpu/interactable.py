@@ -117,8 +117,12 @@ class JitEnvironment:
 
         agent = self.agent
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
+        # callback identities are part of the cache key: a swapped
+        # reward/encoder function must retrace, not reuse stale traced code
         key = (int(iterations), skip_nt, agent.electrical_synapse,
-               agent.chemical_synapse, agent.do_modulation)
+               agent.chemical_synapse, agent.do_modulation,
+               id(self.reward_function), id(self.update_state),
+               id(self.state_encoder))
         if self._runner is None or self._runner[0] != key:
             self._runner = (key, self._build(iterations, skip_nt))
         runner = self._runner[1]
@@ -177,7 +181,8 @@ class JitEnvironment:
         agent = self.agent
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
         key = ("unsup", int(iterations), skip_nt, agent.electrical_synapse,
-               agent.chemical_synapse, bool(agent.do_plasticity))
+               agent.chemical_synapse, bool(agent.do_plasticity),
+               id(self.update_state), id(self.state_encoder))
         if self._runner is None or self._runner[0] != key:
             self._runner = (key, self._build_unsupervised(iterations,
                                                           skip_nt))
