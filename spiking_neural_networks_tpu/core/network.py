@@ -57,6 +57,7 @@ class SpikeTrainLattice:
         self.key = jax.random.PRNGKey(0)
         self.history_chunk = 1024
         self.in_network = False
+        self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
 
     @property
     def n(self):
@@ -108,11 +109,13 @@ class SpikeTrainLattice:
             remaining -= chunk
 
     def _run_chunk(self, length):
+        from .lattice import resolve_unroll
         runner = _build_st_runner(
             self.model,
             tuple((("grid", self.grid_history.kind, _freeze(self.grid_history)),)
                   if self.update_grid_history else ()),
-            (self.rows, self.cols), length)
+            (self.rows, self.cols), length,
+            resolve_unroll(self.scan_unroll, self.n))
         state, key, clock, ys = runner(self.state, self.key,
                                        jnp.int32(self.internal_clock))
         self.state, self.key = state, key
@@ -125,7 +128,7 @@ class SpikeTrainLattice:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_st_runner(model, history_sig, shape, length):
+def _build_st_runner(model, history_sig, shape, length, unroll=1):
     from .history import HISTORY_KINDS
     readouts = []
     for name, kind, sig in history_sig:
@@ -143,7 +146,8 @@ def _build_st_runner(model, history_sig, shape, length):
 
     def run(state, key, clock):
         (state, key, clock), ys = jax.lax.scan(
-            one_step, (state, key, clock), None, length=length)
+            one_step, (state, key, clock), None, length=length,
+            unroll=unroll)
         return state, key, clock, ys
 
     return jax.jit(run, donate_argnums=(0,))
