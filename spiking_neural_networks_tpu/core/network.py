@@ -36,7 +36,7 @@ from ..models.base import NEVER, get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
 from ..ops.graph import DenseGraph, SparseGraph, StencilGraph, positions
 from .history import GridVoltageHistory
-from .lattice import Lattice, _freeze, _mask_any
+from .lattice import Lattice, _freeze, _mask_any, resolve_unroll
 from .plasticity import STDP
 from ..errors import LatticeNetworkError
 
@@ -109,7 +109,7 @@ class SpikeTrainLattice:
             remaining -= chunk
 
     def _run_chunk(self, length):
-        from .lattice import resolve_unroll
+
         runner = _build_st_runner(
             self.model,
             tuple((("grid", self.grid_history.kind, _freeze(self.grid_history)),)
@@ -676,7 +676,8 @@ class LatticeNetwork:
             self.chemical_synapse, do_plasticity, type(plasticity),
             hist_sig, plan["n_neurons"], plan["n_total"], skip_nt,
             self.update_connecting_graph_history, length, dense,
-            tuple(ghist))
+            tuple(ghist),
+            resolve_unroll(self.scan_unroll, plan["n_total"]))
 
         edges = dict(src=plan["src"], dst=plan["dst"], plastic=plan["plastic"],
                      node_plastic=plan["node_plastic"], in_deg=plan["in_deg"])
@@ -745,7 +746,7 @@ class LatticeNetwork:
 def _build_network_runner(neuron_model, st_model, electrical, chemical,
                           do_plasticity, plasticity_cls, history_sig,
                           n_neurons, n_total, skip_nt, w_history, length,
-                          dense=False, ghist=()):
+                          dense=False, ghist=(), unroll=1):
     from .history import HISTORY_KINDS
 
     readouts = []
@@ -879,7 +880,7 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
     def run(nstate, st_state, w, key, clock, edges, pparams):
         step = functools.partial(one_step, edges, pparams)
         carry, ys = jax.lax.scan(step, (nstate, st_state, w, key, clock),
-                                 None, length=length)
+                                 None, length=length, unroll=unroll)
         return carry, ys
 
     return jax.jit(run, donate_argnums=(0, 1, 2))

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..models.base import get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
-from .lattice import _freeze, _mask_any
+from .lattice import _freeze, _mask_any, resolve_unroll
 from .network import LatticeNetwork, _graph_to_coo, _write_back_graph
 from .plasticity import STDP, RewardModulatedSTDP
 from .reward import RewardModulatedLattice, rstdp_visit, stdp_delta_arrays
@@ -290,7 +290,8 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             self.chemical_synapse, do_plasticity, type(plasticity),
             hist_sig, plan["n_neurons"], plan["n_total"], skip_nt,
             with_reward, int(rewards.shape[0]),
-            self.update_connecting_graph_history)
+            self.update_connecting_graph_history,
+            resolve_unroll(self.scan_unroll, plan["n_total"]))
 
         pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
         rparams = {k: jnp.float32(v)
@@ -409,7 +410,7 @@ def _edges_to_trace(lattice, src, dst, c, dw, ct):
 def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
                                  do_plasticity, plasticity_cls, history_sig,
                                  n_neurons, n_total, skip_nt, with_reward,
-                                 length, w_history=False):
+                                 length, w_history=False, unroll=1):
     from .history import HISTORY_KINDS
 
     readouts = []
@@ -558,7 +559,8 @@ def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
             edges, pparams, rparams):
         step = functools.partial(one_step, edges, pparams, rparams)
         carry, ys = jax.lax.scan(
-            step, (nstate, st_state, w, trace, dopamine, key, clock), rewards)
+            step, (nstate, st_state, w, trace, dopamine, key, clock), rewards,
+            unroll=unroll)
         return carry, ys
 
     return jax.jit(run, donate_argnums=(0, 1, 2, 3))

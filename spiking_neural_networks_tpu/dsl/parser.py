@@ -357,6 +357,17 @@ RAW_SECTIONS = ("type", "kinetics", "receptors", "neurotransmitter",
                 "gating_vars", "ion_channels")
 
 
+def _merge_vars(target, new):
+    """Merge a parsed `vars:` section, rejecting redeclarations across
+    sections of the same block (the reference macro would emit duplicate
+    struct fields — a compile error)."""
+    dup = set(target) & set(new)
+    if dup:
+        raise SyntaxError(
+            f"duplicate variable declaration: {sorted(dup)[0]!r}")
+    target.update(new)
+
+
 def _parse_vars(text):
     out = {}
     for part in text.split(","):
@@ -443,7 +454,7 @@ def _parse_block(kind, body):
         if name == "type":
             block.type_name = content.strip()
         elif name == "vars":
-            block.vars.update(_parse_vars(content))
+            _merge_vars(block.vars, _parse_vars(content))
         elif name in STATEMENT_SECTIONS:
             block.sections[name] = parse_statements(content.split("\n"))
         elif name in EXPR_SECTIONS:
@@ -468,7 +479,7 @@ def _parse_receptors_block(block, sections):
             block.groups.append(current)
         elif name == "vars":
             if current is None:
-                block.vars.update(_parse_vars(content))
+                _merge_vars(block.vars, _parse_vars(content))
             else:
                 current["vars"].update(_parse_vars(content))
         elif name == "receptors":

@@ -108,6 +108,15 @@ class JitEnvironment:
 
         return jax.jit(run, donate_argnums=(0, 1, 2, 5))
 
+    @staticmethod
+    def _reject_histories(agent):
+        if getattr(agent, "update_grid_history", False) or \
+                getattr(agent, "update_graph_history", False):
+            raise ValueError(
+                "JitEnvironment does not record grid/graph histories; "
+                "use the host-loop Environment, or record state snapshots "
+                "from the environment callbacks instead")
+
     def run_with_reward(self, iterations):
         """Run `iterations` fused closed-loop steps; returns the per-step
         reward trace (host array)."""
@@ -116,13 +125,14 @@ class JitEnvironment:
         from .core.lattice import _mask_any
 
         agent = self.agent
+        self._reject_histories(agent)
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
-        # callback identities are part of the cache key: a swapped
-        # reward/encoder function must retrace, not reuse stale traced code
+        # the callback OBJECTS are part of the cache key (not their id()s,
+        # which CPython can reuse after GC): a swapped reward/encoder
+        # function must retrace, not reuse stale traced code
         key = (int(iterations), skip_nt, agent.electrical_synapse,
                agent.chemical_synapse, agent.do_modulation,
-               id(self.reward_function), id(self.update_state),
-               id(self.state_encoder))
+               self.reward_function, self.update_state, self.state_encoder)
         if self._runner is None or self._runner[0] != key:
             self._runner = (key, self._build(iterations, skip_nt))
         runner = self._runner[1]
@@ -179,10 +189,11 @@ class JitEnvironment:
         from .core.lattice import _mask_any
 
         agent = self.agent
+        self._reject_histories(agent)
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
         key = ("unsup", int(iterations), skip_nt, agent.electrical_synapse,
                agent.chemical_synapse, bool(agent.do_plasticity),
-               id(self.update_state), id(self.state_encoder))
+               self.update_state, self.state_encoder)
         if self._runner is None or self._runner[0] != key:
             self._runner = (key, self._build_unsupervised(iterations,
                                                           skip_nt))

@@ -72,6 +72,11 @@ def _chain_order(net, order):
         raise LatticeNetworkError(
             "pipelined networks cannot contain spike-train lattices; "
             "drive stage 0 via state overrides")
+    if getattr(net, "reward_modulated_lattices", None) \
+            or getattr(net, "reward_connections", None):
+        raise LatticeNetworkError(
+            "pipelined execution does not support reward-modulated "
+            "lattices or reward connections; use run_lattices_with_reward")
     if order is None:
         order = sorted(net.lattices)
     if sorted(order) != sorted(net.lattices):
@@ -267,12 +272,12 @@ def _build_pipeline_runner(mesh, axis, model, graph_kind, graph_static,
         ys = readout.readout(s, shape) if readout is not None else ()
         return (s, garrs, conn_w, clock), ys
 
-    def body(state, garrs, conn, plast_pair, clock, pparams):
+    def body(state, garrs, conn_w, conn_aux, plast_pair, clock, pparams):
         # blocks carry a leading stage axis of length 1: squeeze it
         s = {k: v[0] for k, v in state.items()}
         garrs = {k: v[0] for k, v in garrs.items()}
-        conn_w = conn["w"][0]
-        conn_aux = dict(mask=conn["mask"][0], in_deg=conn["in_deg"][0])
+        conn_w = conn_w[0]
+        conn_aux = {k: v[0] for k, v in conn_aux.items()}
         plast = (plast_pair[0, 0], plast_pair[0, 1])
         step = functools.partial(one_step, pparams, plast, conn_aux)
         (s, garrs, conn_w, clock), ys = jax.lax.scan(
@@ -287,9 +292,10 @@ def _build_pipeline_runner(mesh, axis, model, graph_kind, graph_static,
     stage = P(axis)
     rep = P()
     out_ys = P(None, axis) if readout is not None else rep
+    # conn_aux and plast_pair are NOT donated: chunked runs reuse them
     mapped = shard_map(
         body, mesh=mesh,
-        in_specs=(stage, stage, stage, stage, rep, rep),
+        in_specs=(stage, stage, stage, stage, stage, rep, rep),
         out_specs=(stage, stage, stage, out_ys))
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 
@@ -341,38 +347,63 @@ def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
     graph_kind, graph_static, garrs = _stack_graphs(lattices, mesh, axis)
     states = _stack_state(lattices, mesh, axis)
     conn = _stack_connections(net, order, lattices, mesh, axis)
+    conn_w = conn.pop("w")
+    conn_aux = conn  # mask + in_deg: NOT donated, reused across chunks
     plast_pair = jax.device_put(
         np.array([[float(bool(l.do_plasticity)),
                    float(bool(lattices[k - 1].do_plasticity)) if k else 0.0]
                   for k, l in enumerate(lattices)], np.float32),
         NamedSharding(mesh, P(axis, None)))
-
-    runner = _build_pipeline_runner(
-        mesh, axis, model, graph_kind, graph_static,
-        bool(net.electrical_synapse), bool(net.chemical_synapse),
-        type(plasticity), any_plast, skip_nt, hist_sig, shape0, S,
-        int(iterations),
-        resolve_unroll(getattr(net, "scan_unroll", None), lattices[0].n))
+    plast_pair.block_until_ready()
     pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
 
-    states, garrs, conn_w, ys = runner(states, garrs, conn, plast_pair,
-                                       jnp.int32(net.internal_clock), pparams)
-    net.internal_clock += iterations
+    # history runs are chunked like run_lattices (core/network.py:619-624):
+    # an unchunked 100k-step grid-history scan would materialize the whole
+    # (T, S, rows, cols) ys buffer on device
+    chunk_len = net.history_chunk if hist_sig is not None else int(iterations)
+    remaining = int(iterations)
+    hist_parts = []
+    while remaining > 0:
+        length = min(remaining, chunk_len)
+        runner = _build_pipeline_runner(
+            mesh, axis, model, graph_kind, graph_static,
+            bool(net.electrical_synapse), bool(net.chemical_synapse),
+            type(plasticity), any_plast, skip_nt, hist_sig, shape0, S,
+            length,
+            resolve_unroll(getattr(net, "scan_unroll", None), lattices[0].n))
+        states, garrs, conn_w, ys = runner(
+            states, garrs, conn_w, conn_aux, plast_pair,
+            jnp.int32(net.internal_clock), pparams)
+        net.internal_clock += length
+        remaining -= length
+        if hist_sig is not None:
+            hist_parts.append(np.asarray(ys))
 
-    # ---- write back per stage (mirrors core/structured.run_structured) ----
+    # ---- write back per stage (mirrors core/structured.run_structured);
+    # transfers go through sequential synced puts (utils/transfer — batched
+    # multi-leaf puts poison the tunneled TPU relay, see CLAUDE.md) ----
+    from ..utils.transfer import device_put_bool, device_put_state
     host_state = {k: np.asarray(v) for k, v in states.items()}
     host_g = {k: np.asarray(v) for k, v in garrs.items()}
     host_cw = np.asarray(conn_w)
+
+    def _put(a):
+        if a.dtype == np.bool_:
+            return device_put_bool(a)
+        out = jax.device_put(a)
+        out.block_until_ready()
+        return out
+
     for s_idx, lat in enumerate(lattices):
-        lat.state = {k: jnp.asarray(v[s_idx]) for k, v in host_state.items()}
+        lat.state = device_put_state(
+            {k: v[s_idx] for k, v in host_state.items()})
         if graph_kind == "stencil":
             lat.graph = StencilGraph(
-                graph_static, jnp.asarray(host_g["weights"][s_idx]),
-                jnp.asarray(host_g["mask"][s_idx]),
-                jnp.asarray(host_g["in_deg"][s_idx]))
+                graph_static, _put(host_g["weights"][s_idx]),
+                _put(host_g["mask"][s_idx]), _put(host_g["in_deg"][s_idx]))
         else:
-            lat.graph = DenseGraph(jnp.asarray(host_g["weights"][s_idx]),
-                                   jnp.asarray(host_g["mask"][s_idx]))
+            lat.graph = DenseGraph(_put(host_g["weights"][s_idx]),
+                                   _put(host_g["mask"][s_idx]))
         lat.internal_clock = net.internal_clock
     for s_idx in range(1, S):
         key = (order[s_idx - 1], order[s_idx])
@@ -382,7 +413,7 @@ def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
         net.connections[key] = (src, dst, host_cw[s_idx][np.asarray(dst)])
     net._conn_version += 1  # weights may have moved: invalidate cached plans
     if hist_sig is not None:
-        hist = np.asarray(ys)  # (T, S, rows, cols) or (T, S, ...)
+        hist = np.concatenate(hist_parts)  # (T, S, rows, cols)
         for s_idx, lat in enumerate(lattices):
             lat.grid_history.extend(hist[:, s_idx])
     return net

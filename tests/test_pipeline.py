@@ -137,3 +137,38 @@ def test_pipeline_clock_and_repeat_runs():
     run_pipelined(net, 60, mesh=mesh)
     assert net.internal_clock == 120
     assert net.get_lattice(0).internal_clock == 120
+
+
+def test_pipeline_chunked_history_matches_unchunked():
+    """History runs are chunked at net.history_chunk like run_lattices;
+    chunk boundaries must be seamless (same trajectory, concatenated
+    history)."""
+    a = _chain(stages=2, seed=13, history=True)
+    b = _chain(stages=2, seed=13, history=True)
+    b.history_chunk = 16  # force 4 chunks of a 50-step run
+    mesh = _mesh(2)
+    run_pipelined(a, 50, mesh=mesh)
+    run_pipelined(b, 50, mesh=mesh)
+    assert b.internal_clock == 50
+    for k in range(2):
+        ha = np.stack(a.get_lattice(k).grid_history.history)
+        hb = np.stack(b.get_lattice(k).grid_history.history)
+        assert hb.shape == (50, 8, 8)
+        np.testing.assert_allclose(ha, hb, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a.get_lattice(k).state["v"]),
+            np.asarray(b.get_lattice(k).state["v"]), rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_rejects_reward_networks():
+    """Reward-modulated machinery must be rejected, not silently dropped."""
+    rnet = snn.RewardModulatedLatticeNetwork()
+    for k in range(2):
+        lat = snn.Lattice(snn.Izhikevich(), id=k)
+        lat.populate(4, 4, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.0, seed=k)
+        rnet.add_lattice(lat)
+    rnet.connect_with_reward_modulation(0, 1, lambda a_, b_: a_ == b_,
+                                        lambda a_, b_: 1.0)
+    with pytest.raises(LatticeNetworkError):
+        run_pipelined(rnet, 10, mesh=_mesh(2))
