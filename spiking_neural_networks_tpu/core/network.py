@@ -397,28 +397,63 @@ class LatticeNetwork:
             raise LatticeNetworkError(f"position {pos} not in lattice {lid}")
         return lid, r * lat.cols + c
 
+    def _any_lattice(self, lid):
+        """Neuron lattice by id, including reward-modulated ones."""
+        lat = self.lattices.get(lid) \
+            or getattr(self, "reward_modulated_lattices", {}).get(lid)
+        if lat is None:
+            raise LatticeNetworkError(f"unknown neuron lattice id {lid}")
+        return lat
+
     def lookup_weight(self, presynaptic, postsynaptic):
         """Weight of a connecting edge between two lattices, or None.
-        Same-lattice queries delegate to that lattice's graph."""
+        Same-lattice queries delegate to that lattice's graph; reward-
+        modulated connecting edges report their weight too."""
         pre_id, src = self._node_of(presynaptic)
         post_id, dst = self._node_of(postsynaptic)
         if pre_id == post_id:
-            return self.lattices[pre_id].graph.lookup_weight(src, dst)
+            return self._any_lattice(pre_id).graph.lookup_weight(src, dst)
         conn = self.connections.get((pre_id, post_id))
-        if conn is None:
-            return None
-        hits = np.nonzero((conn[0] == src) & (conn[1] == dst))[0]
-        return float(conn[2][hits[0]]) if len(hits) else None
+        if conn is not None:
+            hits = np.nonzero((conn[0] == src) & (conn[1] == dst))[0]
+            if len(hits):
+                return float(conn[2][hits[0]])
+        rconn = getattr(self, "reward_connections", {}) \
+            .get((pre_id, post_id))
+        if rconn is not None:
+            hits = np.nonzero((rconn[0] == src) & (rconn[1] == dst))[0]
+            if len(hits):
+                return float(rconn[2][hits[0]])
+        return None
 
     def edit_weight(self, presynaptic, postsynaptic, weight):
-        """Set (or with None: remove) one connecting edge."""
+        """Set (or with None: remove) one connecting edge.  An edge that
+        exists as a reward-modulated connection is edited IN PLACE there
+        (adding a duplicate plain edge would deliver the synapse twice)."""
         pre_id, src = self._node_of(presynaptic)
         post_id, dst = self._node_of(postsynaptic)
         if pre_id == post_id:
-            lat = self.lattices[pre_id]
+            lat = self._any_lattice(pre_id)
             lat.graph = lat.graph.edit_weight(src, dst, weight)
             self._conn_version += 1
             return
+        rconns = getattr(self, "reward_connections", {})
+        rconn = rconns.get((pre_id, post_id))
+        if rconn is not None:
+            s, d, w = rconn[0], rconn[1], rconn[2]
+            hits = np.nonzero((s == src) & (d == dst))[0]
+            if len(hits):
+                if weight is None:
+                    keep = np.ones(len(s), bool)
+                    keep[hits[0]] = False
+                    rconns[(pre_id, post_id)] = tuple(
+                        a[keep] for a in rconn)
+                else:
+                    w = np.asarray(w).copy()
+                    w[hits[0]] = weight
+                    rconns[(pre_id, post_id)] = (s, d, w) + tuple(rconn[3:])
+                self._conn_version += 1
+                return
         s, d, w = self.connections.get((pre_id, post_id),
                                        (np.zeros(0, np.int64),
                                         np.zeros(0, np.int64),
@@ -445,11 +480,15 @@ class LatticeNetwork:
         own lattice graph (`get_all_input_positions`, neuron/mod.rs:2086)."""
         post_id, dst = self._node_of(pos)
         out = set()
-        lat = self.lattices.get(post_id)
+        lat = self.lattices.get(post_id) \
+            or getattr(self, "reward_modulated_lattices", {}).get(post_id)
         if lat is not None and lat.graph is not None:
             for i in lat.graph.get_incoming_connections(dst):
                 out.add((post_id, (i // lat.cols, i % lat.cols)))
-        for (pre_id, pid), (s, d, w) in self.connections.items():
+        reward_items = [(k, v[:3]) for k, v in
+                        getattr(self, "reward_connections", {}).items()]
+        for (pre_id, pid), (s, d, w) in \
+                list(self.connections.items()) + reward_items:
             if pid != post_id:
                 continue
             pre = self.lattices.get(pre_id) \
@@ -704,7 +743,7 @@ class LatticeNetwork:
                     else self.spike_train_lattices[i].grid_history)
             hist.extend(ys[key_id])
         if self.update_connecting_graph_history:
-            self.connecting_graph_history.extend(np.asarray(ys["__w__"]))
+            self.connecting_graph_history.extend(np.asarray(ys[("__w__", -1)]))
         for (i, start, count) in ghist:
             lat = self.lattices[i]
             for entry in plan["provenance"]:
@@ -868,7 +907,7 @@ def _build_network_runner(neuron_model, st_model, electrical, chemical,
                   if k in ("v", "is_spiking")}
             ys[key_id] = h.readout(sl, shape)
         if w_history:
-            ys["__w__"] = w[src, dst] if dense else w
+            ys[("__w__", -1)] = w[src, dst] if dense else w
         for (i, start, count) in ghist:
             if dense:
                 ys[("gw", i)] = w[src[start:start + count],

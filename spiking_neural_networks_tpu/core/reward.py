@@ -154,12 +154,41 @@ class RewardModulatedLattice:
                                         self._flat(postsynaptic))
 
     def edit_weight(self, presynaptic, postsynaptic, weight):
-        """Edit one synapse; trace planes are zero-padded if the edit grows
-        the graph's structure (new stencil offset plane)."""
+        """Edit one synapse, carrying the eligibility traces with it.
+
+        Stencil/dense layouts are positional: grown structure (a new
+        stencil offset plane) is zero-padded at the end.  A COO SparseGraph
+        re-sorts its edge list on edit, so traces are REMAPPED by (src,
+        dst) pair — removed edges drop their trace, added edges start at
+        zero (the positional zero-pad used before silently attached every
+        trace to the wrong synapse after a re-sort)."""
+        old_graph = self.graph
         self.graph = self.graph.edit_weight(self._flat(presynaptic),
                                             self._flat(postsynaptic), weight)
+        if self.trace is None:
+            return
+        if isinstance(self.graph, SparseGraph):
+            old_pos = {}
+            if isinstance(old_graph, SparseGraph):
+                old_src = np.asarray(old_graph.src)
+                old_dst = np.asarray(old_graph.dst)
+                old_pos = {(int(s), int(d)): k
+                           for k, (s, d) in enumerate(zip(old_src, old_dst))}
+            new_src = np.asarray(self.graph.src)
+            new_dst = np.asarray(self.graph.dst)
+            new = {}
+            for key, v in self.trace.items():
+                host = np.asarray(v)
+                out = np.zeros(len(new_src), host.dtype)
+                for k, (s, d) in enumerate(zip(new_src, new_dst)):
+                    idx = old_pos.get((int(s), int(d)))
+                    if idx is not None and idx < len(host):
+                        out[k] = host[idx]
+                new[key] = jnp.asarray(out)
+            self.trace = new
+            return
         shape = self.graph.weights.shape
-        if self.trace is not None and self.trace["c"].shape != shape:
+        if self.trace["c"].shape != shape:
             new = {}
             for k, v in self.trace.items():
                 grown = jnp.zeros(shape, v.dtype)
@@ -207,8 +236,19 @@ class RewardModulatedLattice:
     def _run(self, rewards, with_reward):
         if not self.electrical_synapse and not self.chemical_synapse:
             return
-        iterations = rewards.shape[0]
+        iterations = int(rewards.shape[0])
         if iterations == 0:
+            return
+        # chunk history runs like Lattice.run_lattice — an unchunked
+        # update_graph_history scan would stack per-step full weight
+        # arrays for the whole run on device
+        any_hist = self.update_grid_history or self.update_graph_history
+        if any_hist and iterations > self.history_chunk:
+            off = 0
+            while off < iterations:
+                length = min(self.history_chunk, iterations - off)
+                self._run(rewards[off:off + length], with_reward)
+                off += length
             return
         runner = _build_reward_runner(
             self.model, type(self.graph), self.electrical_synapse,

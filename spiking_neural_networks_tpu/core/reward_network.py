@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from ..models.base import get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
 from .lattice import _freeze, _mask_any, resolve_unroll
-from .network import LatticeNetwork, _graph_to_coo, _write_back_graph
+from .network import (LatticeNetwork, _edge_history_to_layout,
+                      _graph_to_coo, _write_back_graph)
 from .plasticity import STDP, RewardModulatedSTDP
 from .reward import RewardModulatedLattice, rstdp_visit, stdp_delta_arrays
 
@@ -264,12 +265,30 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             return
         rewards = jnp.broadcast_to(jnp.asarray(reward, jnp.float32),
                                    (iterations,))
+        merged = self._neuron_lattices()
+        any_hist = any(l.update_grid_history
+                       or getattr(l, "update_graph_history", False)
+                       for l in merged.values()) \
+            or any(s.update_grid_history
+                   for s in self.spike_train_lattices.values()) \
+            or self.update_connecting_graph_history
+        chunk = self.history_chunk if any_hist else int(iterations)
         if self.structured and self._structured_supported():
             from .reward_structured import run_structured_reward
-            run_structured_reward(self, rewards, with_reward)
+            off = 0
+            while off < iterations:
+                length = min(chunk, iterations - off)
+                run_structured_reward(self, rewards[off:off + length],
+                                      with_reward)
+                off += length
             return
         plan = self._compile()
-        plan = self._run_reward_chunk(plan, rewards, with_reward)
+        off = 0
+        while off < iterations:
+            length = min(chunk, iterations - off)
+            plan = self._run_reward_chunk(plan, rewards[off:off + length],
+                                          with_reward)
+            off += length
         self._write_back_reward(plan)
 
     def _run_reward_chunk(self, plan, rewards, with_reward):
@@ -284,6 +303,16 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
         plasticity = self._plasticity()
         skip_nt = not bool(_mask_any(plan["nstate"]["nt$mask"]))
         hist_sig = self._history_signature(plan)
+        # per-lattice graph (weight) histories, incl. reward-modulated
+        # lattices (mirrors network.py ghist wiring)
+        ghist = []
+        goffset = 0
+        for entry in plan["provenance"]:
+            kind_, owner_, count_, prov_, src_, dst_ = entry
+            if kind_ == "intra" and getattr(
+                    merged[owner_], "update_graph_history", False):
+                ghist.append((owner_, goffset, count_))
+            goffset += count_
 
         runner = _build_reward_network_runner(
             neuron_model, st_model, self.electrical_synapse,
@@ -291,7 +320,8 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             hist_sig, plan["n_neurons"], plan["n_total"], skip_nt,
             with_reward, int(rewards.shape[0]),
             self.update_connecting_graph_history,
-            resolve_unroll(self.scan_unroll, plan["n_total"]))
+            resolve_unroll(self.scan_unroll, plan["n_total"]),
+            tuple(ghist))
 
         pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
         rparams = {k: jnp.float32(v)
@@ -316,7 +346,15 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
                     else self.spike_train_lattices[i].grid_history)
             hist.extend(ys[key_id])
         if self.update_connecting_graph_history:
-            self.connecting_graph_history.extend(np.asarray(ys["__w__"]))
+            self.connecting_graph_history.extend(np.asarray(ys[("__w__", -1)]))
+        for (i, start, count) in ghist:
+            lat = merged[i]
+            for entry in plan["provenance"]:
+                if entry[0] == "intra" and entry[1] == i:
+                    _, _, _, prov_, src_, dst_ = entry
+                    break
+            lat.graph_history.extend(_edge_history_to_layout(
+                lat.graph, prov_, src_, dst_, np.asarray(ys[("gw", i)])))
         return plan
 
     def _history_signature(self, plan):
@@ -364,6 +402,10 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
                 c[pos:pos + count].copy(), dw[pos:pos + count].copy(),
                 ct[pos:pos + count].copy())
             pos += count
+        # reward_connections moved: the cached structured reward plan holds
+        # device copies keyed on _conn_version and must be invalidated
+        # (CLAUDE.md convention)
+        self._conn_version += 1
 
 
 def _trace_to_edges(lattice, src, dst):
@@ -410,7 +452,8 @@ def _edges_to_trace(lattice, src, dst, c, dw, ct):
 def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
                                  do_plasticity, plasticity_cls, history_sig,
                                  n_neurons, n_total, skip_nt, with_reward,
-                                 length, w_history=False, unroll=1):
+                                 length, w_history=False, unroll=1,
+                                 ghist=()):
     from .history import HISTORY_KINDS
 
     readouts = []
@@ -552,7 +595,9 @@ def _build_reward_network_runner(neuron_model, st_model, electrical, chemical,
                   if k in ("v", "is_spiking")}
             ys[key_id] = h.readout(sl, shape)
         if w_history:
-            ys["__w__"] = w
+            ys[("__w__", -1)] = w
+        for (i, start, count) in ghist:
+            ys[("gw", i)] = jax.lax.slice_in_dim(w, start, start + count)
         return (nstate, st_state, w, trace, dopamine, key, clock), ys
 
     def run(nstate, st_state, w, trace, dopamine, key, clock, rewards,

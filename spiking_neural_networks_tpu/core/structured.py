@@ -212,6 +212,13 @@ def _detect_resample(src, dst, n_pre, n_post, pre_shape, post_shape,
     taps = np.unique(np.stack([dr, dc], axis=1), axis=0)
     if len(taps) > max_taps:
         return None
+    # profitability: the plane stack touches n_taps * n_post entries per
+    # gathered field every step; scattered edge sets that technically fit a
+    # tap decomposition (e.g. a few random edges between same-size grids)
+    # would pay that full-plane traffic for almost-empty planes — cap the
+    # plane-to-edge blowup instead of silently regressing vs padded/dense
+    if len(taps) * n_post > 64 * len(src):
+        return None
     return fr, fc, taps, dr, dc
 
 

@@ -21,6 +21,7 @@ from enum import IntEnum
 import numpy as np
 import jax.numpy as jnp
 
+from .errors import LatticeNetworkError
 from .models.dopa import DopaIzhikevich
 from .models import spike_train as st_models
 from .core.lattice import Lattice as _Lattice
@@ -844,9 +845,21 @@ class IzhikevichNeuronNetwork:
 
     def set_lattice(self, id, lattice):
         """Replace the lattice registered under `id`
-        (lattices/mod.rs:1132-1140)."""
+        (lattices/mod.rs:1132-1140).  Same validation as add_lattice:
+        one shared neuron-model config, and dimensions must match when
+        existing connections reference the old flat indices."""
         if id not in self._lattices:
             raise KeyError("Id not found")
+        old = self._inner.lattices[id]
+        others = [l for i, l in self._inner.lattices.items() if i != id]
+        if others and others[0].model != lattice._inner.model:
+            raise LatticeNetworkError(
+                "all lattices must share one neuron model config")
+        if (lattice._inner.rows, lattice._inner.cols) != (old.rows, old.cols) \
+                and any(id in key for key in self._inner.connections):
+            raise LatticeNetworkError(
+                "replacement lattice dimensions must match while "
+                "connections reference the old one")
         inner = copy.deepcopy(lattice._inner)
         inner.id = id
         inner.in_network = True

@@ -1,0 +1,118 @@
+"""Regressions for review findings on the reward/per-edge paths."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import spiking_neural_networks_tpu as snn
+
+
+def test_sparse_trace_follows_edges_on_edit():
+    """SparseGraph edits re-sort the COO edge list; eligibility traces must
+    follow their (src, dst) pair (were positionally misaligned)."""
+    lat = snn.RewardModulatedLattice(snn.Izhikevich())
+    lat.populate(2, 2, gap_conductance=10.0)
+    # three edges in a known order
+    for k, (pre, post) in enumerate([((0, 1), (0, 0)), ((1, 0), (0, 1)),
+                                     ((1, 1), (1, 0))]):
+        lat.edit_weight(pre, post, 1.0 + k)
+    # hand-write distinguishable traces per edge
+    lat.trace = dict(
+        c=jnp.asarray(np.array([10.0, 20.0, 30.0], np.float32)),
+        dw=jnp.asarray(np.array([1.0, 2.0, 3.0], np.float32)),
+        counter=jnp.zeros(3, jnp.int32))
+    src0 = np.asarray(lat.graph.src).copy()
+    dst0 = np.asarray(lat.graph.dst).copy()
+    c_by_edge = {(int(s), int(d)): float(c)
+                 for s, d, c in zip(src0, dst0, np.asarray(lat.trace["c"]))}
+    # add an edge that sorts BEFORE the existing ones
+    lat.edit_weight((0, 0), (1, 1), 9.0)
+    for s, d, c in zip(np.asarray(lat.graph.src), np.asarray(lat.graph.dst),
+                       np.asarray(lat.trace["c"])):
+        expected = c_by_edge.get((int(s), int(d)), 0.0)
+        assert float(c) == expected, (int(s), int(d), float(c), expected)
+    # remove an edge: no crash, and the remaining traces still line up
+    lat.edit_weight((0, 1), (0, 0), None)
+    for s, d, c in zip(np.asarray(lat.graph.src), np.asarray(lat.graph.dst),
+                       np.asarray(lat.trace["c"])):
+        expected = c_by_edge.get((int(s), int(d)), 0.0)
+        assert float(c) == expected
+
+
+def _reward_net():
+    rlat = snn.RewardModulatedLattice(snn.Izhikevich(), id=0)
+    rlat.populate(2, 2, gap_conductance=10.0)
+    rlat.connect_stencil(radius=1.0, seed=1)
+    plain = snn.Lattice(snn.Izhikevich(), id=1)
+    plain.populate(2, 2, gap_conductance=10.0)
+    plain.connect_stencil(radius=1.0, seed=2)
+    net = snn.RewardModulatedLatticeNetwork()
+    net.add_lattice(rlat)
+    net.add_lattice(plain)
+    net.connect_with_reward_modulation(1, 0, lambda a, b: a == b,
+                                       lambda a, b: 1.5)
+    return net
+
+
+def test_network_per_edge_api_covers_reward_edges():
+    """lookup_weight sees reward-modulated connecting edges; edit_weight
+    edits them in place (was silently adding a duplicate plain edge)."""
+    net = _reward_net()
+    assert net.lookup_weight((1, (0, 0)), (0, (0, 0))) == 1.5
+    net.edit_weight((1, (0, 0)), (0, (0, 0)), 7.0)
+    assert net.lookup_weight((1, (0, 0)), (0, (0, 0))) == 7.0
+    assert (1, 0) not in net.connections, "duplicate plain edge created"
+    assert float(net.reward_connections[(1, 0)][2][0]) == 7.0 or \
+        7.0 in [float(x) for x in net.reward_connections[(1, 0)][2]]
+    # incoming connections include the reward edge and the intra edges of
+    # the reward lattice itself
+    incoming = net.get_incoming_connections((0, (0, 1)))
+    assert (1, (0, 1)) in incoming
+    assert any(lid == 0 for lid, _ in incoming), "intra edges missing"
+    # same-lattice query on the reward lattice does not crash
+    w = net.lookup_weight((0, (0, 0)), (0, (0, 1)))
+    assert w is None or isinstance(w, float)
+
+
+def test_flat_reward_path_records_graph_history_and_bumps_version():
+    """The flat fallback (forced via update_connecting_graph_history) must
+    record per-lattice graph histories and invalidate the cached
+    structured plan on write-back."""
+    net = _reward_net()
+    plain = net.get_lattice(1)
+    plain.do_plasticity = True
+    plain.update_graph_history = True
+    rng = np.random.default_rng(0)
+    v0 = rng.uniform(-65, 40, 4).astype(np.float32)
+    plain.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+    net.update_connecting_graph_history = True  # forces the flat path
+    v_before = net._conn_version
+    net.run_lattices_with_reward(0.5, 5)
+    assert len(plain.graph_history) == 5, "flat path dropped graph history"
+    assert len(net.connecting_graph_history) == 5
+    assert net._conn_version > v_before, \
+        "flat write-back did not invalidate the structured plan cache"
+
+
+def test_reward_lattice_chunked_history():
+    """Reward-lattice history runs are chunked at history_chunk with a
+    seamless trajectory."""
+    def build():
+        lat = snn.RewardModulatedLattice(snn.Izhikevich())
+        lat.populate(4, 4, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.0, seed=3)
+        lat.update_grid_history = True
+        v0 = np.random.default_rng(1).uniform(-65, 40, 16).astype(np.float32)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+        return lat
+
+    a = build()
+    b = build()
+    b.history_chunk = 7
+    a.run_lattice_with_reward(0.3, 30)
+    b.run_lattice_with_reward(0.3, 30)
+    ha = np.stack(a.grid_history.history)
+    hb = np.stack(b.grid_history.history)
+    assert ha.shape == hb.shape == (30, 4, 4)
+    np.testing.assert_array_equal(ha, hb)
+    np.testing.assert_array_equal(np.asarray(a.state["v"]),
+                                  np.asarray(b.state["v"]))
