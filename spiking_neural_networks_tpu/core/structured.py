@@ -55,8 +55,8 @@ class OneToOne:
         self.dst_host = dst
         wv = np.zeros(n, np.float32)
         mv = np.zeros(n, bool)
-        wv[dst] = w
-        mv[dst] = True
+        np.add.at(wv, dst, w)   # duplicate (src, dst) edges sum, like the
+        mv[dst] = True          # flat runner's segment_sum
         self.w0 = jnp.asarray(wv)
         from ..utils.transfer import device_put_bool
         self.aux = dict(mask=device_put_bool(mv),
@@ -72,6 +72,24 @@ class OneToOne:
         return jnp.asarray(out)
 
 
+class EmptyBlock:
+    """A connection with no edges: zero contribution, O(n_post) state.
+    (The dense fallback would allocate (n_pre, n_post) — 256 GiB for an
+    empty predicate between two 512x512 lattices.)"""
+
+    kind = "empty"
+
+    def __init__(self, n_post):
+        self.w0 = jnp.zeros((0,), jnp.float32)
+        self.aux = dict(in_deg=jnp.zeros((n_post,), jnp.float32))
+
+    def extract(self, w):
+        return np.zeros(0, np.float32)
+
+    def place(self, vals, dtype=np.float32):
+        return jnp.zeros((0,), dtype)
+
+
 class DenseBlock:
     """Small irregular connection as a dense (n_pre, n_post) block."""
 
@@ -80,7 +98,7 @@ class DenseBlock:
     def __init__(self, src, dst, w, n_pre, n_post):
         wv = np.zeros((n_pre, n_post), np.float32)
         mv = np.zeros((n_pre, n_post), bool)
-        wv[src, dst] = w
+        np.add.at(wv, (src, dst), w)  # duplicates sum (flat segment_sum)
         mv[src, dst] = True
         self.src_host, self.dst_host = src, dst
         self.w0 = jnp.asarray(wv)
@@ -165,7 +183,7 @@ class ResampleBlock:
         ti = np.array([tap_index[(int(a), int(b))] for a, b in zip(dr, dc)])
         wv = np.zeros((n_taps, R2, C2), np.float32)
         mv = np.zeros((n_taps, R2, C2), bool)
-        wv[ti, tr, tc] = w
+        np.add.at(wv, (ti, tr, tc), w)  # duplicates sum (flat segment_sum)
         mv[ti, tr, tc] = True
         self._edge_idx = (ti, tr, tc)
         self.w0 = jnp.asarray(wv)
@@ -270,8 +288,9 @@ DENSE_MAX_ENTRIES = 32 * 1024 * 1024     # static blocks: dense up to 128MB
 
 def classify_connection(src, dst, w, n_pre, n_post, plastic=True,
                         pre_shape=None, post_shape=None):
-    if len(src) and len(src) <= n_post and n_pre == n_post \
-            and (src == dst).all():
+    if len(src) == 0:
+        return EmptyBlock(n_post)
+    if len(src) <= n_post and n_pre == n_post and (src == dst).all():
         return OneToOne(src, dst, w, n_post)
     res = _detect_resample(src, dst, n_pre, n_post, pre_shape, post_shape)
     if res is not None:
@@ -291,12 +310,18 @@ def classify_connection(src, dst, w, n_pre, n_post, plastic=True,
         threshold = PADDED_MIN_ENTRIES if plastic else DENSE_MAX_ENTRIES
         if counts.max() <= PaddedBlock.MAX_K and n_pre * n_post > threshold:
             return PaddedBlock(src, dst, w, n_pre, n_post)
+        if n_pre * n_post > DENSE_MAX_ENTRIES:
+            # a dense block here would be gigabytes; the padded layout is
+            # bounded at (n_post, max in-degree) regardless of MAX_K
+            return PaddedBlock(src, dst, w, n_pre, n_post)
     return DenseBlock(src, dst, w, n_pre, n_post)
 
 
 # kind-dispatched device-side connection ops (aux is a dynamic pytree)
 
 def _conn_gather(kind, aux, w, a_src, sub_src, v_post):
+    if kind == "empty":
+        return jnp.zeros_like(v_post)
     if kind == "one2one":
         return jnp.where(aux["mask"], w * (a_src - sub_src * v_post), 0.0)
     if isinstance(kind, tuple):  # ("resample", *static)
@@ -318,6 +343,10 @@ def _conn_gather(kind, aux, w, a_src, sub_src, v_post):
 
 
 def _conn_gather_chemical(kind, aux, w, t_src, m_src):
+    if kind == "empty":
+        n_post = aux["in_deg"].shape[0]
+        z = jnp.zeros((n_post, t_src.shape[-1]), jnp.float32)
+        return z, z
     if kind == "one2one":
         sums = jnp.where(aux["mask"][:, None],
                          w[:, None] * t_src * m_src, 0.0)
@@ -381,6 +410,8 @@ def _edge_layout(kind, aux, pre_vals, post_vals):
 
 
 def _conn_edge_update(kind, aux, w, delta_fn, pre_vals, post_vals):
+    if kind == "empty":
+        return w
     pre, post = _edge_layout(kind, aux, pre_vals, post_vals)
     dw = delta_fn(w, pre, post)
     return jnp.where(aux["mask"], w + dw, w)
@@ -527,7 +558,7 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
                    for s in st_states] if st_states else []
 
         # ---- Phase A: per-lattice summed structured contributions ----
-        inputs, counts = [], []
+        inputs = []
         chem_sums, chem_cnts = [], []
         for k, i in enumerate(lat_ids):
             s = states[k]
@@ -579,7 +610,6 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
 
             inputs.append(s["gap_conductance"] * total / jnp.maximum(cnt, 1.0)
                           if electrical else jnp.zeros_like(s["v"]))
-            counts.append(cnt)
             if chemical:
                 chem_sums.append(csum)
                 chem_cnts.append(ccnt)
@@ -609,11 +639,13 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
                     continue
                 if pre_is_st:
                     src_state = st_states[st_index[pre_id]]
-                    pre_spk = src_state["is_spiking"]
                 else:
                     src_state = states[lat_index[pre_id]]
-                    pre_spk = spikes_list[lat_index[pre_id]]
-                pre_vals = {key_: src_state[key_]
+                # spike-train states lack some plasticity node fields
+                # (e.g. BCM's current_activity): zero-pad like the flat
+                # runner's node_vals (network.py)
+                zero = jnp.zeros_like(src_state["v"])
+                pre_vals = {key_: src_state.get(key_, zero)
                             for key_ in plasticity_cls.NODE_KEYS}
                 post_vals = {key_: states[post_k][key_]
                              for key_ in plasticity_cls.NODE_KEYS}

@@ -266,9 +266,10 @@ def run_static_input(model, state, input_current, iterations, key=None,
     (integrate_and_fire/mod.rs:40-58): iterate with a constant current,
     return the (iterations, N) voltage history. Python loop variant for tests;
     production paths use `lax.scan` via the Lattice runner."""
-    import jax
     from ..utils.distribution import limited_distr
 
+    if gaussian is not None and key is None:
+        key = jax.random.PRNGKey(0)
     voltages = []
     for it in range(iterations):
         i = input_current

@@ -151,7 +151,8 @@ class DenseGraph:
         else:
             weights[src, dst] = w
             mask[src, dst] = True
-        return DenseGraph(jnp.asarray(weights), jnp.asarray(mask))
+        from ..utils.transfer import device_put_bool
+        return DenseGraph(jnp.asarray(weights), device_put_bool(mask))
 
     def get_incoming_connections(self, dst):
         _check_node(self, dst, self.n_post)
@@ -621,7 +622,8 @@ def connect_dense(rows, cols, connecting_conditional, weight_logic=None):
             if connecting_conditional(pi, pj):
                 mask[i, j] = True
                 w[i, j] = 1.0 if weight_logic is None else weight_logic(pi, pj)
-    return DenseGraph(jnp.asarray(w), jnp.asarray(mask))
+    from ..utils.transfer import device_put_bool
+    return DenseGraph(jnp.asarray(w), device_put_bool(mask))
 
 
 def dense_to_sparse(graph):
@@ -659,8 +661,9 @@ def dense_to_stencil(graph, rows, cols, max_offsets=128):
     o_idx = np.array([index[(int(a), int(b))] for a, b in zip(dr, dc)])
     wp[o_idx, dst // cols, dst % cols] = w[src, dst]
     mp[o_idx, dst // cols, dst % cols] = True
+    from ..utils.transfer import device_put_bool
     return StencilGraph(tuple(map(tuple, offsets)), jnp.asarray(wp),
-                        jnp.asarray(mp))
+                        device_put_bool(mp))
 
 
 def sparse_radius_graph(rows, cols, radius, keep_prob=1.0, seed=0,
@@ -674,8 +677,27 @@ def sparse_radius_graph(rows, cols, radius, keep_prob=1.0, seed=0,
         src, dst, w = _native.radius_edges(rows, cols, radius, keep_prob,
                                            seed, weight_mode, wparam0, wparam1)
         return SparseGraph.from_arrays(src, dst, w, n)
+    rng = np.random.default_rng(seed + 1)
+
+    def weight_fn(dr, dc, rr, cc):
+        # mirrors _native/graphlib.cpp edge_weight (values, not RNG bits;
+        # uniform_random draws are statistical like the Poisson paths)
+        dist = float(np.hypot(dr, dc))
+        if weight_mode == "distance":
+            v = dist * wparam0
+        elif weight_mode == "inv_distance":
+            v = wparam0 / dist if dist > 0 else wparam0
+        elif weight_mode == "gaussian":
+            v = wparam1 * np.exp(-dist * dist / (2.0 * wparam0 * wparam0))
+        elif weight_mode == "uniform_random":
+            return rng.uniform(wparam0, wparam1, rr.shape).astype(np.float32)
+        else:
+            v = wparam0
+        return np.full(rr.shape, v, np.float32)
+
     g = StencilGraph.build(rows, cols, radius_offsets(radius),
-                           keep_prob=keep_prob, seed=seed)
+                           weight_fn=weight_fn, keep_prob=keep_prob,
+                           seed=seed)
     return dense_to_sparse_from_stencil(g)
 
 
