@@ -46,11 +46,12 @@ from ..ops.graph import DenseGraph, SparseGraph, StencilGraph
 
 
 def make_lattice_mesh(n_devices=None, devices=None, axis="tp"):
-    """A 1-D mesh over the neuron/row axis."""
+    """A 1-D mesh over the neuron/row axis.  Raises when fewer devices
+    exist than requested — pass ``devices=jax.devices("cpu")`` explicitly
+    for a virtual CPU mesh (a silent CPU substitution would make a "TPU"
+    benchmark transparently run on host)."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None and len(devices) < n_devices:
-            devices = jax.devices("cpu")
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
@@ -65,16 +66,22 @@ def _put(leaf, sharding):
     return out
 
 
-def state_spec(mesh, n, leaf, axis="tp"):
-    """Row-block sharding for an (N, ...) state leaf; replicate otherwise."""
+def state_spec(mesh, n, leaf, axis="tp", rows=None):
+    """Row-block sharding for an (N, ...) state leaf; replicate otherwise.
+
+    When ``rows`` is given (grid-shaped lattices), the flat shard boundary
+    must coincide with a grid ROW boundary — otherwise the stencil planes
+    stay replicated while the state is sharded mid-row and GSPMD inserts a
+    full reshard every step."""
+    divisible = (rows % mesh.size == 0) if rows else (n % mesh.size == 0)
     if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n \
-            and n % mesh.size == 0:
+            and divisible:
         return NamedSharding(mesh, P(axis, *([None] * (leaf.ndim - 1))))
     return NamedSharding(mesh, P())
 
 
-def shard_state(state, mesh, n, axis="tp"):
-    return {k: _put(v, state_spec(mesh, n, v, axis))
+def shard_state(state, mesh, n, axis="tp", rows=None):
+    return {k: _put(v, state_spec(mesh, n, v, axis, rows))
             for k, v in sorted(state.items())}
 
 
@@ -108,7 +115,8 @@ def shard_lattice(lattice, mesh, axis="tp"):
     mesh.  Call after `populate`/`connect` (those rebuild host-side arrays);
     idempotent and cheap to re-call."""
     if lattice.state is not None:
-        lattice.state = shard_state(lattice.state, mesh, lattice.n, axis)
+        lattice.state = shard_state(lattice.state, mesh, lattice.n, axis,
+                                    rows=lattice.rows or None)
     graph = getattr(lattice, "graph", None)
     if graph is not None:
         lattice.graph = shard_graph(graph, mesh, axis)

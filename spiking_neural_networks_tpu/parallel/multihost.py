@@ -50,6 +50,12 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
         return
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # jax.distributed only reads JAX_COORDINATOR_ADDRESS itself; resolve
+    # the process-count vars here so the docstring's env contract holds
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return  # single host (explicit opt-in only; TPU pod metadata
         # sniffing misfires on single-chip containers)
@@ -74,8 +80,12 @@ def make_hybrid_mesh(dcn_axis="dp", ici_axis="tp", devices=None,
     per_host = len(devices) // n_hosts
     if n_hosts > 1:
         from jax.experimental import mesh_utils
+        # granules are PROCESSES here (n_hosts counts process_index);
+        # the default groups by slice_index, which differs from process
+        # count on pod slices and does not exist on CPU/GPU hosts
         dev = mesh_utils.create_hybrid_device_mesh(
-            (per_host,), (n_hosts,), devices=devices)
+            (per_host,), (n_hosts,), devices=devices,
+            process_is_granule=True)
         dev = np.asarray(dev).reshape(n_hosts, per_host)
     else:
         dev = np.asarray(devices).reshape(1, len(devices))

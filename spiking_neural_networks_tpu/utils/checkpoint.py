@@ -15,6 +15,24 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.graph import DenseGraph, SparseGraph, StencilGraph
+from .transfer import device_put_bool, device_put_state
+
+
+def _npz_path(path):
+    """np.savez appends '.npz' to extensionless paths; normalize so
+    save/load agree on the filename."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _put_arr(a):
+    a = np.asarray(a)
+    if a.dtype == np.bool_:
+        return device_put_bool(a)
+    import jax
+    out = jax.device_put(a)
+    out.block_until_ready()  # sequential synced puts (relay rule)
+    return out
 
 
 def _flatten(prefix, mapping, out):
@@ -47,17 +65,17 @@ def _graph_arrays(graph, prefix, out, meta):
 def _load_graph(prefix, data, meta):
     info = meta[prefix]
     if info["kind"] == "dense":
-        return DenseGraph(jnp.asarray(data[f"{prefix}weights"]),
-                          jnp.asarray(data[f"{prefix}mask"]))
+        return DenseGraph(_put_arr(data[f"{prefix}weights"]),
+                          _put_arr(data[f"{prefix}mask"]))
     if info["kind"] == "sparse":
-        return SparseGraph(jnp.asarray(data[f"{prefix}src"]),
-                           jnp.asarray(data[f"{prefix}dst"]),
-                           jnp.asarray(data[f"{prefix}weights"]),
+        return SparseGraph(_put_arr(data[f"{prefix}src"]),
+                           _put_arr(data[f"{prefix}dst"]),
+                           _put_arr(data[f"{prefix}weights"]),
                            info["n_pre"], info["n_post"])
     if info["kind"] == "stencil":
         return StencilGraph([tuple(o) for o in info["offsets"]],
-                            jnp.asarray(data[f"{prefix}weights"]),
-                            jnp.asarray(data[f"{prefix}mask"]))
+                            _put_arr(data[f"{prefix}weights"]),
+                            _put_arr(data[f"{prefix}mask"]))
     return None
 
 
@@ -77,29 +95,28 @@ def save_lattice(lattice, path):
         meta["dopamine"] = float(lattice.dopamine)
     out["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **out)
+    np.savez_compressed(_npz_path(path), **out)
 
 
 def load_lattice(lattice, path):
     """Restore a checkpoint into an existing lattice object (must have been
     populated with the same model)."""
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     meta = json.loads(bytes(data["__meta__"]).decode())
     lattice.rows, lattice.cols = meta["rows"], meta["cols"]
     lattice.internal_clock = meta["internal_clock"]
     lattice.id = meta["id"]
     if "__key__" in data.files:
         lattice.key = jnp.asarray(data["__key__"])
-    state = {}
-    for k in data.files:
-        if k.startswith("state/"):
-            state[k[len("state/"):]] = jnp.asarray(data[k])
-    lattice.state = state
+    lattice.state = device_put_state(
+        {k[len("state/"):]: data[k] for k in data.files
+         if k.startswith("state/")})
     if "graph/" in meta:
         lattice.graph = _load_graph("graph/", data, meta)
     if any(k.startswith("trace/") for k in data.files):
-        lattice.trace = {k[len("trace/"):]: jnp.asarray(data[k])
-                         for k in data.files if k.startswith("trace/")}
+        lattice.trace = device_put_state(
+            {k[len("trace/"):]: data[k] for k in data.files
+             if k.startswith("trace/")})
         lattice.dopamine = meta["dopamine"]
     return lattice
 
@@ -109,7 +126,26 @@ def save_network(network, path):
     meta = {"internal_clock": network.internal_clock,
             "electrical_synapse": network.electrical_synapse,
             "chemical_synapse": network.chemical_synapse,
-            "lattices": {}, "spike_train_lattices": {}, "connections": []}
+            "lattices": {}, "spike_train_lattices": {}, "connections": [],
+            "reward_lattices": {}, "reward_connections": []}
+    for i, lat in getattr(network, "reward_modulated_lattices", {}).items():
+        p = f"rlat{i}/"
+        meta["reward_lattices"][str(i)] = {
+            "rows": lat.rows, "cols": lat.cols,
+            "internal_clock": lat.internal_clock,
+            "dopamine": float(lat.dopamine)}
+        _flatten(p + "state/", lat.state, out)
+        _graph_arrays(lat.graph, p + "graph/", out, meta)
+        _flatten(p + "trace/", lat.trace, out)
+    for (pre, post), rconn in getattr(network,
+                                      "reward_connections", {}).items():
+        key = f"rconn{pre}_{post}/"
+        meta["reward_connections"].append([pre, post, key])
+        for name, arr in zip(("src", "dst", "w", "c", "dw", "counter"),
+                             rconn):
+            out[key + name] = np.asarray(arr)
+    if hasattr(network, "dopamine"):
+        meta["dopamine"] = float(network.dopamine)
     for i, lat in network.lattices.items():
         p = f"lat{i}/"
         meta["lattices"][str(i)] = {"rows": lat.rows, "cols": lat.cols,
@@ -132,11 +168,11 @@ def save_network(network, path):
     # without it a resumed run cannot reproduce the original trajectory
     out["__key__"] = np.asarray(network.key)
     out["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **out)
+    np.savez_compressed(_npz_path(path), **out)
 
 
 def load_network(network, path):
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     meta = json.loads(bytes(data["__meta__"]).decode())
     network.internal_clock = meta["internal_clock"]
     network.electrical_synapse = meta["electrical_synapse"]
@@ -148,18 +184,39 @@ def load_network(network, path):
         p = f"lat{i_str}/"
         lat.rows, lat.cols = info["rows"], info["cols"]
         lat.internal_clock = info["internal_clock"]
-        lat.state = {k[len(p + "state/"):]: jnp.asarray(data[k])
-                     for k in data.files if k.startswith(p + "state/")}
+        lat.state = device_put_state(
+            {k[len(p + "state/"):]: data[k] for k in data.files
+             if k.startswith(p + "state/")})
         lat.graph = _load_graph(p + "graph/", data, meta)
     for i_str, info in meta["spike_train_lattices"].items():
         st = network.spike_train_lattices[int(i_str)]
         p = f"st{i_str}/"
         st.rows, st.cols = info["rows"], info["cols"]
         st.internal_clock = info["internal_clock"]
-        st.state = {k[len(p + "state/"):]: jnp.asarray(data[k])
-                    for k in data.files if k.startswith(p + "state/")}
+        st.state = device_put_state(
+            {k[len(p + "state/"):]: data[k] for k in data.files
+             if k.startswith(p + "state/")})
     for pre, post, key in meta["connections"]:
         network.connections[(pre, post)] = (
             data[key + "src"], data[key + "dst"], data[key + "w"])
+    for i_str, info in meta.get("reward_lattices", {}).items():
+        lat = network.reward_modulated_lattices[int(i_str)]
+        p = f"rlat{i_str}/"
+        lat.rows, lat.cols = info["rows"], info["cols"]
+        lat.internal_clock = info["internal_clock"]
+        lat.dopamine = info["dopamine"]
+        lat.state = device_put_state(
+            {k[len(p + "state/"):]: data[k] for k in data.files
+             if k.startswith(p + "state/")})
+        lat.graph = _load_graph(p + "graph/", data, meta)
+        lat.trace = device_put_state(
+            {k[len(p + "trace/"):]: data[k] for k in data.files
+             if k.startswith(p + "trace/")})
+    for pre, post, key in meta.get("reward_connections", []):
+        network.reward_connections[(pre, post)] = tuple(
+            data[key + name] for name in ("src", "dst", "w", "c", "dw",
+                                          "counter"))
+    if "dopamine" in meta:
+        network.dopamine = meta["dopamine"]
     network._conn_version = getattr(network, "_conn_version", 0) + 1
     return network

@@ -116,3 +116,41 @@ def test_reward_lattice_chunked_history():
     np.testing.assert_array_equal(ha, hb)
     np.testing.assert_array_equal(np.asarray(a.state["v"]),
                                   np.asarray(b.state["v"]))
+
+
+def test_reward_network_checkpoint_roundtrip(tmp_path):
+    """save_network/load_network must carry reward lattices (state +
+    traces + dopamine) and reward connections (were silently dropped);
+    extensionless paths round-trip too."""
+    from spiking_neural_networks_tpu.utils.checkpoint import (load_network,
+                                                              save_network)
+    net = _reward_net()
+    plain = net.get_lattice(1)
+    rng = np.random.default_rng(3)
+    v0 = rng.uniform(-65, 40, 4).astype(np.float32)
+    plain.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+    net.run_lattices_with_reward(0.6, 25)
+    path = tmp_path / "ckpt"           # extensionless on purpose
+    save_network(net, str(path))
+
+    fresh = _reward_net()
+    load_network(fresh, str(path))
+    rl_a = net.get_reward_modulated_lattice(0)
+    rl_b = fresh.get_reward_modulated_lattice(0)
+    np.testing.assert_array_equal(np.asarray(rl_a.state["v"]),
+                                  np.asarray(rl_b.state["v"]))
+    for f in ("c", "dw", "counter"):
+        np.testing.assert_array_equal(np.asarray(rl_a.trace[f]),
+                                      np.asarray(rl_b.trace[f]))
+    assert rl_a.dopamine == rl_b.dopamine
+    assert fresh.dopamine == net.dopamine
+    a = net.reward_connections[(1, 0)]
+    b = fresh.reward_connections[(1, 0)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # the restored network continues identically
+    net.run_lattices_with_reward(0.6, 25)
+    fresh.run_lattices_with_reward(0.6, 25)
+    np.testing.assert_allclose(
+        np.asarray(net.get_lattice(1).state["v"]),
+        np.asarray(fresh.get_lattice(1).state["v"]), rtol=1e-6, atol=1e-6)
