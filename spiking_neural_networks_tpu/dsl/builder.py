@@ -131,9 +131,9 @@ def run_statements(stmts, env, mask=None, methods=None):
 
     def write(name, value):
         if mask is not None and name in env:
-            b = jnp.broadcast_to(value, jnp.shape(env[name])) \
-                if jnp.shape(value) != jnp.shape(env[name]) else value
-            env[name] = jnp.where(mask, b, env[name])
+            # jnp.where broadcasts in BOTH directions (a scalar-initialized
+            # temp can be overwritten by an (N,) value inside an [if])
+            env[name] = jnp.where(mask, value, env[name])
         else:
             env[name] = value
 
@@ -358,10 +358,17 @@ def build_spike_train(block, registry):
     fields.setdefault("v_th", 30.0)
     fields.setdefault("v_resting", 0.0)
     on_iteration = block.sections.get("on_iteration", [])
+    kinetics_spec = block.sections.get("kinetics", "").strip()
+    nt_kind = registry.get(kinetics_spec, kinetics_spec) if kinetics_spec \
+        else "approximate"
 
     class GeneratedSpikeTrain(SpikeTrainModel):
         name = block.type_name
         FIELDS = {k: v for k, v in fields.items()}
+
+        def __init__(self, nt_kinetics=nt_kind, refractoriness="delta_dirac"):
+            super().__init__(nt_kinetics=nt_kinetics,
+                             refractoriness=refractoriness)
 
         def step(self, s, key, clock):
             s = dict(s)
@@ -620,20 +627,24 @@ def build_receptors(block, registry):
         return (type(self), self.kinetics)
 
     def init_fields(self, n):
-        s = {"rec$mask": jnp.zeros((n, len(type_names)), bool)}
+        # host-side NumPy construction (CLAUDE.md: eager per-field device
+        # arrays are forbidden; models/base ships the dict in one pass)
+        import numpy as np
+        s = {"rec$mask": np.zeros((n, len(type_names)), bool),
+             "rec$current": np.zeros((n, len(type_names)), np.float32)}
         for name, d in top_vars.items():
-            s[f"rec${name}"] = jnp.full((n,), d, jnp.float32)
+            s[f"rec${name}"] = np.full((n,), d, np.float32)
         max_slots = max(len(g["receptors"]) if g["receptors"] else 1
                         for g in groups)
         for slot in range(max_slots):
             key = "rec$r" if slot == 0 else f"rec$r{slot + 1}"
-            s[key] = jnp.zeros((n, len(type_names)), jnp.float32)
+            s[key] = np.zeros((n, len(type_names)), np.float32)
         for f, d in K.REC_PARAM_DEFAULTS[self.kinetics].items():
-            s[f] = jnp.full((n, len(type_names)), d, jnp.float32)
+            s[f] = np.full((n, len(type_names)), d, np.float32)
         for gi, g in enumerate(groups):
             for name, d in g["vars"].items():
                 s[f"rec${g['neurotransmitter']}${name}"] = \
-                    jnp.full((n,), d, jnp.float32)
+                    np.full((n,), d, np.float32)
         return s
 
     def update_kinetics(self, state, t_input, t_valid):

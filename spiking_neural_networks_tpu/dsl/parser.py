@@ -101,7 +101,7 @@ TOKEN_RE = re.compile(r"""
     (?P<skip>\s+)
   | (?P<kw>\[(?:if|then|elseif|else|end)\])
   | (?P<num>\d+\.?\d*(?:[eE][+-]?\d+)?)
-  | (?P<rpow>r\^)
+  | (?P<rpow>r\^(?=\s|$))
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:[.$][A-Za-z0-9_]+)*)
   | (?P<op><=|>=|==|!=|&&|\|\||[-+*/^(),<>=!])
 """, re.VERBOSE)

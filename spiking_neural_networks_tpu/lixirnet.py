@@ -264,25 +264,33 @@ def _install_synapses(model, state, neuron):
             clearance_constant=kin.clearance_constant, t=kin.t)
     rec = neuron.receptors
     if isinstance(rec, DopaGluGABA):
+        # mutate host-side, ship once: a burst of per-field device programs
+        # is the relay-exhaustion pattern CLAUDE.md forbids
+        host = {k: np.asarray(v).copy() for k, v in state.items()}
+        n = host["v"].shape[0]
         for t, r in rec.receptors.items():
             name = DopaGluGABANeurotransmitterType(t).name
             state = model.insert_receptor(state, name)
-            n = state["v"].shape[0]
+            host["rec$mask"] = np.asarray(state["rec$mask"])
             if isinstance(r, GlutamateReceptor):
-                state["rec$g_ampa"] = jnp.full((n,), r.g_ampa, jnp.float32)
-                state["rec$g_nmda"] = jnp.full((n,), r.g_nmda, jnp.float32)
-                state["rec$e_ampa"] = jnp.full((n,), r.e_ampa, jnp.float32)
-                state["rec$e_nmda"] = jnp.full((n,), r.e_nmda, jnp.float32)
-                state["rec$mg"] = jnp.full((n,), r.mg, jnp.float32)
-                state["rec$r_max"] = state["rec$r_max"].at[:, 0].set(r.ampa_r.r_max)
+                host["rec$g_ampa"] = np.full((n,), r.g_ampa, np.float32)
+                host["rec$g_nmda"] = np.full((n,), r.g_nmda, np.float32)
+                host["rec$e_ampa"] = np.full((n,), r.e_ampa, np.float32)
+                host["rec$e_nmda"] = np.full((n,), r.e_nmda, np.float32)
+                host["rec$mg"] = np.full((n,), r.mg, np.float32)
+                host["rec$r_max"][:, 0] = r.ampa_r.r_max
+                host["rec$r2$r_max"][:, 0] = r.nmda_r.r_max
             elif isinstance(r, GABAReceptor):
-                state["rec$g_gaba"] = jnp.full((n,), r.g, jnp.float32)
-                state["rec$e_gaba"] = jnp.full((n,), r.e, jnp.float32)
-                state["rec$r_max"] = state["rec$r_max"].at[:, 1].set(r.r.r_max)
+                host["rec$g_gaba"] = np.full((n,), r.g, np.float32)
+                host["rec$e_gaba"] = np.full((n,), r.e, np.float32)
+                host["rec$r_max"][:, 1] = r.r.r_max
             elif isinstance(r, DopamineReceptor):
-                state["rec$s_d1"] = jnp.full((n,), r.s_d1, jnp.float32)
-                state["rec$s_d2"] = jnp.full((n,), r.s_d2, jnp.float32)
-                state["rec$r_max"] = state["rec$r_max"].at[:, 2].set(r.r_d1.r_max)
+                host["rec$s_d1"] = np.full((n,), r.s_d1, np.float32)
+                host["rec$s_d2"] = np.full((n,), r.s_d2, np.float32)
+                host["rec$r_max"][:, 2] = r.r_d1.r_max
+                host["rec$r2$r_max"][:, 2] = r.r_d2.r_max
+        from .utils.transfer import device_put_state
+        state = device_put_state(host)
     return state
 
 
@@ -338,6 +346,8 @@ class _LatticeMixin:
 
     def reset_history(self):
         self._inner.grid_history.reset()
+        if hasattr(self._inner, "graph_history"):
+            self._inner.graph_history.clear()
 
     def set_dt(self, dt):
         self._inner.set_dt(dt)
@@ -451,7 +461,12 @@ class IzhikevichNeuronLattice(_LatticeMixin):
     def run_lattice(self, iterations):
         self._inner.run_lattice(iterations)
 
+    def _check_pos(self, row, col):
+        if not (0 <= row < self._inner.rows and 0 <= col < self._inner.cols):
+            raise KeyError(f"position ({row}, {col}) not in lattice")
+
     def get_neuron(self, row, col):
+        self._check_pos(row, col)
         idx = row * self._inner.cols + col
         n = copy.deepcopy(self._prototype) if self._prototype else IzhikevichNeuron()
         state = self._inner.state
@@ -464,6 +479,7 @@ class IzhikevichNeuronLattice(_LatticeMixin):
         return n
 
     def set_neuron(self, row, col, neuron):
+        self._check_pos(row, col)
         idx = row * self._inner.cols + col
         state = dict(self._inner.state)
         for attr in _IZH_SCALARS:
@@ -870,8 +886,22 @@ class IzhikevichNeuronNetwork:
         self._lattices[id] = wrapped
 
     def set_spike_train_lattice(self, id, lattice):
+        """Replace the spike-train lattice under `id`; same validation as
+        add_spike_train_lattice (one shared model config, dimensions must
+        match while connections reference the old flat indices)."""
         if id not in self._st_lattices:
             raise KeyError("Id not found")
+        old = self._inner.spike_train_lattices[id]
+        others = [l for i, l in self._inner.spike_train_lattices.items()
+                  if i != id]
+        if others and others[0].model != lattice._inner.model:
+            raise LatticeNetworkError(
+                "all spike-train lattices must share one model config")
+        if (lattice._inner.rows, lattice._inner.cols) != (old.rows, old.cols) \
+                and any(id in key for key in self._inner.connections):
+            raise LatticeNetworkError(
+                "replacement lattice dimensions must match while "
+                "connections reference the old one")
         inner = copy.deepcopy(lattice._inner)
         inner.id = id
         inner.in_network = True

@@ -194,12 +194,18 @@ class DopaGluGABAReceptors(ReceptorSystem):
         }
         for f, d in K.REC_PARAM_DEFAULTS[self.kinetics].items():
             s[f] = np.full(nk, d, np.float32)
+            # the secondary gating slot (nmda_r / r_d2) carries its OWN
+            # kinetics params — e.g. a GlutamateReceptor whose nmda_r has a
+            # different r_max than its ampa_r (lixirnet prototype objects)
+            s[f.replace("rec$", "rec$r2$", 1)] = np.full(nk, d, np.float32)
         return s
 
     def update_kinetics(self, state, t_input, t_valid):
         r = K.update_receptor_kinetics(self.kinetics, state, t_input, t_valid)
         s2 = dict(state)
         s2["rec$r"] = state["rec$r2"]
+        for f in K.REC_PARAM_DEFAULTS[self.kinetics]:
+            s2[f] = state[f.replace("rec$", "rec$r2$", 1)]
         r2 = K.update_receptor_kinetics(self.kinetics, s2, t_input, t_valid)
         return {"rec$r": r, "rec$r2": r2}
 
