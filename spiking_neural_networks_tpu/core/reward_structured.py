@@ -219,6 +219,8 @@ def run_structured_reward(net, rewards, with_reward):
 def _conn_reward_update(kind, aux, w, tr, static, pre_plastic, post_plastic,
                         pre_vals, post_vals, dopamine, rparams):
     """Up to two gated R-STDP visits on one connection block, in layout."""
+    if kind == "empty":
+        return w, tr
     pre, post = _edge_layout(kind, aux, pre_vals, post_vals)
     delta = stdp_delta_arrays(pre["last_firing_time"],
                               post["last_firing_time"], rparams)

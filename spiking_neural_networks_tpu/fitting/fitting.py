@@ -19,6 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..models.base import NEVER
 from ..models.spike_train import refractoriness_effect
 from .ga import GeneticAlgorithmParameters, genetic_algo
 
@@ -93,13 +94,22 @@ def run_coupled_trial(neuron_model, st_model, neuron_state, st_state,
         if electrical:
             effect = refractoriness_effect(st_model.refractoriness, ststate,
                                            timestep)
-            pre_current = nstate["gap_conductance"][..., 0] * effect
+            # spike_train_gap_junction (neuron/mod.rs:119-137): a train
+            # that never fired contributes bare v_resting, WITHOUT the
+            # postsynaptic conductance factor
+            never = ststate["last_firing_time"] == NEVER
+            pre_current = jnp.where(
+                never, effect, nstate["gap_conductance"][..., 0] * effect)
             post_current = nstate["gap_conductance"][..., 1] * (pre_v - post_v)
         else:
             pre_current = jnp.zeros_like(pre_v)
             post_current = jnp.zeros_like(post_v)
 
         if chemical:
+            # paired (N, K) fields are (..., 2, K) — pair axis BEFORE the
+            # type axis so every (..., K)-trailing convention holds.  The
+            # pre slot is driven by the spike train's release, the post
+            # slot by the PRE neuron's release (mod.rs:157-221)
             pre_t = ststate["nt$t"]
             pre_valid = ststate["nt$mask"]
             post_t = nstate["nt$t"][..., 0, :]
@@ -123,7 +133,6 @@ def run_coupled_trial(neuron_model, st_model, neuron_state, st_state,
 
         ts = jnp.float32(timestep)
         first, last, count = stats
-        newly = spikes & (count == 0)
         first = jnp.where(spikes & (count == 0), ts, first)
         last = jnp.where(spikes, ts, last)
         count = count + spikes.astype(jnp.float32)
@@ -139,8 +148,11 @@ def run_coupled_trial(neuron_model, st_model, neuron_state, st_state,
 
 
 def _stack_pair(state):
-    """Stack a (...,) state into the (..., 2) pre/post layout."""
-    return {k: jnp.stack([v, v], axis=-1) for k, v in state.items()}
+    """Stack a state into the pre/post pair layout: scalar fields become
+    (..., 2); (..., K) neurotransmitter fields become (..., 2, K), keeping
+    the type axis LAST as every kinetics/receptor op expects."""
+    return {k: jnp.stack([v, v], axis=(-2 if v.ndim >= 2 else -1))
+            for k, v in state.items()}
 
 
 class FittingSettings:

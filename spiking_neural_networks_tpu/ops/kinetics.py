@@ -40,15 +40,15 @@ def nt_approximate(t, v, spiking, dt, params):
     """
     t_max = _bcast(params["nt$t_max"], t)
     clearance = _bcast(params["nt$clearance_constant"], t)
-    spike = spiking[:, None].astype(t.dtype)
-    new_t = t + dt[:, None] * -clearance * t + spike * t_max
+    spike = spiking[..., None].astype(t.dtype)
+    new_t = t + dt[..., None] * -clearance * t + spike * t_max
     return jnp.clip(new_t, 0.0, t_max)
 
 
 def nt_discrete(t, v, spiking, dt, params):
     """`DiscreteSpikeNeurotransmitter` (iterate_and_spike/mod.rs:301-313)."""
     t_max = _bcast(params["nt$t_max"], t)
-    return t_max * spiking[:, None].astype(t.dtype)
+    return t_max * spiking[..., None].astype(t.dtype)
 
 
 def _exp_decay(x, l, dt):
@@ -60,8 +60,8 @@ def nt_exponential_decay(t, v, spiking, dt, params):
     """`ExponentialDecayNeurotransmitter` (iterate_and_spike/mod.rs:352-366)."""
     t_max = _bcast(params["nt$t_max"], t)
     decay = _bcast(params["nt$decay_constant"], t)
-    spike = spiking[:, None].astype(t.dtype)
-    new_t = t + _exp_decay(t, decay, dt[:, None]) + spike * t_max
+    spike = spiking[..., None].astype(t.dtype)
+    new_t = t + _exp_decay(t, decay, dt[..., None]) + spike * t_max
     return jnp.clip(new_t, 0.0, t_max)
 
 
@@ -73,7 +73,7 @@ def nt_destexhe(t, v, spiking, dt, params):
     t_max = _bcast(params["nt$t_max"], t)
     v_p = _bcast(params["nt$v_p"], t)
     k_p = _bcast(params["nt$k_p"], t)
-    return t_max / (1.0 + jnp.exp(-(v[:, None] - v_p) / k_p))
+    return t_max / (1.0 + jnp.exp(-(v[..., None] - v_p) / k_p))
 
 
 NT_KINETICS = {
@@ -127,14 +127,14 @@ def rec_destexhe(r, t, dt, params):
     """
     alpha = _bcast(params["rec$alpha"], r)
     beta = _bcast(params["rec$beta"], r)
-    return r + (alpha * t * (1.0 - r) - beta * r) * dt[:, None]
+    return r + (alpha * t * (1.0 - r) - beta * r) * dt[..., None]
 
 
 def rec_exponential_decay(r, t, dt, params):
     """`ExponentialDecayReceptor` (iterate_and_spike/mod.rs:510-523)."""
     r_max = _bcast(params["rec$r_max"], r)
     decay = _bcast(params["rec$decay_constant"], r)
-    new_r = r + _exp_decay(r, decay, dt[:, None]) + t
+    new_r = r + _exp_decay(r, decay, dt[..., None]) + t
     return jnp.clip(new_r, 0.0, r_max)
 
 

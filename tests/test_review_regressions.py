@@ -154,3 +154,33 @@ def test_reward_network_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(net.get_lattice(1).state["v"]),
         np.asarray(fresh.get_lattice(1).state["v"]), rtol=1e-6, atol=1e-6)
+
+
+def test_chemical_coupled_fitting_summary():
+    """Chemical coupled trials (fitting/mod.rs iterate_coupled_* with
+    neurotransmission) run and produce finite summaries; the paired state
+    keeps the neurotransmitter type axis LAST (was crossed with the pair
+    axis and crashed)."""
+    from spiking_neural_networks_tpu.fitting.fitting import (
+        get_reference_summary)
+    m = snn.Izhikevich()
+    s = m.init_state(1)
+    s = m.insert_receptor(s, "AMPA")
+    s = m.insert_neurotransmitter(s, "AMPA")
+    stm = snn.PoissonSpikeTrain()
+    sts = stm.init_from_firing_rate(1, hertz=100.0, dt=0.1)
+    out = get_reference_summary(m, s, stm, sts, iterations=100,
+                                chemical=True)
+    assert out.shape == (1, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_empty_reward_connection_runs():
+    """connect_with_reward_modulation matching no pairs must not crash the
+    structured runner (EmptyBlock had no reward-visit guard)."""
+    net = _reward_net()
+    net.reward_connections.clear()
+    net.connect_with_reward_modulation(1, 0, lambda a, b: False,
+                                       lambda a, b: 1.0)
+    net.run_lattices_with_reward(0.5, 10)
+    assert net.internal_clock == 10
