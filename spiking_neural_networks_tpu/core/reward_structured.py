@@ -39,13 +39,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.base import get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
 from .lattice import _freeze, _mask_any, resolve_unroll
 from .reward import rstdp_visit, stdp_delta_arrays
-from .structured import (classify_connection, _conn_gather,
-                         _conn_gather_chemical, _conn_edge_update,
-                         _edge_layout, _chem_counts, _phase_b)
+from .structured import (classify_connection, _conn_edge_update,
+                         _edge_layout, _phase_a, _phase_b)
 
 
 def compile_structured_reward(net):
@@ -291,58 +289,11 @@ def _build_structured_reward_runner(model, st_model, lat_ids, st_ids,
             + [(m, rconn_aux[ci], rconn_ws[ci])
                for ci, m in enumerate(rconn_meta)]
 
-        # ---- Phase A: structured gathers (identical to structured.py) ----
-        inputs = []
-        chem_sums, chem_cnts = [], []
-        for k, i in enumerate(lat_ids):
-            s = states[k]
-            total = jnp.zeros_like(s["v"])
-            cnt = jnp.zeros_like(s["v"])
-            csum = jnp.zeros_like(s["nt$t"]) if chemical else None
-            ccnt = jnp.zeros_like(s["nt$t"]) if chemical else None
-
-            if electrical:
-                g = graphs[k]
-                total = total + g.gather_electrical(
-                    s["v"], jnp.ones_like(s["v"]), s["v"],
-                    jnp.ones_like(s["v"])) * jnp.maximum(g.in_degree(), 1.0)
-                cnt = cnt + g.in_degree()
-            if chemical:
-                g = graphs[k]
-                t, m = get_neurotransmitter_concentrations(s)
-                t_in, valid = g.gather_chemical(t, m.astype(jnp.float32))
-                gc = _chem_counts(g, m.astype(jnp.float32))
-                csum = csum + t_in * jnp.maximum(gc, 1.0) * (gc > 0)
-                ccnt = ccnt + gc
-
-            for (meta, aux, w) in all_conns:
-                pre_id, post_id, kind, pre_is_st = meta[:4]
-                if post_id != i:
-                    continue
-                if pre_is_st:
-                    a_src = effects[st_index[pre_id]]
-                    sub = jnp.zeros_like(a_src)
-                    src_state = st_states[st_index[pre_id]]
-                else:
-                    src_state = states[lat_index[pre_id]]
-                    a_src = src_state["v"]
-                    sub = jnp.ones_like(a_src)
-                if electrical:
-                    total = total + _conn_gather(kind, aux, w, a_src, sub,
-                                                 s["v"])
-                    cnt = cnt + aux["in_deg"]
-                if chemical:
-                    t, m = get_neurotransmitter_concentrations(src_state)
-                    sums, cnts = _conn_gather_chemical(
-                        kind, aux, w, t, m.astype(jnp.float32))
-                    csum = csum + sums
-                    ccnt = ccnt + cnts
-
-            inputs.append(s["gap_conductance"] * total / jnp.maximum(cnt, 1.0)
-                          if electrical else jnp.zeros_like(s["v"]))
-            if chemical:
-                chem_sums.append(csum)
-                chem_cnts.append(ccnt)
+        # ---- Phase A (structured._phase_a, shared with the plain runner) ----
+        inputs, chem_sums, chem_cnts = _phase_a(
+            lat_ids, lat_index, st_index, states, st_states, graphs,
+            [(m[:4], aux, w) for (m, aux, w) in all_conns],
+            effects, electrical, chemical)
 
         # dopamine decays with the reward before the visits
         # (plasticity/mod.rs:204-206)

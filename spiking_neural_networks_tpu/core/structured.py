@@ -557,62 +557,12 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
         effects = [refractoriness_effect(st_model.refractoriness, s, clock)
                    for s in st_states] if st_states else []
 
-        # ---- Phase A: per-lattice summed structured contributions ----
-        inputs = []
-        chem_sums, chem_cnts = [], []
-        for k, i in enumerate(lat_ids):
-            s = states[k]
-            total = jnp.zeros_like(s["v"])
-            cnt = jnp.zeros_like(s["v"])
-            csum = jnp.zeros_like(s["nt$t"]) if chemical else None
-            ccnt = jnp.zeros_like(s["nt$t"]) if chemical else None
-
-            # intra edges: native graph backend
-            if electrical:
-                g = graphs[k]
-                total = total + g.gather_electrical(
-                    s["v"], jnp.ones_like(s["v"]), s["v"],
-                    jnp.ones_like(s["v"])) * jnp.maximum(g.in_degree(), 1.0)
-                cnt = cnt + g.in_degree()
-            if chemical:
-                g = graphs[k]
-                t, m = get_neurotransmitter_concentrations(s)
-                t_in, valid = g.gather_chemical(t, m.astype(jnp.float32))
-                # re-expand averages back to sums for cross-component merge
-                gc = _chem_counts(g, m.astype(jnp.float32))
-                csum = csum + t_in * jnp.maximum(gc, 1.0) * (gc > 0)
-                ccnt = ccnt + gc
-
-            # connection operators targeting this lattice
-            for ci, (pre_id, post_id, kind, pre_is_st) in enumerate(conn_meta):
-                if post_id != i:
-                    continue
-                aux = conn_aux[ci]
-                w = conn_ws[ci]
-                if pre_is_st:
-                    a_src = effects[st_index[pre_id]]
-                    sub = jnp.zeros_like(a_src)
-                    src_state = st_states[st_index[pre_id]]
-                else:
-                    src_state = states[lat_index[pre_id]]
-                    a_src = src_state["v"]
-                    sub = jnp.ones_like(a_src)
-                if electrical:
-                    total = total + _conn_gather(kind, aux, w, a_src, sub,
-                                                 s["v"])
-                    cnt = cnt + aux["in_deg"]
-                if chemical:
-                    t, m = get_neurotransmitter_concentrations(src_state)
-                    sums, cnts = _conn_gather_chemical(
-                        kind, aux, w, t, m.astype(jnp.float32))
-                    csum = csum + sums
-                    ccnt = ccnt + cnts
-
-            inputs.append(s["gap_conductance"] * total / jnp.maximum(cnt, 1.0)
-                          if electrical else jnp.zeros_like(s["v"]))
-            if chemical:
-                chem_sums.append(csum)
-                chem_cnts.append(ccnt)
+        # ---- Phase A (shared helper) ----
+        inputs, chem_sums, chem_cnts = _phase_a(
+            lat_ids, lat_index, st_index, states, st_states, graphs,
+            [(m_, conn_aux[ci], conn_ws[ci])
+             for ci, m_ in enumerate(conn_meta)],
+            effects, electrical, chemical)
 
         # ---- Phase B: step every lattice ----
         states, spikes_list = _phase_b(model, states, inputs, chem_sums,
@@ -692,6 +642,68 @@ def _build_structured_runner(model, st_model, lat_ids, st_ids, conn_meta,
         return carry[0], carry[1], carry[2], carry[3], carry[5], ys
 
     return jax.jit(run, donate_argnums=(0, 1, 2, 3))
+
+
+def _phase_a(lat_ids, lat_index, st_index, states, st_states, graphs,
+             conns, effects, electrical, chemical):
+    """Per-lattice summed structured contributions (Phase A,
+    neuron/mod.rs:2115-2212): the intra gather re-expanded to sums plus
+    every connection op targeting the lattice.  ``conns`` is a sequence of
+    ((pre_id, post_id, kind, pre_is_st), aux, w) triples; shared by the
+    plain and reward structured runners."""
+    inputs, chem_sums, chem_cnts = [], [], []
+    for k, i in enumerate(lat_ids):
+        s = states[k]
+        total = jnp.zeros_like(s["v"])
+        cnt = jnp.zeros_like(s["v"])
+        csum = jnp.zeros_like(s["nt$t"]) if chemical else None
+        ccnt = jnp.zeros_like(s["nt$t"]) if chemical else None
+
+        # intra edges: native graph backend
+        if electrical:
+            g = graphs[k]
+            total = total + g.gather_electrical(
+                s["v"], jnp.ones_like(s["v"]), s["v"],
+                jnp.ones_like(s["v"])) * jnp.maximum(g.in_degree(), 1.0)
+            cnt = cnt + g.in_degree()
+        if chemical:
+            g = graphs[k]
+            t, m = get_neurotransmitter_concentrations(s)
+            t_in, valid = g.gather_chemical(t, m.astype(jnp.float32))
+            # re-expand averages back to sums for cross-component merge
+            gc = _chem_counts(g, m.astype(jnp.float32))
+            csum = csum + t_in * jnp.maximum(gc, 1.0) * (gc > 0)
+            ccnt = ccnt + gc
+
+        # connection operators targeting this lattice
+        for (pre_id, post_id, kind, pre_is_st), aux, w in conns:
+            if post_id != i:
+                continue
+            if pre_is_st:
+                a_src = effects[st_index[pre_id]]
+                sub = jnp.zeros_like(a_src)
+                src_state = st_states[st_index[pre_id]]
+            else:
+                src_state = states[lat_index[pre_id]]
+                a_src = src_state["v"]
+                sub = jnp.ones_like(a_src)
+            if electrical:
+                total = total + _conn_gather(kind, aux, w, a_src, sub,
+                                             s["v"])
+                cnt = cnt + aux["in_deg"]
+            if chemical:
+                t, m = get_neurotransmitter_concentrations(src_state)
+                sums, cnts = _conn_gather_chemical(
+                    kind, aux, w, t, m.astype(jnp.float32))
+                csum = csum + sums
+                ccnt = ccnt + cnts
+
+        inputs.append(s["gap_conductance"] * total / jnp.maximum(cnt, 1.0)
+                      if electrical else jnp.zeros_like(s["v"]))
+        if chemical:
+            chem_sums.append(csum)
+            chem_cnts.append(ccnt)
+    return inputs, chem_sums, chem_cnts
 
 
 def _phase_b(model, states, inputs, chem_sums, chem_cnts, chemical, skip_nt,
