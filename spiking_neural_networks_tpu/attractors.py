@@ -41,9 +41,11 @@ def generate_binary_hopfield_network(patterns, a, b, scalar):
     return jnp.asarray(w)
 
 
-def distort_pattern(pattern, noise_level, key=None, seed=0):
+def distort_pattern(pattern, noise_level, key=None, seed=None):
     """Randomly flips pattern bits with probability ``noise_level``
-    (`distort_pattern`, attractors/mod.rs:657-678)."""
+    (`distort_pattern`, attractors/mod.rs:657-678).  Like the reference's
+    per-call thread_rng, the default draws FRESH noise each call; pass
+    ``seed`` (or ``key``) for reproducibility."""
     pattern = np.asarray(pattern, bool)
     if key is not None:
         flips = np.asarray(jax.random.uniform(key, pattern.shape)) <= noise_level
@@ -82,6 +84,10 @@ class DiscreteNeuronLattice:
     def input_pattern_into_discrete_grid(self, pattern):
         """`input_pattern_into_discrete_grid` (attractors/mod.rs:398-408)."""
         pat = np.asarray(pattern, bool).reshape(-1)
+        if pat.shape[0] != self.rows * self.cols:
+            raise ValueError(
+                f"pattern has {pat.shape[0]} cells, lattice has "
+                f"{self.rows * self.cols}")
         self.state = jnp.where(jnp.asarray(pat), 1.0, -1.0)
 
     def convert_to_numerics(self):
@@ -91,15 +97,22 @@ class DiscreteNeuronLattice:
         return np.asarray(self.state > 0).reshape(self.rows, self.cols)
 
     def iterate(self, steps=1):
-        """sign(W^T s) update; input > 0 -> active else inactive
-        (`DiscreteNeuron::update`, attractors/mod.rs:280-285)."""
+        """SEQUENTIAL in-place sweep: node i's input uses the already-
+        updated states of earlier nodes (`DiscreteNeuronLattice::iterate`,
+        attractors/mod.rs:443-461; `DiscreteNeuron::update` :280-285,
+        input > 0 -> active else inactive).  The reference sweeps in hash
+        order; we fix row-major order — for the symmetric Hopfield weights
+        this runtime targets, any sequential order descends the energy,
+        whereas a synchronous sign(W s) update can 2-cycle forever."""
         self.state = _discrete_iterate(self.weights, self.state, steps)
 
 
 @jax.jit
 def _discrete_step(weights, state):
-    inputs = state @ weights  # input_j = sum_i w[i, j] * s_i
-    return jnp.where(inputs > 0.0, 1.0, -1.0)
+    def body(i, s):
+        inp = jnp.dot(s, weights[:, i])  # sum_j w[j, i] * s_j, s updated
+        return s.at[i].set(jnp.where(inp > 0.0, 1.0, -1.0))
+    return jax.lax.fori_loop(0, state.shape[0], body, state)
 
 
 def _discrete_iterate(weights, state, steps):

@@ -12,9 +12,15 @@ import jax.numpy as jnp
 
 
 def limited_distr(key, mean, std, minimum, maximum, shape=()):
-    """Normal(mean, std) clamped to [minimum, maximum]; returns mean if std==0."""
+    """Normal(mean, std) clamped to [minimum, maximum]; returns mean
+    UNCLAMPED when std == 0 (distribution/mod.rs:10-12 early-returns the
+    mean before any clamping)."""
     sample = mean + std * jax.random.normal(key, shape)
-    return jnp.clip(sample, minimum, maximum)
+    clipped = jnp.clip(sample, minimum, maximum)
+    return jnp.where(jnp.asarray(std) == 0.0,
+                     jnp.broadcast_to(jnp.asarray(mean, clipped.dtype),
+                                      clipped.shape),
+                     clipped)
 
 
 class GaussianParameters:

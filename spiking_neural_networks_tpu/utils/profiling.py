@@ -40,7 +40,11 @@ class StepTimer:
         t0 = time.perf_counter()
         self._run(iterations)
         dt = time.perf_counter() - t0
-        n = (sum(l.n for l in self.obj.lattices.values())
+        n = ((sum(l.n for l in self.obj.lattices.values())
+              + sum(l.n for l in getattr(self.obj,
+                                         "reward_modulated_lattices",
+                                         {}).values())
+              + sum(s.n for s in self.obj.spike_train_lattices.values()))
              if hasattr(self.obj, "lattices") else self.obj.n)
         self.results = {
             "seconds": dt,
