@@ -2,10 +2,17 @@
 `backend/examples/lattice/main.rs`): run 5000 steps, save the voltage
 history."""
 
+import os
+import sys
+
 import numpy as np
 import jax.numpy as jnp
 
 import spiking_neural_networks_tpu as snn
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "experiments"))
+from pipeline_setup import output_path  # noqa: E402
 
 
 def main():
@@ -22,7 +29,7 @@ def main():
     lat.run_lattice(iterations)
 
     hist = np.stack(lat.grid_history.history)
-    np.save("lattice_history.npy", hist)
+    np.save(output_path("lattice_history.npy"), hist)
     print(f"saved lattice_history.npy {hist.shape}; "
           f"V in [{hist.min():.1f}, {hist.max():.1f}]")
 

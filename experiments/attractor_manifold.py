@@ -19,7 +19,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from pipeline_setup import (get_weights, weights_ie, generate_patterns,
+from pipeline_setup import (
+    output_path, get_weights, weights_ie, generate_patterns,
                             generate_setup_neuron,
                             get_spike_train_setup_function)
 
@@ -125,7 +126,7 @@ def main(exc_n=7, inh_n=3, num_patterns=3, trials=3, iterations=800,
 
     print(f"attractor separation: within {within:.2f}, between {between:.2f} "
           f"({'OK' if between > within else 'WEAK'})")
-    with open(filename, "w") as f:
+    with open(output_path(filename), "w") as f:
         json.dump({"embedding": emb.tolist(), "labels": labels.tolist(),
                    "within": within, "between": between,
                    "explained_variance": (s[:2] ** 2 / (s ** 2).sum()).tolist(),

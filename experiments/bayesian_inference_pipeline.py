@@ -21,7 +21,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from pipeline_setup import (parse_toml, get_weights, weights_ie,
+from pipeline_setup import (
+    output_path,
+    output_path,parse_toml, get_weights, weights_ie,
                             generate_patterns, generate_setup_neuron,
                             get_spike_train_setup_function,
                             find_peaks_above_threshold, determine_accuracy)
@@ -173,7 +175,7 @@ def main():
                             wall_s=round(time.time() - t0, 2)))
         print(results[-1], flush=True)
 
-    with open(p["filename"], "w") as f:
+    with open(output_path(p["filename"]), "w") as f:
         json.dump(dict(parameters={k: v for k, v in p.items()},
                        results=results), f, indent=1)
     print("accuracy:",

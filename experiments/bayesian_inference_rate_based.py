@@ -21,7 +21,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from pipeline_setup import (parse_toml, get_weights, weights_ie,
+from pipeline_setup import (
+    output_path,
+    output_path,parse_toml, get_weights, weights_ie,
                             generate_patterns, generate_setup_neuron,
                             get_rate_spike_train_setup_function,
                             find_peaks_above_threshold, determine_accuracy)
@@ -182,7 +184,7 @@ def main():
         "seconds": time.time() - t0,
     }
     print(json.dumps(summary))
-    with open(p["filename"], "w") as f:
+    with open(output_path(p["filename"]), "w") as f:
         json.dump({"results": results, "summary": summary}, f, indent=1)
 
 

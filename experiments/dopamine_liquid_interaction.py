@@ -20,7 +20,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from pipeline_setup import signal_to_noise
+from pipeline_setup import output_path, signal_to_noise
 from lsm_setup import (generate_liquid_weights, generate_start_firing,
                        stop_firing, determine_return_to_baseline)
 
@@ -117,7 +117,7 @@ def main():
         print(f"{name}: recovery {r['recovery_steps']} steps, "
               f"baseline SNR {r['snr_baseline']:.2f}, "
               f"disturbed SNR {r['snr_disturbed']:.2f}")
-    with open("dopamine_liquid_output.json", "w") as f:
+    with open(output_path("dopamine_liquid_output.json"), "w") as f:
         json.dump(results, f, indent=1)
     return results
 

@@ -22,7 +22,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from pipeline_setup import signal_to_noise
+from pipeline_setup import output_path, signal_to_noise
 
 import jax
 import jax.numpy as jnp
@@ -102,7 +102,7 @@ def main(on_phase=300, off_phase=500, rate_hz=80.0, n_components=3,
           f"{[round(float(x), 3) for x in var[:n_components]]} "
           f"(total {var[:n_components].sum():.3f})")
 
-    with open(filename, "w") as f:
+    with open(output_path(filename), "w") as f:
         json.dump({
             "voltages": voltages.tolist(),
             "signal_to_noise": snr,

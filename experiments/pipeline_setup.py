@@ -10,9 +10,22 @@ and a local peak finder instead).
 
 from __future__ import annotations
 
+import os
 import tomllib
 
 import numpy as np
+
+
+def output_path(filename):
+    """Resolve ``filename`` inside the repo-root ``outputs/`` directory
+    (created on demand) so generated artifacts never clutter the source
+    tree.  Absolute paths pass through unchanged."""
+    if os.path.isabs(filename):
+        return filename
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(root, "outputs")
+    os.makedirs(out, exist_ok=True)
+    return os.path.join(out, filename)
 
 
 def frange(x, y, step):

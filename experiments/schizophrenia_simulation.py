@@ -19,7 +19,9 @@ import sys
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from pipeline_setup import (parse_toml, get_weights, generate_patterns,
+from pipeline_setup import (
+    output_path,
+    output_path,parse_toml, get_weights, generate_patterns,
                             generate_setup_neuron,
                             get_spike_train_setup_function,
                             find_peaks_above_threshold, determine_accuracy)
@@ -118,7 +120,7 @@ def main():
               f" mean_spikes={results[str(nmda_g)]['mean_spikes']:.0f}",
               flush=True)
 
-    with open(p["filename"], "w") as f:
+    with open(output_path(p["filename"]), "w") as f:
         json.dump(dict(parameters={k: list(v) if isinstance(v, tuple) else v
                                    for k, v in p.items()},
                        results=results), f, indent=1)

@@ -47,8 +47,15 @@ def resolve_unroll(setting, n):
     None = auto: 4-way unroll up to ~1M neurons (amortizes the per-step
     multi-kernel loop overhead floor; measured wins at 64^2..512^2 on v5e),
     rolled above (4.2M-neuron grids regress ~2x when unrolled).  Unrolled
-    loops are bit-exact vs rolled (pure scheduling)."""
+    loops are bit-exact vs rolled (pure scheduling), so the
+    ``SNN_TPU_SCAN_UNROLL`` env var may force a global value — the test
+    suite sets 1 to shrink XLA:CPU compile times (the dominant test cost
+    on a single-core CI host)."""
     if setting is None:
+        import os
+        env = os.environ.get("SNN_TPU_SCAN_UNROLL")
+        if env:
+            return max(1, int(env))
         return 4 if n <= AUTO_UNROLL_MAX_N else 1
     return max(1, int(setting))
 

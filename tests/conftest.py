@@ -11,10 +11,24 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Unrolled scan bodies are bit-exact vs rolled (pure scheduling) but cost
+# ~4x the XLA:CPU compile time, which dominates the suite on the 1-core CI
+# host; force rolled loops for tests that leave scan_unroll on auto.
+os.environ.setdefault("SNN_TPU_SCAN_UNROLL", "1")
 
 import jax  # noqa: E402
 
 try:
     jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+# Persistent compile cache: XLA:CPU compile time dominates the suite on the
+# 1-core CI host; warm reruns skip it entirely.  (.jax_cache/ is gitignored.)
+try:
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache", "tests")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 except Exception:
     pass

@@ -3,6 +3,7 @@ Hopfield attractor recovery, GA convergence, fitting smoke test (mirrors the
 reference's eeg / attractors / ga test coverage)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from spiking_neural_networks_tpu.analysis import eeg, correlation
@@ -91,6 +92,7 @@ def test_decode_population():
     np.testing.assert_allclose(np.asarray(vals), [[1.0, -5.0]], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_genetic_algo_minimizes_quadratic():
     params = GeneticAlgorithmParameters(
         bounds=[(-5.0, 5.0), (-5.0, 5.0)], n_bits=10, n_iter=30, n_pop=64,
@@ -127,6 +129,7 @@ def test_checkpoint_roundtrip():
         np.testing.assert_allclose(lat.voltages(), v_end, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fit_neuron_to_neuron_recovers_parameter():
     """End-to-end GA fitting (fitting/mod.rs:411+ scenario): recover the
     Izhikevich `a` parameter of a reference neuron from its spike summary."""
@@ -167,6 +170,7 @@ def test_fit_neuron_to_neuron_recovers_parameter():
     assert score < 1.0
 
 
+@pytest.mark.slow
 def test_coupled_neuron_utilities():
     """`iterate_coupled_spiking_neurons(_and_spike_train)` equivalents."""
     import jax.numpy as jnp

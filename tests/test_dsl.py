@@ -44,6 +44,7 @@ def test_dsl_izhikevich_matches_handwritten():
                                rtol=1e-6, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dsl_izhikevich_chemical_matches_handwritten():
     gen = neuron_builder(IZHIKEVICH_NB)["DSLIzhikevich"]
     model = gen()
@@ -116,6 +117,7 @@ def test_dsl_rate_spike_train_matches_handwritten():
         np.testing.assert_array_equal(np.asarray(s1["v"]), np.asarray(s2["v"]))
 
 
+@pytest.mark.slow
 def test_dsl_bounded_kinetics_and_dopa_receptors():
     """The full lixirnet model definition compiles and matches the
     hand-built DopaIzhikevich (interface_gpu/lixirnet/src/lib.rs:22-79)."""
@@ -309,6 +311,7 @@ ELECTROCHEM_NB = """
 """
 
 
+@pytest.mark.slow
 def test_dsl_custom_electrochemical_iteration():
     """A custom [on_electrochemical_iteration] body that spells out the
     default template (nb_macro neuron_receptor_integration.rs:53-58) must
@@ -591,6 +594,7 @@ def test_dsl_neural_refractoriness_matches_delta_dirac():
                                    atol=1e-7)
 
 
+@pytest.mark.slow
 def test_dsl_timestep_dependent_ion_channel():
     """Port of nb_macro/tests/timestep_dependent_ion_channel.rs: a calcium
     channel whose alpha/beta are voltage expressions, with `s.update(dt)`

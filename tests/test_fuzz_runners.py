@@ -54,7 +54,12 @@ def _build(seed, structured):
     return net
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+@pytest.mark.parametrize("seed", [
+    101,
+    pytest.param(202, marks=pytest.mark.slow),
+    pytest.param(303, marks=pytest.mark.slow),
+    pytest.param(404, marks=pytest.mark.slow),
+])
 def test_structured_matches_flat_random_topology(seed):
     a = _build(seed, structured=True)
     b = _build(seed, structured=False)
@@ -114,7 +119,11 @@ def _build_reward(seed, structured):
     return net
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33])
+@pytest.mark.parametrize("seed", [
+    pytest.param(11, marks=pytest.mark.slow),
+    pytest.param(22, marks=pytest.mark.slow),
+    33,
+])
 def test_reward_structured_matches_flat_random(seed):
     a = _build_reward(seed, structured=True)
     b = _build_reward(seed, structured=False)

@@ -345,6 +345,7 @@ def test_bcm_derivation_matches_committed_constants():
         assert t[0] == v and t[1] == ca and t[2] == aa and t[3] == ns
 
 
+@pytest.mark.slow
 def test_bcm_izhikevich_activity_golden():
     model = snn.BCMIzhikevich()
     s = model.init_state(1)
@@ -387,6 +388,7 @@ def test_chemical_derivation_matches_committed_constants():
     assert [k + 1 for k, t in enumerate(tr) if t[2]] == CHEM_SPIKE_STEPS
 
 
+@pytest.mark.slow
 def test_izhikevich_chemical_golden():
     model = snn.Izhikevich()
     s = model.init_state(1)
@@ -437,6 +439,7 @@ def test_dopa_derivation_matches_committed_constants():
     assert [k + 1 for k, t in enumerate(tr) if t[4]] == DOPA_SPIKE_STEPS
 
 
+@pytest.mark.slow
 def test_dopa_glu_gaba_golden():
     model = snn.DopaIzhikevich()
     s = model.init_state(1)

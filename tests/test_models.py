@@ -153,6 +153,7 @@ def test_receptor_kinetics_variants():
                 err_msg=f"{rk} step {it}")
 
 
+@pytest.mark.slow
 def test_dopa_izhikevich_dopamine_modulation():
     """D2 dopamine input scales down AMPA/NMDA gain one step later
     (lixirnet DopaGluGABA semantics, interface_gpu/lixirnet/src/lib.rs:45-66)."""

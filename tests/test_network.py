@@ -215,6 +215,7 @@ def test_dense_and_sparse_network_gathers_match():
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_structured_runner_matches_flat():
     """The structure-preserving runner equals the flat COO runner exactly
     (electrical+chemical, STDP, mixed connection kinds)."""
@@ -336,6 +337,7 @@ def test_lattice_set_dt_updates_plasticity():
     assert abs(lat.plasticity.params["dt"] - 0.05) < 1e-9
 
 
+@pytest.mark.slow
 def test_structured_plan_cache_across_runs():
     """Repeated run_lattices reuse the cached plan + device weights; any
     connect() invalidates it; plastic weights keep flowing through the
@@ -370,6 +372,7 @@ def test_structured_plan_cache_across_runs():
     assert np.all(np.abs(w3) <= 10.0)             # new weights took effect
 
 
+@pytest.mark.slow
 def test_network_per_lattice_graph_history():
     """lattice.update_graph_history inside a network records per-step
     backend-layout weight snapshots (reference updates lattice graph

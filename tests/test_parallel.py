@@ -34,6 +34,7 @@ def test_mesh_shape(mesh):
     assert mesh.axis_names == ("dp", "tp")
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded(mesh):
     """The (dp, tp)-sharded training step computes exactly what the
     unsharded batched program computes."""
@@ -82,6 +83,7 @@ def test_sharded_step_matches_unsharded(mesh):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -134,6 +136,7 @@ def _assert_states_equal(a, b, what):
                                       err_msg=f"{what}: state[{k}] diverged")
 
 
+@pytest.mark.slow
 def test_sharded_stencil_lattice_bit_exact(tp_mesh):
     """One large lattice row-block sharded over 8 devices: electrical
     stencil gather + STDP are elementwise/shifted ops, so the SPMD program
@@ -196,6 +199,7 @@ def test_sharded_dense_graph_lattice(tp_mesh):
         np.asarray(lat.state["last_firing_time"]))
 
 
+@pytest.mark.slow
 def test_sharded_network_full_feature(tp_mesh):
     """Multi-lattice network (2 neuron lattices + rate spike-train lattice,
     chemical synapses, STDP, connecting edges) sharded via shard_network:
@@ -268,6 +272,7 @@ def test_sharded_reward_lattice(tp_mesh):
                                       err_msg=f"trace[{k}]")
 
 
+@pytest.mark.slow
 def test_sharded_512_lattice_bit_exact(tp_mesh):
     """The BASELINE north-star config (512x512, radius-2 stencil) sharded
     over 8 devices matches the single-device trace exactly (VERDICT r1 #2)."""
@@ -290,6 +295,7 @@ def test_sharded_512_lattice_bit_exact(tp_mesh):
     assert (np.asarray(lat.state["last_firing_time"]) >= 0).any()
 
 
+@pytest.mark.slow
 def test_hybrid_mesh_single_host_and_lattice_shard():
     """Multi-host helpers degrade gracefully on one host: hybrid mesh is
     (1, n) / 1-D prefer_ici, and a lattice shards over it bit-exactly."""

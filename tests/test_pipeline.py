@@ -75,6 +75,7 @@ def test_pipeline_matches_structured_electrical():
     assert total_fired > 0, "vacuous: no spikes anywhere in the chain"
 
 
+@pytest.mark.slow
 def test_pipeline_plasticity_matches_structured():
     a = _chain(stages=3, plastic=(0, 2), seed=5, stagger=True)
     b = _chain(stages=3, plastic=(0, 2), seed=5, stagger=True)
@@ -100,6 +101,7 @@ def test_pipeline_plasticity_matches_structured():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_chemical_chain():
     a = _chain(stages=2, chemical=True, seed=7)
     b = _chain(stages=2, chemical=True, seed=7)

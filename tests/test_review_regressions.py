@@ -1,6 +1,7 @@
 """Regressions for review findings on the reward/per-edge paths."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import spiking_neural_networks_tpu as snn
@@ -93,6 +94,7 @@ def test_flat_reward_path_records_graph_history_and_bumps_version():
         "flat write-back did not invalidate the structured plan cache"
 
 
+@pytest.mark.slow
 def test_reward_lattice_chunked_history():
     """Reward-lattice history runs are chunked at history_chunk with a
     seamless trajectory."""

@@ -136,6 +136,7 @@ def _mixed_net(structured, seed=11):
     return net
 
 
+@pytest.mark.slow
 def test_structured_reward_runner_matches_flat():
     """The structure-preserving reward runner computes exactly what the flat
     COO runner computes (states, weights, traces, dopamine)."""
