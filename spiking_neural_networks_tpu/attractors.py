@@ -32,7 +32,14 @@ def generate_hopfield_network(patterns):
 def generate_binary_hopfield_network(patterns, a, b, scalar):
     """Binary-pattern variant (`generate_binary_hopfield_network`,
     attractors/mod.rs:577-654): dw[i, j] = (x_i - b)(x_j - a) * scalar,
-    zero diagonal."""
+    zero diagonal.
+
+    NOTE: the reference materializes EVERY off-diagonal edge, including
+    zero-weight ones (attractors/mod.rs:645-650) — and zero-weight edges
+    still count in the gap-junction input-averaging denominator
+    (neuron/mod.rs:722-729).  When wiring a lattice with these weights,
+    use a full off-diagonal mask (``~np.eye(n, dtype=bool)``), not
+    ``w != 0``, to reproduce the reference dynamics."""
     pats = np.asarray(patterns)
     p, rows, cols = pats.shape
     flat = np.where(pats.reshape(p, -1), 1.0, 0.0).astype(np.float32)

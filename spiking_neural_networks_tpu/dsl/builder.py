@@ -210,6 +210,15 @@ def build_neuron(block, registry):
     spike_detection = block.sections.get("spike_detection")
     if spike_detection is None:
         raise SyntaxError(f"[neuron] {block.type_name} needs spike_detection")
+    # `spike_detection: continuous()` — HH/Morris-Lecar peak detection
+    # (pest grammar's continuous marker; hodgkin_huxley/mod.rs:207-218):
+    # spike when above v_th, was increasing, and just stopped increasing.
+    from .parser import Call as _Call
+    continuous = (isinstance(spike_detection, _Call)
+                  and spike_detection.name == "continuous"
+                  and not spike_detection.args)
+    if continuous:
+        fields.setdefault("v_th", 30.0)
 
     kinetics_spec = block.sections.get("kinetics", "")
     nt_kind, rec_kind = "approximate", "approximate"
@@ -238,6 +247,7 @@ def build_neuron(block, registry):
     class GeneratedNeuron(NeuronModel):
         name = block.type_name
         FIELDS = fields
+        BOOL_FIELDS = dict(was_increasing=False) if continuous else {}
 
         def __init__(self, nt_kinetics=nt_kind, rec_kinetics=rec_kind,
                      receptors=None):
@@ -305,6 +315,7 @@ def build_neuron(block, registry):
 
         def step(self, s, i, t_input=None, t_valid=None, skip_nt=False):
             s = dict(s)
+            last_voltage = s["v"]
             if t_input is not None and on_electrochemical is not None:
                 # custom electrochemical body replaces the default template
                 # (nb_macro neuron_receptor_integration.rs idiom: explicit
@@ -333,7 +344,10 @@ def build_neuron(block, registry):
                     s["nt$t"] = K.apply_t_changes(
                         self.nt_kinetics, s, s["v"], s["is_spiking"])
 
-            spikes = eval_expr(spike_detection, self._env(s, 0.0))
+            if continuous:
+                s, spikes = self._handle_peak_detection(s, last_voltage)
+            else:
+                spikes = eval_expr(spike_detection, self._env(s, 0.0))
             if on_spike:
                 env = self._env(s, 0.0)
                 env, deltas2 = run_statements(on_spike, env, mask=spikes,
