@@ -14,6 +14,19 @@ state pytrees advanced by fused, jit-compiled step functions under
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("SNN_TPU_FORCE_CPU"):
+    # Escape hatch for CPU smoke runs of experiments/examples: the container
+    # sitecustomize force-registers the TPU plugin and overrides
+    # JAX_PLATFORMS, so the env var alone cannot force CPU — the jax config
+    # must be set after import (same trick as tests/conftest.py).
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from .models.integrate_and_fire import (
     LeakyIntegrateAndFire,
     QuadraticIntegrateAndFire,
