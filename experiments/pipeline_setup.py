@@ -173,6 +173,26 @@ def get_noisy_spike_train_setup_function(noise_level, firing_rate, rng=None):
     return setup_spike_train
 
 
+def get_noisy_rate_spike_train_setup_function(noise_level, firing_rate,
+                                              rng=None):
+    """Rate-train variant of the noisy setup
+    (interface_gpu/experiments/pipeline_setup.py:171-184; the reference
+    body references an undefined `noise_level` due to a `noise_leve` typo
+    in its signature and would raise NameError if called — this implements
+    the evident intent)."""
+    rng = rng or np.random.default_rng()
+
+    def setup_spike_train(neuron):
+        if rng.uniform(0, 1) < noise_level:
+            neuron.rate = firing_rate
+            if firing_rate >= 1:
+                neuron.step = float(rng.integers(0, int(firing_rate)))
+        else:
+            neuron.rate = 0
+        return neuron
+    return setup_spike_train
+
+
 def find_peaks(series):
     """Local maxima (strictly greater than both neighbors); plateau-aware
     like scipy.signal.find_peaks for simple plateaus."""

@@ -98,6 +98,96 @@ def test_heuristic_parameter_search_converges():
 
 
 @pytest.mark.slow
+def test_bayesian_rate_based_d1_replay():
+    """The full-depth rate-based pipeline recalls the main pattern through
+    the d1 path using a reference-style TOML (grid keys + SNR present)."""
+    import bayesian_inference_rate_based as b
+    out = b.main(["prog", os.path.join(
+        ARGS_DIR, "bayesian_inf_args", "smoke.toml")])
+    assert len(out) == 1
+    (key, value), = out.items()
+    assert key.startswith("trial: 0, pattern1:")
+    # the attractor settles on the cued pattern or (d1-biased) the prior
+    assert value["first_acc"] or value["bayesian_first_acc"], value
+    assert "first_snr" in value
+
+
+@pytest.mark.slow
+def test_bayesian_rate_based_mbm_d2_inh():
+    """memory_biases_memory + d2 + d_acts_on_inh: the dopaminergic
+    intermediate routes the prior memory onto the inhibitory pool."""
+    import bayesian_inference_rate_based as b
+    out = b.main(["prog", os.path.join(
+        ARGS_DIR, "bayesian_inf_args", "smoke_mbm_d2.toml")])
+    (key, value), = out.items()
+    assert "first_acc" in value
+    assert "memory_biases_memory_first_acc" in value
+
+
+def test_bayesian_rate_based_accepts_reference_tomls():
+    """The reference's committed bayesian_inf_args configs parse and
+    fill_defaults without modification (acceptance replay, parse only —
+    the full 20-trial sweeps are hours of CPU time)."""
+    import bayesian_inference_rate_based as b
+    from pipeline_setup import parse_toml
+    for name in ("d1_distortion.toml", "d2_inh_vary_glu_gaba_cc.toml"):
+        with open(os.path.join(ARGS_DIR, "bayesian_inf_args", name),
+                  "rb") as f:
+            parsed = parse_toml(f)
+        b.fill_defaults(parsed)
+        assert parsed["simulation_parameters"]["filename"]
+        assert all(k in b.FIELDS for k in parsed["variables"])
+
+
+@pytest.mark.slow
+def test_schizophrenia_pipeline_nmda_sweep():
+    """Two-phase working-memory protocol with per-type clearances; healthy
+    NMDA recalls the cued pattern, hypofunctional NMDA degrades it."""
+    import schizophrenia_simulation as sc
+    out = sc.main(["prog", os.path.join(
+        ARGS_DIR, "schizophrenia_pipeline_args", "smoke.toml")])
+    assert len(out) == 2
+    by_g = {}
+    for key, value in out.items():
+        g = float(key.split("nmda_g: ")[1].split(",")[0])
+        by_g[g] = value
+    assert by_g[0.6]["first_acc"] is True
+    assert "first_snr" in by_g[0.6] and "second_snr" in by_g[0.6]
+
+
+def test_schizophrenia_accepts_reference_toml():
+    import schizophrenia_simulation as sc
+    from pipeline_setup import parse_toml
+    with open(os.path.join(ARGS_DIR, "schizophrenia_pipeline_args",
+                           "grti_with_recall_cue.toml"), "rb") as f:
+        parsed = parse_toml(f)
+    sc.fill_defaults(parsed)
+    assert parsed["simulation_parameters"]["use_glutamate_clearance"]
+    assert parsed["variables"]["nmda_clearance"] == \
+        parsed["variables"]["ampa_clearance"]
+    assert len(parsed["variables"]["nmda_clearance"]) == 10
+
+
+@pytest.mark.slow
+def test_noisy_rate_spike_train_setup():
+    from pipeline_setup import get_noisy_rate_spike_train_setup_function
+    rng = np.random.default_rng(0)
+    setup = get_noisy_rate_spike_train_setup_function(0.5, 10.0, rng=rng)
+
+    class N:
+        rate = None
+        step = 0.0
+
+    rates = []
+    for _ in range(200):
+        n = N()
+        setup(n)
+        rates.append(n.rate)
+    on = [r for r in rates if r == 10.0]
+    assert 0.3 < len(on) / len(rates) < 0.7
+
+
+@pytest.mark.slow
 def test_tolman_eichenbaum_binds_observations():
     import tolman_eichenbaum as te
     out = te.main(n_pos=8, n_obj=3, walk_steps=24, steps_per_visit=40,
