@@ -992,3 +992,292 @@ class IzhikevichNeuronNetworkGPU(IzhikevichNeuronNetwork):
             wrapped._inner = out._inner.spike_train_lattices[lid]
             out._st_lattices[lid] = wrapped
         return out
+
+
+# ---------------------------------------------------------------------------
+# Legacy v0.1 surface: Ionotropic kinetics + ligand gates and the
+# HodgkinHuxley / LeakyIntegrateAndFire / (Ionotropic) Izhikevich families
+# (`/root/reference/interface/src/lib.rs:1-3308`).  The reference's legacy
+# module names its lattice classes without the "Neuron" infix
+# (IzhikevichLattice vs the v0.4 IzhikevichNeuronLattice); both ride the
+# same device runtime here.
+# ---------------------------------------------------------------------------
+
+# the legacy module spells the inhibitory type "GABAa"
+IonotropicNeurotransmitterType.GABAa = IonotropicNeurotransmitterType.GABA
+
+_IONO_NAMES = ("AMPA", "NMDA", "GABA")
+
+
+class ApproximateNeurotransmitter:
+    """`ApproximateNeurotransmitter` (iterate_and_spike/mod.rs:165-180):
+    t += dt * -clearance_constant * t + is_spiking * t_max, clamped."""
+
+    def __init__(self, t_max=1.0, t=0.0, clearance_constant=0.01):
+        self.t_max = t_max
+        self.t = t
+        self.clearance_constant = clearance_constant
+
+
+class ApproximateNeurotransmitters:
+    """Container keyed by IonotropicNeurotransmitterType
+    (legacy `ApproximateNeurotransmitters`)."""
+
+    def __init__(self):
+        self.neurotransmitters = {}
+
+    def set_neurotransmitter(self, neurotransmitter_type, neurotransmitter):
+        t = IonotropicNeurotransmitterType(neurotransmitter_type)
+        self.neurotransmitters[int(t)] = neurotransmitter
+
+
+class ApproximateLigandGatedChannel:
+    """`ApproximateLigandGatedChannel` — one Ionotropic receptor with the
+    reference's per-type conductance/reversal defaults
+    (iterate_and_spike/mod.rs:1078-1166)."""
+
+    _DEFAULTS = {0: (1.0, 0.0), 1: (0.6, 0.0), 2: (1.2, -80.0)}
+
+    def __init__(self, neurotransmitter_type):
+        t = int(IonotropicNeurotransmitterType(neurotransmitter_type))
+        self.neurotransmitter_type = t
+        self.g, self.e = self._DEFAULTS[t]
+        self.mg = 0.3          # NMDA magnesium block (mod.rs:1133-1137)
+
+
+class ApproximateLigandGatedChannels:
+    def __init__(self):
+        self.gates = {}
+
+    def set_ligand_gate(self, neurotransmitter_type, gate):
+        t = IonotropicNeurotransmitterType(neurotransmitter_type)
+        self.gates[int(t)] = gate
+
+
+def _install_ionotropic(model, state, neuron):
+    """Install legacy-style Ionotropic neurotransmitters + ligand gates."""
+    nts = getattr(neuron, "ionotropic_neurotransmitters", None)
+    if nts is not None:
+        for t, kin in nts.neurotransmitters.items():
+            state = model.insert_neurotransmitter(
+                state, _IONO_NAMES[int(t)], t_max=kin.t_max,
+                clearance_constant=kin.clearance_constant, t=kin.t)
+    gates = getattr(neuron, "ligand_gates", None)
+    if gates is not None:
+        for t, ch in gates.gates.items():
+            params = dict(g=ch.g, e=ch.e)
+            if int(t) == 1:
+                params["mg"] = ch.mg
+            state = model.insert_receptor(state, _IONO_NAMES[int(t)],
+                                          **params)
+    return state
+
+
+class _LegacyNeuronBase:
+    """Prototype base for the legacy families: plain scalar attributes plus
+    Ionotropic neurotransmitter / ligand-gate containers."""
+
+    _SCALARS = ()
+    _DEFAULTS = {}
+
+    def __init__(self, **kw):
+        for attr, default in self._DEFAULTS.items():
+            setattr(self, attr, default)
+        self.is_spiking = False
+        self.last_firing_time = None
+        self.ionotropic_neurotransmitters = None
+        self.ligand_gates = None
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def set_neurotransmitters(self, neurotransmitters):
+        if isinstance(neurotransmitters, dict):
+            container = ApproximateNeurotransmitters()
+            for t, kin in neurotransmitters.items():
+                container.set_neurotransmitter(t, kin)
+            neurotransmitters = container
+        self.ionotropic_neurotransmitters = neurotransmitters
+
+    def set_ligand_gates(self, ligand_gates):
+        self.ligand_gates = ligand_gates
+
+
+class HodgkinHuxleyNeuron(_LegacyNeuronBase):
+    """Legacy `HodgkinHuxleyNeuron` prototype; defaults follow
+    hodgkin_huxley/mod.rs:49-106 (Na/K/K-leak channel params live in the
+    lattice state under na$/k$/kleak$ keys)."""
+
+    _SCALARS = ("current_voltage", "c_m", "v_th", "dt", "gap_conductance")
+    _DEFAULTS = dict(current_voltage=-65.0, c_m=1.0, v_th=0.0, dt=0.01,
+                     gap_conductance=7.0)
+
+
+class LeakyIntegrateAndFireNeuron(_LegacyNeuronBase):
+    """Legacy LIF prototype (integrate_and_fire/mod.rs:108-215)."""
+
+    _SCALARS = ("current_voltage", "v_th", "v_reset", "tref",
+                "leak_constant", "integration_constant", "gap_conductance",
+                "e_l", "g_l", "tau_m", "c_m", "dt")
+    _DEFAULTS = dict(current_voltage=-75.0, v_th=-55.0, v_reset=-75.0,
+                     tref=10.0, leak_constant=-1.0, integration_constant=1.0,
+                     gap_conductance=7.0, e_l=-75.0, g_l=10.0, tau_m=10.0,
+                     c_m=100.0, dt=0.1)
+
+
+def _legacy_izhikevich_installer(model, state, neuron):
+    # the legacy IzhikevichNeuron prototype is the shared class above,
+    # which may carry either DopaGluGABA receptors (v0.4 style) or the
+    # Ionotropic containers (v0.1 style)
+    if getattr(neuron, "ionotropic_neurotransmitters", None) is not None \
+            or getattr(neuron, "ligand_gates", None) is not None:
+        return _install_ionotropic(model, state, neuron)
+    return state
+
+
+def _make_legacy_lattice(cls_name, model_factory, proto_cls, scalars,
+                         keymap, installer, doc):
+    class LegacyLattice(_LatticeMixin):
+        _SCALARS = scalars
+        _KEYMAP = dict(keymap)
+
+        def __init__(self, id=0):
+            self._inner = _Lattice(model_factory(), id=id)
+            self._prototype = None
+
+        @property
+        def inner(self):
+            return self._inner
+
+        def populate(self, neuron, num_rows, num_cols):
+            self._prototype = copy.deepcopy(neuron)
+            known = set(self._inner.model.FIELDS)
+            over = {}
+            for attr in self._SCALARS:
+                key = self._KEYMAP.get(attr, attr)
+                if hasattr(neuron, attr) and key in known:
+                    over[key] = float(getattr(neuron, attr))
+            self._inner.populate(num_rows, num_cols, **over)
+            self._inner.state = installer(
+                self._inner.model, self._inner.state, neuron)
+
+        def connect(self, connection_conditional, weight_logic=None):
+            self._inner.connect(connection_conditional, weight_logic)
+
+        def connect_stencil(self, **kw):
+            self._inner.connect_stencil(**kw)
+
+        def run_lattice(self, iterations):
+            self._inner.run_lattice(iterations)
+
+        def apply(self, function):
+            arrays = self._host_arrays()
+            for idx in range(self._inner.n):
+                function(_NeuronView(arrays, idx, self._KEYMAP))
+            self._write_back(arrays)
+
+        def apply_given_position(self, function):
+            arrays = self._host_arrays()
+            cols = self._inner.cols
+            for idx in range(self._inner.n):
+                function((idx // cols, idx % cols),
+                         _NeuronView(arrays, idx, self._KEYMAP))
+            self._write_back(arrays)
+
+        def get_neuron(self, row, col):
+            if not (0 <= row < self._inner.rows
+                    and 0 <= col < self._inner.cols):
+                raise KeyError(f"position ({row}, {col}) not in lattice")
+            idx = row * self._inner.cols + col
+            n = copy.deepcopy(self._prototype) if self._prototype \
+                else proto_cls()
+            state = self._inner.state
+            for attr in self._SCALARS:
+                key = self._KEYMAP.get(attr, attr)
+                if key in state:
+                    setattr(n, attr, float(np.asarray(state[key][idx])))
+            lft = int(np.asarray(state["last_firing_time"][idx]))
+            n.last_firing_time = None if lft < 0 else lft
+            n.is_spiking = bool(np.asarray(state["is_spiking"][idx]))
+            return n
+
+        def set_neuron(self, row, col, neuron):
+            if not (0 <= row < self._inner.rows
+                    and 0 <= col < self._inner.cols):
+                raise KeyError(f"position ({row}, {col}) not in lattice")
+            idx = row * self._inner.cols + col
+            state = dict(self._inner.state)
+            for attr in self._SCALARS:
+                key = self._KEYMAP.get(attr, attr)
+                if key in state and hasattr(neuron, attr):
+                    state[key] = state[key].at[idx].set(
+                        float(getattr(neuron, attr)))
+            self._inner.state = state
+
+        @property
+        def weights(self):
+            return IzhikevichNeuronLattice.weights.fget(self)
+
+        @property
+        def position_to_index(self):
+            cols = self._inner.cols
+            return {(r, c): r * cols + c
+                    for r in range(self._inner.rows) for c in range(cols)}
+
+        do_plasticity = IzhikevichNeuronLattice.do_plasticity
+        plasticity = IzhikevichNeuronLattice.plasticity
+        electrical_synapse = IzhikevichNeuronLattice.electrical_synapse
+        chemical_synapse = IzhikevichNeuronLattice.chemical_synapse
+
+    LegacyLattice.__name__ = cls_name
+    LegacyLattice.__qualname__ = cls_name
+    LegacyLattice.__doc__ = doc
+    return LegacyLattice
+
+
+def _hh_model():
+    from .models.hodgkin_huxley import HodgkinHuxley
+    # the legacy surface pairs HH with Approximate kinetics (the published
+    # 0.23.5 crate's default for the python bindings)
+    return HodgkinHuxley(nt_kinetics="approximate",
+                        rec_kinetics="approximate")
+
+
+def _lif_model():
+    from .models.integrate_and_fire import LeakyIntegrateAndFire
+    return LeakyIntegrateAndFire(nt_kinetics="approximate",
+                                 rec_kinetics="approximate")
+
+
+def _iono_izh_model():
+    from .models.integrate_and_fire import Izhikevich
+    return Izhikevich(nt_kinetics="approximate", rec_kinetics="approximate")
+
+
+HodgkinHuxleyLattice = _make_legacy_lattice(
+    "HodgkinHuxleyLattice", _hh_model, HodgkinHuxleyNeuron,
+    HodgkinHuxleyNeuron._SCALARS, {"current_voltage": "v"},
+    _install_ionotropic,
+    "Legacy `HodgkinHuxleyLattice` (interface/src/lib.rs) on the device "
+    "runtime.")
+
+LeakyIntegrateAndFireLattice = _make_legacy_lattice(
+    "LeakyIntegrateAndFireLattice", _lif_model, LeakyIntegrateAndFireNeuron,
+    LeakyIntegrateAndFireNeuron._SCALARS, {"current_voltage": "v"},
+    _install_ionotropic,
+    "Legacy LIF lattice on the device runtime.")
+
+IzhikevichLattice = _make_legacy_lattice(
+    "IzhikevichLattice", _iono_izh_model, IzhikevichNeuron,
+    _IZH_SCALARS, dict(_IZH_KEYMAP), _legacy_izhikevich_installer,
+    "Legacy `IzhikevichLattice` (Ionotropic receptors, "
+    "interface/src/lib.rs) on the device runtime.")
+
+# legacy prototype methods on the shared IzhikevichNeuron class
+IzhikevichNeuron.set_neurotransmitters = \
+    _LegacyNeuronBase.set_neurotransmitters
+IzhikevichNeuron.set_ligand_gates = _LegacyNeuronBase.set_ligand_gates
+
+# the network wrapper is model-agnostic: legacy networks are aliases
+HodgkinHuxleyNetwork = IzhikevichNeuronNetwork
+LeakyIntegrateAndFireNetwork = IzhikevichNeuronNetwork
+IzhikevichNetwork = IzhikevichNeuronNetwork
