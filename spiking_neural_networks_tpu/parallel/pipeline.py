@@ -31,6 +31,10 @@ shape + intra-graph structure across stages, one-to-one connecting edges,
 electrical and/or chemical synapses, per-stage plasticity (intra + gated
 connecting-edge updates), grid histories.  Spike-train lattices are not
 part of the chain; drive stage 0 with state overrides instead.
+
+Reward-modulated chains run through :func:`run_pipelined_with_reward`
+(mixed reward/plain stages, reward-modulated or plain one-to-one links,
+R-STDP eligibility traces as stage-local planes, replicated dopamine).
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ from ..core.structured import (_chem_counts, _conn_edge_update, _conn_gather,
                                _conn_gather_chemical, _freeze)
 from ..core.lattice import resolve_unroll
 from ..core.history import HISTORY_KINDS
+from ..core.reward import rstdp_visit, stdp_delta_arrays
 from ..errors import LatticeNetworkError
 from ..models.base import get_neurotransmitter_concentrations
 from ..ops.graph import DenseGraph, StencilGraph
@@ -414,6 +419,432 @@ def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
     net._conn_version += 1  # weights may have moved: invalidate cached plans
     if hist_sig is not None:
         hist = np.concatenate(hist_parts)  # (T, S, rows, cols)
+        for s_idx, lat in enumerate(lattices):
+            lat.grid_history.extend(hist[:, s_idx])
+    return net
+
+
+# ---------------------------------------------------------------------------
+# Reward-modulated (R-STDP) pipeline: chain RewardModulatedLatticeNetworks
+# (VERDICT r2 item 8).  Stage-local eligibility traces are just more planes
+# shaped like the stage's weights, and the dopamine scalar is replicated —
+# its update depends only on the (replicated) reward schedule, so every
+# device computes the identical value with no extra communication.  The
+# per-step hop carries (last_firing_time, is_spiking) exactly like the STDP
+# pipeline; per-stage modulation/plasticity enables are data flags.
+# Semantics follow the structured reward runner (core/reward_network.py
+# one_step; neuron/mod.rs:4742-4947): modulated edges get up to two R-STDP
+# visits per step, plain edges get STDP visits counted from spiking plastic
+# endpoints plus modulated-endpoint sweeps.
+# ---------------------------------------------------------------------------
+
+
+def _reward_chain_order(net, order):
+    if net.spike_train_lattices:
+        raise LatticeNetworkError(
+            "pipelined networks cannot contain spike-train lattices")
+    all_ids = dict(net.lattices)
+    all_ids.update(net.reward_modulated_lattices)
+    if order is None:
+        order = sorted(all_ids)
+    if sorted(order) != sorted(all_ids):
+        raise LatticeNetworkError("order must list every lattice id once")
+    links = {(order[k], order[k + 1]) for k in range(len(order) - 1)}
+    extra = (set(net.connections) | set(net.reward_connections)) - links
+    if extra:
+        raise LatticeNetworkError(
+            f"not a chain: connections {sorted(extra)} are not stage->next")
+    both = set(net.connections) & set(net.reward_connections)
+    if both:
+        raise LatticeNetworkError(
+            f"links {sorted(both)} are both plain and reward-modulated")
+    return list(order), all_ids
+
+
+def _stack_traces(lattices, mesh, axis):
+    """Stack per-stage intra-edge trace planes (zeros for plain stages)."""
+    shape = None
+    for lat in lattices:
+        if getattr(lat, "trace", None) is not None:
+            shape = np.asarray(lat.trace["c"]).shape
+            break
+    if shape is None:
+        shape = np.asarray(lattices[0].graph.weights).shape
+    out = {}
+    for k, dt in (("c", np.float32), ("dw", np.float32),
+                  ("counter", np.int32)):
+        planes = []
+        for lat in lattices:
+            tr = getattr(lat, "trace", None)
+            planes.append(np.asarray(tr[k]) if tr is not None
+                          else np.zeros(shape, dt))
+        stacked = np.stack(planes).astype(dt)
+        sh = NamedSharding(mesh, P(axis, *([None] * (stacked.ndim - 1))))
+        leaf = jax.device_put(stacked, sh)
+        leaf.block_until_ready()
+        out[k] = leaf
+    return out
+
+
+def _stack_reward_connections(net, order, lattices, mesh, axis):
+    """(S, N) connecting-edge arrays: weights, mask, in_deg, modulated flag,
+    and the three trace planes (reward rows carry their stored traces)."""
+    n = lattices[0].n
+    S = len(order)
+    w = np.zeros((S, n), np.float32)
+    m = np.zeros((S, n), bool)
+    mod = np.zeros((S, n), np.float32)
+    c = np.zeros((S, n), np.float32)
+    dw = np.zeros((S, n), np.float32)
+    ct = np.zeros((S, n), np.int32)
+    for s in range(1, S):
+        link = (order[s - 1], order[s])
+        if link in net.connections:
+            src, dst, cw = net.connections[link]
+            src, dst = np.asarray(src), np.asarray(dst)
+            if len(src) and not (src == dst).all():
+                raise LatticeNetworkError(
+                    "pipelined connecting edges must be one-to-one")
+            w[s, dst] = cw
+            m[s, dst] = True
+        elif link in net.reward_connections:
+            src, dst, cw, ec, edw, ect = net.reward_connections[link]
+            src, dst = np.asarray(src), np.asarray(dst)
+            if len(src) and not (src == dst).all():
+                raise LatticeNetworkError(
+                    "pipelined connecting edges must be one-to-one")
+            w[s, dst] = cw
+            m[s, dst] = True
+            mod[s, dst] = 1.0
+            c[s, dst] = ec
+            dw[s, dst] = edw
+            ct[s, dst] = ect
+    spec = NamedSharding(mesh, P(axis, None))
+    out = {}
+    for k, v in (("w", w), ("mask", m), ("in_deg", m.astype(np.float32)),
+                 ("modulated", mod), ("c", c), ("dw", dw), ("counter", ct)):
+        leaf = jax.device_put(v, spec)
+        leaf.block_until_ready()
+        out[k] = leaf
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _build_reward_pipeline_runner(mesh, axis, model, graph_kind,
+                                  graph_static, electrical, chemical,
+                                  plasticity_cls, with_reward, skip_nt,
+                                  hist_sig, shape, S, length, unroll=1):
+    perm = tuple((k, k + 1) for k in range(S - 1))
+
+    readout = None
+    if hist_sig is not None:
+        cls = HISTORY_KINDS[hist_sig[0]]
+        readout = cls(*hist_sig[1:]) if len(hist_sig) > 1 else cls()
+
+    def hop(x):
+        if S == 1:
+            return jnp.zeros_like(x)
+        return jax.lax.ppermute(x, axis, perm)
+
+    def one_step(rparams, pparams, flags, conn_aux, carry, reward):
+        s, garrs, itrace, conn_w, ctrace, dopamine, clock = carry
+        g = _local_graph(graph_kind, graph_static, garrs)
+        (self_mod, self_plain, self_plast,
+         pre_mod, pre_plain, pre_plast) = flags
+
+        # ---- Phase A (identical to the plain pipeline) ----
+        total = jnp.zeros_like(s["v"])
+        cnt = jnp.zeros_like(s["v"])
+        if electrical:
+            total = total + g.gather_electrical(
+                s["v"], jnp.ones_like(s["v"]), s["v"],
+                jnp.ones_like(s["v"])) * jnp.maximum(g.in_degree(), 1.0)
+            cnt = cnt + g.in_degree()
+            v_recv = hop(s["v"])
+            total = total + _conn_gather("one2one", conn_aux, conn_w,
+                                         v_recv, jnp.ones_like(v_recv),
+                                         s["v"])
+            cnt = cnt + conn_aux["in_deg"]
+        inputs = s["gap_conductance"] * total / jnp.maximum(cnt, 1.0) \
+            if electrical else jnp.zeros_like(s["v"])
+
+        if with_reward:
+            # reward_modulator.update(reward) before the neuron sweep
+            # (plasticity/mod.rs:204-206); replicated — identical on every
+            # device
+            dopamine = dopamine * jnp.exp(
+                -rparams["dt"] / rparams["tau_d"]) \
+                + rparams["tau_d"] * reward
+
+        if chemical:
+            t, m = get_neurotransmitter_concentrations(s)
+            mf = m.astype(jnp.float32)
+            t_in_g, _valid = g.gather_chemical(t, mf)
+            gc = _chem_counts(g, mf)
+            csum = t_in_g * jnp.maximum(gc, 1.0) * (gc > 0)
+            ccnt = gc
+            k_nt = t.shape[-1]
+            both = hop(jnp.concatenate([t, mf], axis=-1))
+            sums, cnts = _conn_gather_chemical(
+                "one2one", conn_aux, conn_w, both[..., :k_nt],
+                both[..., k_nt:])
+            csum = csum + sums
+            ccnt = ccnt + cnts
+            t_in = csum / jnp.maximum(ccnt, 1.0)
+            s, spk = model.step(s, inputs, t_in, ccnt > 0.0,
+                                skip_nt=skip_nt)
+        else:
+            s, spk = model.step(s, inputs, skip_nt=skip_nt)
+        s["last_firing_time"] = jnp.where(spk, clock,
+                                          s["last_firing_time"])
+
+        # ---- hop the previous stage's plasticity fields ----
+        stacked = hop(jnp.stack(
+            [s["last_firing_time"].astype(jnp.float32),
+             spk.astype(jnp.float32)], axis=-1))
+        lft_pre = stacked[..., 0].astype(jnp.int32)
+        spk_pre = stacked[..., 1]
+        spk_f = spk.astype(jnp.float32)
+
+        # ---- intra edges ----
+        vals = {"last_firing_time": s["last_firing_time"],
+                "is_spiking": spk}
+        pre, post = g.edge_pre_post(vals, vals)
+        emask = g.edge_mask
+        w0 = g.weights
+        # R-STDP: two visits per step on a modulated stage's intra edges
+        # (both endpoints modulated; reward_lattice_step)
+        delta_i = stdp_delta_arrays(pre["last_firing_time"],
+                                    post["last_firing_time"], rparams)
+        w1, c1, dw1, ct1 = rstdp_visit(
+            w0, itrace["c"], itrace["dw"], itrace["counter"], delta_i,
+            dopamine, rparams)
+        w1, c1, dw1, ct1 = rstdp_visit(w1, c1, dw1, ct1, delta_i,
+                                       dopamine, rparams)
+        mod_gate = emask & (self_mod > 0)
+        new_w = jnp.where(mod_gate, w1, w0)
+        itrace = dict(
+            c=jnp.where(mod_gate, c1, itrace["c"]),
+            dw=jnp.where(mod_gate, dw1, itrace["dw"]),
+            counter=jnp.where(mod_gate, ct1, itrace["counter"]))
+        # STDP on a plain plastic stage's intra edges
+        count_i = (pre["is_spiking"].astype(jnp.float32)
+                   + post["is_spiking"].astype(jnp.float32))
+        w_stdp = plasticity_cls.apply_visits(w0, pre, post, pparams,
+                                             count_i)
+        plast_gate = emask & (self_plast > 0)
+        new_w = jnp.where(plast_gate, w_stdp, new_w)
+        garrs = _graph_arrays(g.replace_weights(new_w), graph_kind)
+
+        # ---- the incoming one-to-one connecting edge ----
+        cm = conn_aux["mask"]
+        mod_edge = conn_aux["modulated"]
+        lft_dst = s["last_firing_time"]
+        delta_c = stdp_delta_arrays(lft_pre, lft_dst, rparams)
+        trig_src = spk_pre * pre_plast
+        trig_dst = spk_f * self_plast
+        # R-STDP visits (reward_network.py one_step): one per modulated
+        # endpoint (every step) + one per spiking plastic plain endpoint,
+        # capped at two applications
+        visits = (pre_mod + self_mod + trig_src + trig_dst) * mod_edge
+        w1, c1, dw1, ct1 = rstdp_visit(
+            conn_w, ctrace["c"], ctrace["dw"], ctrace["counter"], delta_c,
+            dopamine, rparams)
+        m1 = cm & (visits >= 1.0)
+        cw = jnp.where(m1, w1, conn_w)
+        c_ = jnp.where(m1, c1, ctrace["c"])
+        dw_ = jnp.where(m1, dw1, ctrace["dw"])
+        ct_ = jnp.where(m1, ct1, ctrace["counter"])
+        w2, c2, dw2, ct2 = rstdp_visit(cw, c_, dw_, ct_, delta_c,
+                                       dopamine, rparams)
+        m2 = cm & (visits >= 2.0)
+        cw = jnp.where(m2, w2, cw)
+        ctrace = dict(c=jnp.where(m2, c2, c_), dw=jnp.where(m2, dw2, dw_),
+                      counter=jnp.where(m2, ct2, ct_))
+        # plain STDP on unmodulated connecting edges: spiking plastic
+        # endpoints + modulated-endpoint sweeps onto plain lattices
+        count_c = (trig_src + trig_dst
+                   + pre_mod * self_plain + self_mod * pre_plain)
+        pre_c = {"last_firing_time": lft_pre, "is_spiking": spk_pre > 0}
+        post_c = {"last_firing_time": lft_dst, "is_spiking": spk}
+        w_plain = plasticity_cls.apply_visits(cw, pre_c, post_c, pparams,
+                                              count_c)
+        conn_w = jnp.where(cm & (mod_edge == 0.0), w_plain, cw)
+
+        clock = clock + 1
+        ys = readout.readout(s, shape) if readout is not None else ()
+        return (s, garrs, itrace, conn_w, ctrace, dopamine, clock), ys
+
+    def body(state, garrs, itrace, conn_w, ctrace, conn_aux, flags,
+             dopamine, clock, rewards, rparams, pparams):
+        s = {k: v[0] for k, v in state.items()}
+        garrs = {k: v[0] for k, v in garrs.items()}
+        itrace = {k: v[0] for k, v in itrace.items()}
+        conn_w = conn_w[0]
+        ctrace = {k: v[0] for k, v in ctrace.items()}
+        conn_aux = {k: v[0] for k, v in conn_aux.items()}
+        fl = tuple(flags[0, i] for i in range(6))
+        step = functools.partial(one_step, rparams, pparams, fl, conn_aux)
+        (s, garrs, itrace, conn_w, ctrace, dopamine, clock), ys = \
+            jax.lax.scan(step, (s, garrs, itrace, conn_w, ctrace, dopamine,
+                                clock), rewards, length=length,
+                         unroll=unroll)
+        out = ({k: v[None] for k, v in s.items()},
+               {k: v[None] for k, v in garrs.items()},
+               {k: v[None] for k, v in itrace.items()},
+               conn_w[None], {k: v[None] for k, v in ctrace.items()},
+               dopamine)
+        if readout is not None:
+            ys = ys[:, None]
+        return out + (ys,)
+
+    stage = P(axis)
+    rep = P()
+    out_ys = P(None, axis) if readout is not None else rep
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(stage, stage, stage, stage, stage, stage, stage, rep,
+                  rep, rep, rep, rep),
+        out_specs=(stage, stage, stage, stage, stage, rep, out_ys))
+    return jax.jit(mapped, donate_argnums=(0, 1, 2, 3, 4))
+
+
+def run_pipelined_with_reward(net, reward, iterations, mesh=None,
+                              order=None, axis="pp", with_reward=True):
+    """Run a chain-topology RewardModulatedLatticeNetwork as one SPMD
+    pipeline (one lattice per device) and write state, weights, traces and
+    dopamine back exactly as `run_lattices_with_reward` would."""
+    order, all_lat = _reward_chain_order(net, order)
+    lattices = [all_lat[i] for i in order]
+    S = len(lattices)
+    if mesh is None:
+        mesh = make_pipeline_mesh(S, axis=axis)
+    if mesh.devices.size != S:
+        raise LatticeNetworkError(
+            f"mesh has {mesh.devices.size} devices for {S} stages")
+    axis = mesh.axis_names[0]
+    shape0 = (lattices[0].rows, lattices[0].cols)
+    for lat in lattices:
+        if (lat.rows, lat.cols) != shape0:
+            raise LatticeNetworkError(
+                "pipelined stages must share (rows, cols)")
+
+    model = lattices[0].model
+    plasticity = net._plasticity()
+    modulator = net.reward_modulator
+    from ..core.lattice import _mask_any
+    skip_nt = not any(bool(_mask_any(l.state["nt$mask"])) for l in lattices)
+
+    hist_flags = {bool(l.update_grid_history) for l in lattices}
+    if hist_flags == {True}:
+        sigs = {_freeze(l.grid_history) for l in lattices}
+        if len(sigs) != 1:
+            raise LatticeNetworkError(
+                "pipelined stages must share one grid-history kind")
+        hist_sig = next(iter(sigs))
+    elif hist_flags == {False}:
+        hist_sig = None
+    else:
+        raise LatticeNetworkError(
+            "grid history must be enabled on all stages or none")
+
+    graph_kind, graph_static, garrs = _stack_graphs(lattices, mesh, axis)
+    states = _stack_state(lattices, mesh, axis)
+    itrace = _stack_traces(lattices, mesh, axis)
+    conn = _stack_reward_connections(net, order, lattices, mesh, axis)
+    conn_w = conn.pop("w")
+    ctrace = {k: conn.pop(k) for k in ("c", "dw", "counter")}
+    conn_aux = conn   # mask + in_deg + modulated: reused across chunks
+
+    def _flag_row(k, lat):
+        is_reward = order[k] in net.reward_modulated_lattices
+        mod = float(is_reward and bool(lat.do_modulation))
+        plain = float(not is_reward)
+        plast = float((not is_reward) and bool(lat.do_plasticity))
+        return mod, plain, plast
+
+    rows = []
+    for k, lat in enumerate(lattices):
+        self_f = _flag_row(k, lat)
+        pre_f = _flag_row(k - 1, lattices[k - 1]) if k else (0.0, 0.0, 0.0)
+        rows.append(list(self_f) + list(pre_f))
+    flags = jax.device_put(np.asarray(rows, np.float32),
+                           NamedSharding(mesh, P(axis, None)))
+    flags.block_until_ready()
+    rparams = {k: jnp.float32(v) for k, v in modulator.params.items()}
+    pparams = {k: jnp.float32(v) for k, v in plasticity.params.items()}
+
+    rewards_all = jnp.broadcast_to(
+        jnp.asarray(reward, jnp.float32), (int(iterations),))
+    dopamine = jnp.float32(net.dopamine)
+
+    chunk_len = net.history_chunk if hist_sig is not None \
+        else int(iterations)
+    off = 0
+    hist_parts = []
+    while off < int(iterations):
+        length = min(int(iterations) - off, chunk_len)
+        runner = _build_reward_pipeline_runner(
+            mesh, axis, model, graph_kind, graph_static,
+            bool(net.electrical_synapse), bool(net.chemical_synapse),
+            type(plasticity), bool(with_reward), skip_nt, hist_sig,
+            shape0, S, length,
+            resolve_unroll(getattr(net, "scan_unroll", None),
+                           lattices[0].n))
+        (states, garrs, itrace, conn_w, ctrace, dopamine, ys) = runner(
+            states, garrs, itrace, conn_w, ctrace, conn_aux, flags,
+            dopamine, jnp.int32(net.internal_clock),
+            rewards_all[off:off + length], rparams, pparams)
+        net.internal_clock += length
+        off += length
+        if hist_sig is not None:
+            hist_parts.append(np.asarray(ys))
+    net.dopamine = float(dopamine)
+
+    # ---- write back per stage ----
+    from ..utils.transfer import device_put_bool, device_put_state
+    host_state = {k: np.asarray(v) for k, v in states.items()}
+    host_g = {k: np.asarray(v) for k, v in garrs.items()}
+    host_it = {k: np.asarray(v) for k, v in itrace.items()}
+    host_cw = np.asarray(conn_w)
+    host_ct = {k: np.asarray(v) for k, v in ctrace.items()}
+
+    def _put(a):
+        if a.dtype == np.bool_:
+            return device_put_bool(a)
+        out = jax.device_put(a)
+        out.block_until_ready()
+        return out
+
+    for s_idx, lat in enumerate(lattices):
+        lat.state = device_put_state(
+            {k: v[s_idx] for k, v in host_state.items()})
+        if graph_kind == "stencil":
+            lat.graph = StencilGraph(
+                graph_static, _put(host_g["weights"][s_idx]),
+                _put(host_g["mask"][s_idx]), _put(host_g["in_deg"][s_idx]))
+        else:
+            lat.graph = DenseGraph(_put(host_g["weights"][s_idx]),
+                                   _put(host_g["mask"][s_idx]))
+        if getattr(lat, "trace", None) is not None:
+            lat.trace = {k: _put(v[s_idx]) for k, v in host_it.items()}
+            lat.dopamine = net.dopamine
+        lat.internal_clock = net.internal_clock
+    for s_idx in range(1, S):
+        link = (order[s_idx - 1], order[s_idx])
+        if link in net.connections:
+            src, dst, _old = net.connections[link]
+            net.connections[link] = (src, dst,
+                                     host_cw[s_idx][np.asarray(dst)])
+        elif link in net.reward_connections:
+            src, dst, _w, _c, _dw, _ct = net.reward_connections[link]
+            d = np.asarray(dst)
+            net.reward_connections[link] = (
+                src, dst, host_cw[s_idx][d], host_ct["c"][s_idx][d],
+                host_ct["dw"][s_idx][d], host_ct["counter"][s_idx][d])
+    net._conn_version += 1
+    if hist_sig is not None:
+        hist = np.concatenate(hist_parts)
         for s_idx, lat in enumerate(lattices):
             lat.grid_history.extend(hist[:, s_idx])
     return net

@@ -174,3 +174,139 @@ def test_pipeline_rejects_reward_networks():
                                         lambda a_, b_: 1.0)
     with pytest.raises(LatticeNetworkError):
         run_pipelined(rnet, 10, mesh=_mesh(2))
+
+
+# ---------------------------------------------------------------------------
+# Reward-modulated (R-STDP) pipelines (VERDICT r2 item 8)
+# ---------------------------------------------------------------------------
+
+from spiking_neural_networks_tpu.parallel import run_pipelined_with_reward
+
+
+def _reward_chain(stages=4, rows=6, cols=6, seed=0, mixed=False,
+                  history=False):
+    """Chain of RewardModulatedLattices (or, with mixed=True, alternating
+    reward/plain-plastic stages) linked by reward-modulated edges (plain
+    edges into plain stages when mixed)."""
+    rng = np.random.default_rng(seed)
+    net = snn.RewardModulatedLatticeNetwork()
+    for k in range(stages):
+        plain = mixed and (k % 2 == 1)
+        if plain:
+            lat = snn.Lattice(snn.Izhikevich(), id=k)
+        else:
+            lat = snn.RewardModulatedLattice(snn.Izhikevich(), id=k)
+        lat.populate(rows, cols, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=seed + k)
+        v0 = rng.uniform(-65.0, 30.0, rows * cols)
+        v0[rng.permutation(rows * cols)[:6]] = 40.0
+        lft = np.full(rows * cols, -1, np.int32)
+        lft[::2] = 2  # stagger so STDP deltas are nonzero early
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32),
+                             "last_firing_time": jnp.asarray(lft)})
+        lat.update_grid_history = history
+        if plain:
+            lat.do_plasticity = True
+            net.add_lattice(lat)
+        else:
+            net.add_reward_modulated_lattice(lat)
+    for k in range(stages - 1):
+        post_plain = mixed and ((k + 1) % 2 == 1)
+        if post_plain:
+            net.connect(k, k + 1, lambda a, b: a == b, lambda a, b: 2.0)
+        else:
+            net.connect_with_reward_modulation(
+                k, k + 1, lambda a, b: a == b, lambda a, b: 2.0)
+    return net
+
+
+def _reward_lat(net, k):
+    return (net.reward_modulated_lattices.get(k) or net.lattices[k])
+
+
+@pytest.mark.slow
+def test_reward_pipeline_matches_structured():
+    stages = 4
+    a = _reward_chain(stages=stages, seed=11)
+    b = _reward_chain(stages=stages, seed=11)
+    a.run_lattices_with_reward(0.4, 120)
+    run_pipelined_with_reward(b, 0.4, 120, mesh=_mesh(stages))
+
+    assert abs(a.dopamine - b.dopamine) < 1e-5
+    fired = 0
+    for k in range(stages):
+        la, lb = _reward_lat(a, k), _reward_lat(b, k)
+        np.testing.assert_allclose(np.asarray(la.state["v"]),
+                                   np.asarray(lb.state["v"]),
+                                   rtol=2e-5, atol=2e-4, err_msg=f"v {k}")
+        np.testing.assert_array_equal(
+            np.asarray(la.state["last_firing_time"]),
+            np.asarray(lb.state["last_firing_time"]))
+        fired += int((np.asarray(la.state["last_firing_time"]) >= 0).sum())
+        wa = np.asarray(la.graph.weights)
+        wb = np.asarray(lb.graph.weights)
+        np.testing.assert_allclose(wa, wb, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"intra weights {k}")
+        for f in ("c", "dw", "counter"):
+            np.testing.assert_allclose(np.asarray(la.trace[f]),
+                                       np.asarray(lb.trace[f]),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"trace[{f}] {k}")
+    assert fired > 0, "vacuous: no spikes anywhere"
+    # modulation actually changed weights
+    fresh = _reward_chain(stages=stages, seed=11)
+    w0 = np.asarray(_reward_lat(fresh, 0).graph.weights)
+    assert not np.array_equal(np.asarray(_reward_lat(a, 0).graph.weights),
+                              w0), "vacuous: R-STDP changed nothing"
+    # reward connecting edges: weights + traces agree
+    for k in range(stages - 1):
+        ca = a.reward_connections[(k, k + 1)]
+        cb = b.reward_connections[(k, k + 1)]
+        for fa, fb in zip(ca[2:], cb[2:]):
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_reward_pipeline_mixed_stages_matches_structured():
+    """Alternating reward/plain-plastic stages with mixed edge kinds."""
+    stages = 4
+    a = _reward_chain(stages=stages, seed=13, mixed=True)
+    b = _reward_chain(stages=stages, seed=13, mixed=True)
+    a.run_lattices_with_reward(0.5, 100)
+    run_pipelined_with_reward(b, 0.5, 100, mesh=_mesh(stages))
+
+    assert abs(a.dopamine - b.dopamine) < 1e-5
+    for k in range(stages):
+        la, lb = _reward_lat(a, k), _reward_lat(b, k)
+        np.testing.assert_allclose(np.asarray(la.state["v"]),
+                                   np.asarray(lb.state["v"]),
+                                   rtol=2e-5, atol=2e-4, err_msg=f"v {k}")
+        np.testing.assert_allclose(np.asarray(la.graph.weights),
+                                   np.asarray(lb.graph.weights),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"intra weights {k}")
+    for link, conn in a.connections.items():
+        np.testing.assert_allclose(np.asarray(conn[2]),
+                                   np.asarray(b.connections[link][2]),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"plain conn {link}")
+    for link, conn in a.reward_connections.items():
+        for fa, fb in zip(conn[2:], b.reward_connections[link][2:]):
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"reward conn {link}")
+
+
+@pytest.mark.slow
+def test_reward_pipeline_grid_history():
+    stages = 3
+    a = _reward_chain(stages=stages, seed=17, history=True)
+    b = _reward_chain(stages=stages, seed=17, history=True)
+    a.run_lattices_with_reward(0.3, 60)
+    run_pipelined_with_reward(b, 0.3, 60, mesh=_mesh(stages))
+    for k in range(stages):
+        ha = np.stack(_reward_lat(a, k).grid_history.history)
+        hb = np.stack(_reward_lat(b, k).grid_history.history)
+        assert ha.shape == hb.shape == (60, 6, 6)
+        np.testing.assert_allclose(ha, hb, rtol=2e-5, atol=2e-4)
