@@ -75,7 +75,7 @@ class JitEnvironment:
         self.update_state = update_state
         self._runner = None  # (iterations, flags) -> jitted scan
 
-    def _build(self, iterations, skip_nt):
+    def _build(self, iterations, skip_nt, hist_sig):
         import functools
         import jax
         import jax.numpy as jnp
@@ -88,6 +88,7 @@ class JitEnvironment:
         chemical = agent.chemical_synapse
         do_modulation = agent.do_modulation
         unroll = resolve_unroll(agent.scan_unroll, agent.n)
+        readout, shape = self._readout(hist_sig)
 
         def one_step(pparams, carry, _):
             s, graph, trace, dopamine, clock, env = carry
@@ -97,61 +98,90 @@ class JitEnvironment:
                 pparams, s, graph, trace, dopamine, clock, reward)
             env = self.update_state(env, s)
             s = dict(self.state_encoder(env, s))
-            return (s, graph, trace, dopamine, clock, env), reward
+            ys = {"reward": reward}
+            if readout is not None:
+                ys["grid"] = readout.readout(s, shape)
+            return (s, graph, trace, dopamine, clock, env), ys
 
         def run(state, graph, trace, dopamine, clock, env, pparams):
             step = functools.partial(one_step, pparams)
-            carry, rewards = jax.lax.scan(
+            carry, ys = jax.lax.scan(
                 step, (state, graph, trace, dopamine, clock, env), None,
                 length=iterations, unroll=unroll)
-            return carry, rewards
+            return carry, ys
 
         return jax.jit(run, donate_argnums=(0, 1, 2, 5))
 
-    @staticmethod
-    def _reject_histories(agent):
-        if getattr(agent, "update_grid_history", False) or \
-                getattr(agent, "update_graph_history", False):
+    def _readout(self, hist_sig):
+        """Rebuild the history readout object from its frozen signature
+        (episodes stay ONE device program; the per-step readouts ride the
+        scan ys and are drained to the host history after the run)."""
+        if hist_sig is None:
+            return None, None
+        from .core.history import HISTORY_KINDS
+        cls = HISTORY_KINDS[hist_sig[0]]
+        h = cls(*hist_sig[1:]) if len(hist_sig) > 1 else cls()
+        return h, (self.agent.rows, self.agent.cols)
+
+    def _hist_sig(self):
+        agent = self.agent
+        if getattr(agent, "update_graph_history", False):
             raise ValueError(
-                "JitEnvironment does not record grid/graph histories; "
-                "use the host-loop Environment, or record state snapshots "
-                "from the environment callbacks instead")
+                "JitEnvironment does not record graph (weight) histories; "
+                "use the host-loop Environment for those")
+        if getattr(agent, "update_grid_history", False):
+            from .core.lattice import _freeze
+            return _freeze(agent.grid_history)
+        return None
 
     def run_with_reward(self, iterations):
         """Run `iterations` fused closed-loop steps; returns the per-step
-        reward trace (host array)."""
+        reward trace (host array).  Grid/EEG histories are recorded when
+        ``agent.update_grid_history`` is set (chunked like the lattice
+        runners)."""
         import numpy as np
         import jax.numpy as jnp
         from .core.lattice import _mask_any
 
         agent = self.agent
-        self._reject_histories(agent)
+        hist_sig = self._hist_sig()
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
-        # the callback OBJECTS are part of the cache key (not their id()s,
-        # which CPython can reuse after GC): a swapped reward/encoder
-        # function must retrace, not reuse stale traced code
-        key = (int(iterations), skip_nt, agent.electrical_synapse,
-               agent.chemical_synapse, agent.do_modulation,
-               self.reward_function, self.update_state, self.state_encoder)
-        if self._runner is None or self._runner[0] != key:
-            self._runner = (key, self._build(iterations, skip_nt))
-        runner = self._runner[1]
-        pparams = {k: jnp.float32(v)
-                   for k, v in agent.reward_modulator.params.items()}
-        carry, rewards = runner(
-            agent.state, agent.graph, agent.trace,
-            jnp.float32(agent.dopamine), jnp.int32(agent.internal_clock),
-            self.state, pparams)
-        s, graph, trace, dopamine, clock, env = carry
-        agent.state, agent.graph, agent.trace = s, graph, trace
-        agent.dopamine = float(dopamine)
-        agent.internal_clock = int(clock)
-        self.state = env
-        return np.asarray(rewards)
+        chunk = agent.history_chunk if hist_sig is not None \
+            else int(iterations)
+        rewards_all = []
+        remaining = int(iterations)
+        while remaining > 0:
+            length = min(remaining, chunk)
+            # the callback OBJECTS are part of the cache key (not their
+            # id()s, which CPython can reuse after GC): a swapped reward/
+            # encoder function must retrace, not reuse stale traced code
+            key = (length, skip_nt, agent.electrical_synapse,
+                   agent.chemical_synapse, agent.do_modulation, hist_sig,
+                   self.reward_function, self.update_state,
+                   self.state_encoder)
+            if self._runner is None or self._runner[0] != key:
+                self._runner = (key, self._build(length, skip_nt, hist_sig))
+            runner = self._runner[1]
+            pparams = {k: jnp.float32(v)
+                       for k, v in agent.reward_modulator.params.items()}
+            carry, ys = runner(
+                agent.state, agent.graph, agent.trace,
+                jnp.float32(agent.dopamine), jnp.int32(agent.internal_clock),
+                self.state, pparams)
+            s, graph, trace, dopamine, clock, env = carry
+            agent.state, agent.graph, agent.trace = s, graph, trace
+            agent.dopamine = float(dopamine)
+            agent.internal_clock = int(clock)
+            self.state = env
+            rewards_all.append(np.asarray(ys["reward"]))
+            if hist_sig is not None:
+                agent.grid_history.extend(ys["grid"])
+            remaining -= length
+        return np.concatenate(rewards_all)
 
     # -- unsupervised fused loop (Environment::run, interactable/
     #    mod.rs:48-59): agent is a plain Lattice, no reward ----------------
-    def _build_unsupervised(self, iterations, skip_nt):
+    def _build_unsupervised(self, iterations, skip_nt, hist_sig):
         import functools
         import jax
         from .core.lattice import lattice_step, resolve_unroll
@@ -163,6 +193,7 @@ class JitEnvironment:
         do_plasticity = bool(agent.do_plasticity)
         plasticity = agent.plasticity
         unroll = resolve_unroll(agent.scan_unroll, agent.n)
+        readout, shape = self._readout(hist_sig)
 
         def one_step(pparams, carry, _):
             s, graph, clock, env = carry
@@ -171,38 +202,49 @@ class JitEnvironment:
                 plasticity, pparams, s, graph, clock)
             env = self.update_state(env, s)
             s = dict(self.state_encoder(env, s))
-            return (s, graph, clock, env), ()
+            ys = {} if readout is None else {"grid": readout.readout(s,
+                                                                     shape)}
+            return (s, graph, clock, env), ys
 
         def run(state, graph, clock, env, pparams):
             step = functools.partial(one_step, pparams)
-            carry, _ = jax.lax.scan(
+            carry, ys = jax.lax.scan(
                 step, (state, graph, clock, env), None, length=iterations,
                 unroll=unroll)
-            return carry
+            return carry, ys
 
         return jax.jit(run, donate_argnums=(0, 1, 3))
 
     def run(self, iterations):
         """Unsupervised fused loop: agent step -> state update -> encoder
-        per step, one device program; agent is a plain :class:`Lattice`."""
+        per step, one device program; agent is a plain :class:`Lattice`.
+        Grid/EEG histories are recorded when set (chunked)."""
         import jax.numpy as jnp
         from .core.lattice import _mask_any
 
         agent = self.agent
-        self._reject_histories(agent)
+        hist_sig = self._hist_sig()
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
-        key = ("unsup", int(iterations), skip_nt, agent.electrical_synapse,
-               agent.chemical_synapse, bool(agent.do_plasticity),
-               self.update_state, self.state_encoder)
-        if self._runner is None or self._runner[0] != key:
-            self._runner = (key, self._build_unsupervised(iterations,
-                                                          skip_nt))
-        runner = self._runner[1]
-        pparams = {k: jnp.float32(v)
-                   for k, v in agent.plasticity.params.items()}
-        s, graph, clock, env = runner(
-            agent.state, agent.graph, jnp.int32(agent.internal_clock),
-            self.state, pparams)
-        agent.state, agent.graph = s, graph
-        agent.internal_clock = int(clock)
-        self.state = env
+        chunk = agent.history_chunk if hist_sig is not None \
+            else int(iterations)
+        remaining = int(iterations)
+        while remaining > 0:
+            length = min(remaining, chunk)
+            key = ("unsup", length, skip_nt, agent.electrical_synapse,
+                   agent.chemical_synapse, bool(agent.do_plasticity),
+                   hist_sig, self.update_state, self.state_encoder)
+            if self._runner is None or self._runner[0] != key:
+                self._runner = (key, self._build_unsupervised(
+                    length, skip_nt, hist_sig))
+            runner = self._runner[1]
+            pparams = {k: jnp.float32(v)
+                       for k, v in agent.plasticity.params.items()}
+            (s, graph, clock, env), ys = runner(
+                agent.state, agent.graph, jnp.int32(agent.internal_clock),
+                self.state, pparams)
+            agent.state, agent.graph = s, graph
+            agent.internal_clock = int(clock)
+            self.state = env
+            if hist_sig is not None:
+                agent.grid_history.extend(ys["grid"])
+            remaining -= length

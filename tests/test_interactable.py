@@ -146,3 +146,68 @@ def test_jit_environment_unsupervised_matches_host():
                                np.asarray(fused.graph.weights),
                                rtol=2e-4, atol=2e-4)
     assert fused.internal_clock == 50
+
+
+def test_jit_environment_grid_history():
+    """JitEnvironment records grid histories inside the fused episode
+    (was rejected in round 2): seamless across history chunks and equal to
+    the host-loop trajectory."""
+    import numpy as np
+    import jax.numpy as jnp
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.interactable import JitEnvironment
+
+    def build():
+        lat = snn.RewardModulatedLattice(snn.Izhikevich())
+        lat.populate(4, 4, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=1.0, seed=2)
+        v0 = np.random.default_rng(3).uniform(-65, 30, 16).astype(np.float32)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+        lat.update_grid_history = True
+        env = JitEnvironment(
+            lat, {"rate": jnp.float32(0.0)},
+            lambda e, s: {**s, "v": s["v"].at[:2].set(31.0)},
+            lambda e, s: jnp.clip(0.05 - e["rate"], -0.05, 0.05),
+            lambda e, s: {"rate": 0.9 * e["rate"]
+                          + 0.1 * s["is_spiking"].astype(jnp.float32).mean()})
+        return lat, env
+
+    lat_a, env_a = build()
+    env_a.run_with_reward(50)
+    assert len(lat_a.grid_history.history) == 50
+    ha = np.stack(lat_a.grid_history.history)
+    assert ha.shape == (50, 4, 4)
+
+    # chunked run produces the identical trajectory
+    lat_b, env_b = build()
+    lat_b.history_chunk = 7
+    env_b.run_with_reward(50)
+    hb = np.stack(lat_b.grid_history.history)
+    np.testing.assert_array_equal(ha, hb)
+    np.testing.assert_array_equal(np.asarray(lat_a.state["v"]),
+                                  np.asarray(lat_b.state["v"]))
+
+    # EEG history kind works through the same path
+    from spiking_neural_networks_tpu.core.history import EEGHistory
+    lat_c, env_c = build()
+    lat_c.grid_history = EEGHistory()
+    env_c.run_with_reward(30)
+    assert len(lat_c.grid_history.history) == 30
+
+
+def test_jit_environment_unsupervised_grid_history():
+    import numpy as np
+    import jax.numpy as jnp
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.interactable import JitEnvironment
+
+    lat = snn.Lattice(snn.Izhikevich())
+    lat.populate(4, 4, gap_conductance=10.0)
+    lat.connect_stencil(radius=1.5, keep_prob=1.0, seed=4)
+    lat.update_grid_history = True
+    env = JitEnvironment(
+        lat, {"t": jnp.float32(0.0)},
+        lambda e, s: {**s, "v": s["v"].at[:3].set(31.0)},
+        None, lambda e, s: {"t": e["t"] + 1.0})
+    env.run(40)
+    assert len(lat.grid_history.history) == 40
