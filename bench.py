@@ -44,31 +44,47 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_izhikevich(rows=512, cols=512, iters=2000):
+def bench_izhikevich(rows=512, cols=512, iters=2048):
     import spiking_neural_networks_tpu as snn
 
-    lat = snn.Lattice(snn.Izhikevich())
-    lat.populate(rows, cols, gap_conductance=10.0)
-    lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=7)
-    # 4x-unrolled step loop amortizes the per-iteration multi-kernel
-    # overhead floor (measured 53.7 -> 48.0 us/step in-process on v5e)
-    lat.scan_unroll = 4
-    v0 = np.random.default_rng(1).uniform(-65.0, 30.0, rows * cols)
-    lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+    def build(pallas):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(rows, cols, gap_conductance=10.0)
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=7)
+        # 4x-unrolled step loop amortizes the per-iteration multi-kernel
+        # overhead floor (measured 53.7 -> 48.0 us/step in-process on v5e)
+        lat.scan_unroll = 4
+        lat.use_pallas = pallas
+        v0 = np.random.default_rng(1).uniform(-65.0, 30.0, rows * cols)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        return lat
 
-    log("compiling izhikevich lattice ...")
-    t0 = time.perf_counter()
-    lat.run_lattice(iters)
-    jax.block_until_ready(lat.state["v"])
-    log(f"warmup (compile+run) {time.perf_counter() - t0:.1f}s")
+    def measure(lat, label):
+        log(f"compiling izhikevich lattice ({label}) ...")
+        t0 = time.perf_counter()
+        lat.run_lattice(iters)
+        jax.block_until_ready(lat.state["v"])
+        log(f"warmup (compile+run) {time.perf_counter() - t0:.1f}s")
+        best, vals = timed_repeats(
+            lambda: lat.run_lattice(iters),
+            lambda: jax.block_until_ready(lat.state["v"]), iters)
+        ups = rows * cols * best
+        log(f"izhikevich {rows}x{cols} [{label}]: best {ups:.3e} "
+            f"neuron-updates/s over {len(vals)} runs "
+            f"(spread {min(vals) / max(vals):.2f})")
+        return ups, [rows * cols * v for v in vals]
 
-    best, vals = timed_repeats(lambda: lat.run_lattice(iters),
-                               lambda: jax.block_until_ready(lat.state["v"]),
-                               iters)
-    ups = rows * cols * best
-    log(f"izhikevich {rows}x{cols}: best {ups:.3e} neuron-updates/s over "
-        f"{len(vals)} runs (spread {min(vals) / max(vals):.2f})")
-    return ups, [rows * cols * v for v in vals]
+    xla_ups, xla_vals = measure(build(False), "xla")
+    try:
+        # fused multi-step Pallas kernel: whole lattice VMEM-resident for
+        # K=16 steps per launch (2.4x the XLA stencil path on v5e)
+        pl_ups, pl_vals = measure(build(True), "pallas-multistep")
+    except Exception as e:
+        log("pallas path unavailable:", repr(e)[:200])
+        pl_ups, pl_vals = None, []
+    if pl_ups is not None and pl_ups > xla_ups:
+        return pl_ups, {"pallas_multistep": pl_vals, "xla": xla_vals}
+    return xla_ups, {"pallas_multistep": pl_vals, "xla": xla_vals}
 
 
 def bench_hh_stdp(rows=128, cols=128, iters=2000):

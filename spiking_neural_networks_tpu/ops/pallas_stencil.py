@@ -14,13 +14,18 @@ lane axis — wrap-around lanes are killed by the zero border weights.
 
 Used automatically by `Lattice.run_lattice` when the model is the Izhikevich
 family, synapses are electrical-only, the graph is a StencilGraph, and
-`use_pallas=True`.
+`use_pallas=True`.  Without histories the runner upgrades to the
+MULTI-STEP kernel (`fused_izhikevich_multistep`): the whole lattice stays
+resident in VMEM for K=16 steps per launch, so the ~35 MB of weight+param
+HBM traffic is amortized 16x — measured 21 us/step at 512x512 on v5e
+(1.24e10 neuron-updates/s) vs 45-52 us for the best XLA stencil path.
 
-NOTE: in the current development container the axon remote-compile service
-cannot build Mosaic kernels (HTTP 500 from tpu_compile_helper), so this path
-is verified in interpreter mode and disabled by default; the XLA stencil
-path independently exceeds the 1e9 updates/s target by ~5x.  On standard
-TPU runtimes set ``lattice.use_pallas = True``.
+Two Mosaic gotchas this file works around (round-3 findings):
+* dynamic row slices of UNBLOCKED refs miscompile when the lane dim
+  exceeds 128 — all unblocked arrays are laid out (rows, L, 128);
+* the default VMEM budget rejects kernels whose weight planes + roll
+  temporaries exceed ~10 MB — `_compiler_params` raises
+  ``vmem_limit_bytes`` (v5e has 128 MB).
 """
 
 from __future__ import annotations
@@ -33,41 +38,56 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(offsets, halo, dcs, n_off, tile_r,
+def _compiler_params(vmem_bytes=100 * 1024 * 1024):
+    """Raise Mosaic's VMEM budget: the default limit rejects kernels whose
+    weight planes + roll temporaries exceed ~10 MB (the compile helper
+    exits 1), even though v5e VMEM is 128 MB."""
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
+    except (AttributeError, TypeError):
+        return pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_bytes)
+
+
+def _kernel(offsets, halo, dcs, n_off, tile_r, rows_p,
             vp_ref, wstencil_ref, w_ref, in_deg_ref,
             a_ref, b_ref, c_ref, d_ref, vth_ref, gap_ref, tau_ref, cm_ref,
             dt_ref,
             v_out_ref, w_out_ref, spike_out_ref):
-    cols = v_out_ref.shape[1]
+    shape = v_out_ref.shape        # (tile_r, L, lane)
     # vp is UNBLOCKED (whole padded array resident in VMEM): overlapping halo
     # windows cannot be expressed with block-index maps, so each program
-    # dynamic-slices its rows here.
+    # dynamic-slices its rows here.  The column-shifted copies are stacked
+    # ALONG THE ROW AXIS (a static per-copy base offset): Mosaic's dynamic
+    # row slice of an unblocked ref miscompiles when the lane dim exceeds
+    # 128, so every array is laid out (rows, L, 128) with columns split
+    # across the L axis and the dynamic slice kept on the leading row axis.
     row0 = pl.multiple_of(pl.program_id(0) * tile_r, tile_r)
 
-    v = vp_ref[dcs.index(0), pl.ds(row0 + halo, tile_r), :]
-    acc = jnp.zeros((tile_r, cols), jnp.float32)
-    wsum = jnp.zeros((tile_r, cols), jnp.float32)
+    v = vp_ref[pl.ds(dcs.index(0) * rows_p + row0 + halo, tile_r), :, :]
+    acc = jnp.zeros(shape, jnp.float32)
+    wsum = jnp.zeros(shape, jnp.float32)
     for o, (dr, dc) in enumerate(offsets):
-        wo = wstencil_ref[o, :, :]
+        wo = wstencil_ref[o, :, :, :]
         # column shifts are pre-rolled copies (lane rotations are done once
         # per step outside the kernel); row shifts are sublane slices here
-        shifted = vp_ref[dcs.index(dc), pl.ds(row0 + halo + dr, tile_r), :]
+        base = dcs.index(dc) * rows_p
+        shifted = vp_ref[pl.ds(base + row0 + halo + dr, tile_r), :, :]
         acc = acc + wo * shifted
         wsum = wsum + wo
 
-    cnt = jnp.maximum(in_deg_ref[:, :], 1.0)
-    i_syn = gap_ref[:, :] * (acc - v * wsum) / cnt
+    cnt = jnp.maximum(in_deg_ref[:, :, :], 1.0)
+    i_syn = gap_ref[:, :, :] * (acc - v * wsum) / cnt
 
-    w = w_ref[:, :]
-    dt = dt_ref[:, :]
-    dv = (0.04 * v * v + 5.0 * v + 140.0 - w + i_syn) * (dt / cm_ref[:, :])
-    dw = (a_ref[:, :] * (b_ref[:, :] * v - w)) * (dt / tau_ref[:, :])
+    w = w_ref[:, :, :]
+    dt = dt_ref[:, :, :]
+    dv = (0.04 * v * v + 5.0 * v + 140.0 - w + i_syn) * (dt / cm_ref[:, :, :])
+    dw = (a_ref[:, :, :] * (b_ref[:, :, :] * v - w)) * (dt / tau_ref[:, :, :])
     v_new = v + dv
     w_new = w + dw
-    spikes = v_new >= vth_ref[:, :]
-    v_out_ref[:, :] = jnp.where(spikes, c_ref[:, :], v_new)
-    w_out_ref[:, :] = jnp.where(spikes, w_new + d_ref[:, :], w_new)
-    spike_out_ref[:, :] = spikes.astype(jnp.float32)
+    spikes = v_new >= vth_ref[:, :, :]
+    v_out_ref[:, :, :] = jnp.where(spikes, c_ref[:, :, :], v_new)
+    w_out_ref[:, :, :] = jnp.where(spikes, w_new + d_ref[:, :, :], w_new)
+    spike_out_ref[:, :, :] = spikes.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "tile_r"))
@@ -79,16 +99,23 @@ def fused_izhikevich_stencil_step(v, w, wstencil, in_deg, a, b, c, d, v_th,
     Returns (v_new, w_new, spikes_f32).
     """
     rows, cols = v.shape
+    # split columns into lanes of <=128 (see _kernel layout note)
+    lane = 128 if cols % 128 == 0 else cols
+    L = cols // lane
     halo = 0
     for dr, dc in offsets:
         halo = max(halo, abs(dr))
     # sublane dim of the overlapping block must be divisible by 8: round the
     # halo padding up to a multiple of 4 (2 * halo_p multiple of 8)
     halo_p = -(-halo // 4) * 4
+    rows_p = rows + 2 * halo_p
     vp = jnp.pad(v, ((halo_p, halo_p), (0, 0)))
-    # pre-roll column-shifted copies (lane rotations once per step in XLA)
+    # pre-roll column-shifted copies (lane rotations once per step in XLA),
+    # stacked along the row axis so the kernel's dynamic slice stays on the
+    # leading dim
     dcs = tuple(sorted({dc for _, dc in offsets} | {0}))
-    vp = jnp.stack([jnp.roll(vp, -dc, axis=1) for dc in dcs])
+    vp = jnp.concatenate([jnp.roll(vp, -dc, axis=1) for dc in dcs], axis=0)
+    vp = vp.reshape(len(dcs) * rows_p, L, lane)
     n_off = len(offsets)
     tile_r = min(tile_r, rows)
     while rows % tile_r or tile_r % 8:
@@ -97,29 +124,152 @@ def fused_izhikevich_stencil_step(v, w, wstencil, in_deg, a, b, c, d, v_th,
         tile_r = rows
     grid = (rows // tile_r,)
 
+    def to3(x):
+        return x.reshape(rows, L, lane)
+
     # NOTE: BlockSpec index maps return BLOCK indices (scaled by block shape)
     grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
             # whole padded voltage (all column-shifted copies) in VMEM
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_off, tile_r, cols), lambda i: (0, i, 0),
+            pl.BlockSpec((n_off, tile_r, L, lane), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
+        ] + [pl.BlockSpec((tile_r, L, lane), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)] * 11,
-        out_specs=[pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((tile_r, L, lane), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
     )
 
     kernel = functools.partial(_kernel, tuple(offsets), halo_p, dcs, n_off,
-                               tile_r)
+                               tile_r, rows_p)
     v_new, w_new, spikes = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((rows, L, lane), jnp.float32)] * 3,
+        compiler_params=_compiler_params(),
         interpret=jax.default_backend() == "cpu",  # CPU tests interpret
-    )(vp, wstencil, w, in_deg, a, b, c, d, v_th, gap, tau_m, c_m, dt)
-    return v_new, w_new, spikes
+    )(vp, wstencil.reshape(n_off, rows, L, lane), to3(w), to3(in_deg),
+      to3(a), to3(b), to3(c), to3(d), to3(v_th), to3(gap), to3(tau_m),
+      to3(c_m), to3(dt))
+    back = (rows, cols)
+    return v_new.reshape(back), w_new.reshape(back), spikes.reshape(back)
+
+
+def _kernel_multi(offsets, n_off, n_steps,
+                  clock_ref, v_ref, w_ref, lft_ref, wst_ref, in_deg_ref,
+                  a_ref, b_ref, c_ref, d_ref, vth_ref, gap_ref, tau_ref,
+                  cm_ref, dt_ref,
+                  v_out_ref, w_out_ref, lft_out_ref, spike_out_ref):
+    """K simulation steps with the WHOLE lattice resident in VMEM.
+
+    grid=(1,): every array is a single full block, so HBM traffic
+    (weights + params + state, ~35 MB at 512x512) is paid once per K steps
+    instead of once per step.  Column/row shifts are static `jnp.roll`s on
+    VALUES (not refs — Mosaic's unblocked-ref dynamic slice is what breaks
+    at >128 lanes); wrap-around contributions are killed by the stencil's
+    zero border weights (StencilGraph.build pads borders with 0)."""
+    v = v_ref[:, :]
+    w = w_ref[:, :]
+    lft = lft_ref[:, :]
+    wst = [wst_ref[o, :, :] for o in range(n_off)]
+    wsum = sum(wst)
+    cnt = jnp.maximum(in_deg_ref[:, :], 1.0)
+    a = a_ref[:, :]
+    b = b_ref[:, :]
+    c = c_ref[:, :]
+    d = d_ref[:, :]
+    v_th = vth_ref[:, :]
+    gap = gap_ref[:, :]
+    dt_tau = dt_ref[:, :] / tau_ref[:, :]
+    dt_cm = dt_ref[:, :] / cm_ref[:, :]
+    clock0 = clock_ref[0]
+
+    def body(k, carry):
+        v, w, lft, _ = carry
+        acc = jnp.zeros_like(v)
+        for o, (dr, dc) in enumerate(offsets):
+            shifted = v
+            if dr:
+                shifted = jnp.roll(shifted, -dr, 0)
+            if dc:
+                shifted = jnp.roll(shifted, -dc, 1)
+            acc = acc + wst[o] * shifted
+        i_syn = gap * (acc - v * wsum) / cnt
+        dv = (0.04 * v * v + 5.0 * v + 140.0 - w + i_syn) * dt_cm
+        dw = (a * (b * v - w)) * dt_tau
+        v_new = v + dv
+        w_new = w + dw
+        spikes = v_new >= v_th
+        v_new = jnp.where(spikes, c, v_new)
+        w_new = jnp.where(spikes, w_new + d, w_new)
+        lft = jnp.where(spikes, clock0 + k, lft)
+        return v_new, w_new, lft, spikes
+
+    spk0 = jnp.zeros(v.shape, jnp.bool_)
+    v, w, lft, spk = jax.lax.fori_loop(0, n_steps, body, (v, w, lft, spk0),
+                                       unroll=True)
+    v_out_ref[:, :] = v
+    w_out_ref[:, :] = w
+    lft_out_ref[:, :] = lft
+    spike_out_ref[:, :] = spk.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "n_steps"))
+def fused_izhikevich_multistep(v, w, lft, wstencil, in_deg, a, b, c, d,
+                               v_th, gap, tau_m, c_m, dt, clock, offsets,
+                               n_steps):
+    """Run ``n_steps`` electrical Izhikevich steps in ONE kernel launch.
+    Returns (v, w, last_firing_time, final-step spikes as f32)."""
+    rows, cols = v.shape
+    n_off = len(offsets)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_multi, tuple(offsets), n_off,
+                               int(n_steps))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[full] * 14,
+            out_specs=[full] * 4),
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, cols), jnp.int32),
+                   jax.ShapeDtypeStruct((rows, cols), jnp.float32)],
+        compiler_params=_compiler_params(),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray([clock], jnp.int32), v, w, lft, wstencil, in_deg, a, b, c,
+      d, v_th, gap, tau_m, c_m, dt)
+
+
+def lattice_multistep(model, state, graph, clock, n_steps):
+    """Advance ``n_steps`` steps with the multi-step VMEM-resident kernel
+    (electrical Izhikevich + StencilGraph, no histories)."""
+    rows, cols = graph.shape
+
+    def g(name):
+        return state[name].reshape(rows, cols)
+
+    v, w, lft, spikes = fused_izhikevich_multistep(
+        g("v"), g("w"), state["last_firing_time"].reshape(rows, cols),
+        graph.weights, graph.in_deg, g("a"), g("b"), g("c"), g("d"),
+        g("v_th"), g("gap_conductance"), g("tau_m"), g("c_m"), g("dt"),
+        clock, offsets=graph.offsets, n_steps=n_steps)
+    state = dict(state)
+    state["v"] = v.reshape(-1)
+    state["w"] = w.reshape(-1)
+    state["last_firing_time"] = lft.reshape(-1)
+    state["is_spiking"] = spikes.reshape(-1) > 0.0
+    return state
+
+
+def multistep_vmem_ok(graph, n_params=13):
+    """Whether the whole lattice (weights + params + state) fits in VMEM."""
+    n_off = graph.weights.shape[0]
+    n = graph.shape[0] * graph.shape[1]
+    total = 4 * n * (n_off + n_params + 6)
+    return total < 90 * 1024 * 1024
 
 
 def supports(model, graph, electrical, chemical, do_plasticity):

@@ -264,6 +264,36 @@ def test_pallas_kernel_multiblock_direct():
     np.testing.assert_array_equal(np.asarray(spikes) > 0, np.asarray(spk))
 
 
+def test_pallas_kernel_lane_split_direct():
+    """cols > 128 exercises the (rows, L, 128) lane-split layout (Mosaic
+    miscompiles dynamic row slices of unblocked refs with >128 lanes)."""
+    from spiking_neural_networks_tpu.ops.pallas_stencil import (
+        fused_izhikevich_stencil_step)
+    rows, cols = 16, 256
+    offsets = radius_offsets(2.0)
+    rng = np.random.default_rng(21)
+    g = StencilGraph.build(rows, cols, offsets, keep_prob=0.7, seed=22)
+    v = jnp.asarray(rng.uniform(-65, 30, (rows, cols)), jnp.float32)
+    w = jnp.full((rows, cols), 30.0, jnp.float32)
+    f = lambda val: jnp.full((rows, cols), val, jnp.float32)
+
+    v_new, w_new, spikes = fused_izhikevich_stencil_step(
+        v, w, g.weights, g.in_deg, f(0.02), f(0.2), f(-55.0), f(8.0),
+        f(30.0), f(10.0), f(1.0), f(100.0), f(0.1), offsets=g.offsets,
+        tile_r=8)
+
+    elec = g.gather_electrical(v.reshape(-1), jnp.ones(rows * cols),
+                               v.reshape(-1), f(10.0).reshape(-1))
+    dv = (0.04 * v ** 2 + 5 * v + 140 - w
+          + elec.reshape(rows, cols)) * (0.1 / 100.0)
+    v_ref = v + dv
+    spk = v_ref >= 30.0
+    v_ref = jnp.where(spk, -55.0, v_ref)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(spikes) > 0, np.asarray(spk))
+
+
 def test_bcm_lattice_matches_scalar_reference():
     """BCM plasticity + BCMIzhikevich activity tracking vs scalar reference."""
     from reference_impl import RefBCMIzhikevich, run_ref_lattice_bcm
