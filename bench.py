@@ -177,21 +177,37 @@ def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):
 
 def bench_rstdp_lattice(rows=64, cols=64, iters=3000):
     """Reward-modulated STDP lattice: per-edge eligibility traces on a
-    radius-2 graph (stencil-decomposed), two visits per edge per step."""
+    radius-2 graph (stencil-decomposed), two visits per edge per step.
+    Measures the XLA path and the fused whole-step Pallas kernel
+    (ops/pallas_reward.py); reports the best."""
     import spiking_neural_networks_tpu as snn
 
-    lat = snn.RewardModulatedLattice(snn.Izhikevich())
-    lat.populate(rows, cols, gap_conductance=10.0)
-    lat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
-                and x != y)
-    lat.scan_unroll = 4  # 17.9k -> 25.5k steps/s in-process on v5e
-    lat.run_lattice_with_reward(0.5, iters)
-    best, vals = timed_repeats(
-        lambda: lat.run_lattice_with_reward(0.5, iters),
-        lambda: jax.block_until_ready(lat.state["v"]), iters)
-    log(f"R-STDP lattice {rows}x{cols}: best {best:.1f} steps/s "
-        f"(spread {min(vals) / max(vals):.2f})")
-    return best, vals
+    def build(pallas):
+        lat = snn.RewardModulatedLattice(snn.Izhikevich())
+        lat.populate(rows, cols, gap_conductance=10.0)
+        lat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                    and x != y)
+        lat.scan_unroll = 4  # 17.9k -> 25.5k steps/s in-process on v5e
+        lat.use_pallas = pallas
+        return lat
+
+    def measure(lat, label):
+        lat.run_lattice_with_reward(0.5, iters)
+        best, vals = timed_repeats(
+            lambda: lat.run_lattice_with_reward(0.5, iters),
+            lambda: jax.block_until_ready(lat.state["v"]), iters)
+        log(f"R-STDP lattice {rows}x{cols} [{label}]: best {best:.1f} "
+            f"steps/s (spread {min(vals) / max(vals):.2f})")
+        return best, vals
+
+    xla_best, xla_vals = measure(build(False), "xla")
+    try:
+        pl_best, pl_vals = measure(build(True), "pallas-fused")
+    except Exception as e:
+        log("pallas reward path unavailable:", repr(e)[:200])
+        pl_best, pl_vals = 0.0, []
+    vals = {"xla": xla_vals, "pallas_fused": pl_vals}
+    return max(xla_best, pl_best), vals
 
 
 def bench_reward_network(n_side=32, iters=3000):
@@ -223,14 +239,25 @@ def bench_reward_network(n_side=32, iters=3000):
     net.connect_with_reward_modulation(1, 0, lambda a, b: a == b,
                                        lambda a, b: 1.0)
 
-    net.run_lattices_with_reward(0.5, iters)
-    best, vals = timed_repeats(
-        lambda: net.run_lattices_with_reward(0.5, iters),
-        lambda: jax.block_until_ready(
-            net.get_reward_modulated_lattice(0).state["v"]), iters)
-    log(f"reward network {n_side}x{n_side}: best {best:.1f} steps/s "
-        f"(spread {min(vals) / max(vals):.2f})")
-    return best, vals
+    def measure(label):
+        net.run_lattices_with_reward(0.5, iters)
+        best, vals = timed_repeats(
+            lambda: net.run_lattices_with_reward(0.5, iters),
+            lambda: jax.block_until_ready(
+                net.get_reward_modulated_lattice(0).state["v"]), iters)
+        log(f"reward network {n_side}x{n_side} [{label}]: best {best:.1f} "
+            f"steps/s (spread {min(vals) / max(vals):.2f})")
+        return best, vals
+
+    xla_best, xla_vals = measure("xla")
+    try:
+        net.use_pallas = True
+        pl_best, pl_vals = measure("pallas-fused")
+    except Exception as e:
+        log("pallas reward-network path unavailable:", repr(e)[:200])
+        pl_best, pl_vals = 0.0, []
+    vals = {"xla": xla_vals, "pallas_fused": pl_vals}
+    return max(xla_best, pl_best), vals
 
 
 def bench_closed_loop(iters=1500):

@@ -252,6 +252,9 @@ class LatticeNetwork:
         self.internal_clock = 0
         self.history_chunk = 1024
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
+        # opt-in fused whole-network Pallas kernel for small reward
+        # networks (ops/pallas_reward.py; plain networks ignore it)
+        self.use_pallas = False
         self.key = jax.random.PRNGKey(0)
         # bumped on any topology/weight mutation; run_structured caches its
         # compiled plan (and device-resident connection weights) against it

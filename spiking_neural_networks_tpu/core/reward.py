@@ -94,6 +94,8 @@ class RewardModulatedLattice:
         self.history_chunk = 1024
         self.in_network = False
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
+        # opt-in fused whole-step Pallas kernel (ops/pallas_reward.py)
+        self.use_pallas = False
 
     @property
     def n(self):
@@ -250,6 +252,11 @@ class RewardModulatedLattice:
                 self._run(rewards[off:off + length], with_reward)
                 off += length
             return
+        if self.use_pallas and not any_hist:
+            from ..ops import pallas_reward
+            if pallas_reward.supports_lattice(self) \
+                    and pallas_reward.lattice_run(self, rewards, with_reward):
+                return
         runner = _build_reward_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_modulation, with_reward,

@@ -151,12 +151,21 @@ def run_structured_reward(net, rewards, with_reward):
          c["pre_plastic"], c["post_plastic"]) for c in rconns)
     graph_types = tuple(type(l.graph) for l in lattices)
 
-    runner = _build_structured_reward_runner(
-        model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta, rconn_meta,
-        graph_types, lat_kind, net.electrical_synapse, net.chemical_synapse,
-        type(plasticity), skip_nt, bool(with_reward), hist, st_hist,
-        int(rewards.shape[0]), ghist,
-        resolve_unroll(net.scan_unroll, sum(l.n for l in lattices)))
+    runner = None
+    if getattr(net, "use_pallas", False) and not hist and not st_hist \
+            and not ghist:
+        # fused whole-network multi-step kernel (ops/pallas_reward.py);
+        # None when the configuration is outside the supported class
+        from ..ops import pallas_reward
+        runner = pallas_reward.network_runner(net, plan, lat_kind, skip_nt,
+                                              bool(with_reward))
+    if runner is None:
+        runner = _build_structured_reward_runner(
+            model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,
+            rconn_meta, graph_types, lat_kind, net.electrical_synapse,
+            net.chemical_synapse, type(plasticity), skip_nt,
+            bool(with_reward), hist, st_hist, int(rewards.shape[0]), ghist,
+            resolve_unroll(net.scan_unroll, sum(l.n for l in lattices)))
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)
@@ -180,7 +189,19 @@ def run_structured_reward(net, rewards, with_reward):
      dopamine, net.key, ys) = out
     iterations = int(rewards.shape[0])
     net.internal_clock += iterations
-    net.dopamine = float(dopamine)
+
+    # ONE batched host pull for everything user-visible: per-array
+    # np.asarray pays a full tunnel round trip EACH (~40-90ms over the axon
+    # relay), which dominated the per-call fixed cost at small sizes
+    pull = [dopamine]
+    for c, w in zip(conns, conn_ws):
+        if c["updates"]:
+            pull.append(w)
+    for c, w, tr in zip(rconns, rconn_ws, rconn_traces):
+        pull += [w, tr["c"], tr["dw"], tr["counter"]]
+    pulled = jax.device_get(pull)
+    net.dopamine = float(pulled[0])
+    pi = 1
 
     for i, lat, state, graph, trace in zip(lat_ids, lattices, states, graphs,
                                            traces):
@@ -198,14 +219,18 @@ def run_structured_reward(net, rewards, with_reward):
         if not c["updates"]:
             continue
         src, dst, _old = net.connections[c["key"]]
-        net.connections[c["key"]] = (src, dst, c["op"].extract(w))
+        net.connections[c["key"]] = (src, dst, c["op"].extract(pulled[pi]))
+        pi += 1
     for c, w, tr in zip(rconns, rconn_ws, rconn_traces):
         c["op"].w0 = w
         c["trace0"] = tr
         src, dst = net.reward_connections[c["key"]][:2]
         net.reward_connections[c["key"]] = (
-            src, dst, c["op"].extract(w), c["op"].extract(tr["c"]),
-            c["op"].extract(tr["dw"]), c["op"].extract(tr["counter"]))
+            src, dst, c["op"].extract(pulled[pi]),
+            c["op"].extract(pulled[pi + 1]),
+            c["op"].extract(pulled[pi + 2]),
+            c["op"].extract(pulled[pi + 3]))
+        pi += 4
     for (i, kind, sig, shape) in hist:
         merged[i].grid_history.extend(ys[("lat", i)])
     for (i, kind, sig, shape) in st_hist:

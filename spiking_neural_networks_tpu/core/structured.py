@@ -507,6 +507,11 @@ def run_structured(net, iterations):
     for st, state in zip(sts, st_states):
         st.state = dict(state)
         st.internal_clock = net.internal_clock
+    # batch the plastic-weight host pulls into one transfer (per-array
+    # np.asarray pays a tunnel round trip each)
+    pulled = jax.device_get([w for c, w in zip(conns, conn_ws)
+                             if c["plastic"]])
+    pi = 0
     for c, w in zip(conns, conn_ws):
         # keep the weights device-resident for the next run — conn_ws is a
         # DONATED argument, so the previous array is invalidated and the
@@ -517,7 +522,8 @@ def run_structured(net, iterations):
         src, dst, _old = net.connections[c["key"]]
         # the host mirror stays the user-visible source of truth (writing it
         # here must not invalidate the plan cache, hence no version bump)
-        net.connections[c["key"]] = (src, dst, c["op"].extract(w))
+        net.connections[c["key"]] = (src, dst, c["op"].extract(pulled[pi]))
+        pi += 1
     for (i, kind, sig, shape) in hist:
         net.lattices[i].grid_history.extend(ys[("lat", i)])
     for (i, kind, sig, shape) in st_hist:

@@ -1,0 +1,944 @@
+"""Fused multi-step Pallas kernel for SMALL reward-modulated networks.
+
+The 32x32 reward network (the size class the reference's science pipelines
+actually run at — `interface_gpu/experiments/bayesian_inference_pipeline.py`)
+is kernel-COUNT bound on TPU, not FLOP or bandwidth bound: xprof shows one
+compiled XLA step is ~45 serialized tiny fusions at 0.3-4.4us each (~76us of
+device time for ~1us of arithmetic).  This module collapses the ENTIRE
+network step — spike-train sources, electrical phase A, the Izhikevich
+phase B, STDP, the R-STDP double visit, reward-connection visits, and the
+dopamine decay — into ONE Pallas kernel that runs K steps per launch with
+every plane resident in VMEM.
+
+Semantics replicated exactly (same ordering as `core/reward_structured.py`,
+which mirrors `/root/reference/backend/src/neuron/mod.rs:5030-5290`):
+
+1. spike-train refractoriness effects from the PREVIOUS step's firing times
+   (trains step last, mod.rs:2445);
+2. phase A: per-lattice electrical input with cross-component in-degree
+   averaging (mod.rs:2115-2212);
+3. dopamine decays with the reward before the visits
+   (plasticity/mod.rs:204-206);
+4. phase B: Izhikevich Euler update + spike handling, deferred
+   last-firing-time;
+5. STDP on plastic intra graphs and plain connections, gated per spiking
+   plastic endpoint (mod.rs:4868-4947);
+6. the R-STDP double visit on modulated intra graphs and gated visits on
+   reward connections (plasticity/mod.rs:199-242, mod.rs:4742-4762);
+7. spike trains step with the pre-increment clock.
+
+Supported configuration (``supports_network`` / ``supports_lattice``):
+Izhikevich lattices on StencilGraphs (same grid shape), electrical synapses
+only, no neurotransmitters, Poisson/Rate spike trains, one-to-one
+connections, STDP plasticity + RewardModulatedSTDP modulation, no
+histories.  Anything else falls back to the XLA structured runner.
+
+Poisson randomness: the XLA path threads a `jax.random` key through the
+scan (one split per step).  Inside the kernel the uniforms are read from a
+PRE-GENERATED (n_steps * R, C) buffer drawn from one split of the same key
+— a different (equally valid) stream, so Poisson-driven runs agree with
+the XLA path statistically, not bitwise (the reference makes the same
+choice for its GPU xorshift RNG vs thread_rng, spike_train/mod.rs:380-388).
+Rate/Preset-driven and trainless configs are deterministic and match the
+XLA path to float tolerance.
+
+Mosaic notes: planes stay (R, C) (lane dim <= 128 at these sizes); shifts
+are `jnp.roll` with wrap-around killed by the zero border weights; the
+per-step uniforms are a dynamic ROW slice (k * R) of a (n_steps * R, C)
+ref (dynamic leading-dim slices are safe at <= 128 lanes); scalars
+(clock, dopamine, rewards, rule parameters) live in SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.base import NEVER
+from .pallas_stencil import _compiler_params
+
+LAT_PARAM_KEYS = ("a", "b", "c", "d", "v_th", "gap_conductance",
+                  "tau_m", "c_m", "dt")
+PP_KEYS = ("a_plus", "a_minus", "tau_plus", "tau_minus", "dt")
+RP_KEYS = ("a_plus", "a_minus", "tau_plus", "tau_minus", "dt",
+           "tau_c", "tau_d")
+
+# steps fused per kernel launch (amortizes the launch + chunk-slice kernels)
+DEFAULT_CHUNK = 16
+VMEM_BUDGET = 80 * 1024 * 1024
+
+
+class LatSpec(NamedTuple):
+    kind: str                  # 'plain' | 'plastic' | 'mod'
+    offsets: tuple             # stencil offsets ((dr, dc), ...)
+
+
+class TrainSpec(NamedTuple):
+    kind: str                  # 'poisson' | 'rate'
+    refractoriness: str        # 'delta_dirac' | 'exponential_decay'
+
+
+class ConnSpec(NamedTuple):
+    pre_is_st: bool
+    pre: int                   # index into lattices (or trains if pre_is_st)
+    post: int                  # index into lattices
+    reward: bool
+    static: int                # static visit count (modulated endpoints)
+    pre_plastic: bool
+    post_plastic: bool
+    updates: bool              # False: weights are read-only
+
+
+class NetSpec(NamedTuple):
+    shape: tuple               # (R, C) — all lattices and trains
+    lattices: tuple            # LatSpec, ...
+    trains: tuple              # TrainSpec, ...
+    conns: tuple               # ConnSpec, ...
+    with_reward: bool
+
+
+def _shift(x, dr, dc):
+    """out[r, c] = x[r + dr, c + dc]; wrap-around is killed by zero border
+    weights / the edge masks (StencilGraph.build masks off-grid slots)."""
+    if dr:
+        x = jnp.roll(x, -dr, 0)
+    if dc:
+        x = jnp.roll(x, -dc, 1)
+    return x
+
+
+def _stdp_delta(lft_pre, lft_post, a_plus, a_minus, tau_plus, tau_minus, dt):
+    """`stdp_delta_arrays` (core/reward.py) on int32 firing-time planes."""
+    both = jnp.logical_and(lft_pre != NEVER, lft_post != NEVER)
+    diff = jnp.abs((lft_pre - lft_post).astype(jnp.float32)) * dt
+    plus = a_plus * jnp.exp(-diff / tau_plus)
+    minus = -a_minus * jnp.exp(-diff / tau_minus)
+    dw = jnp.where(lft_pre < lft_post, plus,
+                   jnp.where(lft_pre > lft_post, minus, 0.0))
+    return jnp.where(both, dw, 0.0)
+
+
+def _rstdp_visit(w, c, dw, ct, delta, dop, exp_dc, tau_c):
+    """One `RewardModulatedSTDP::update_weight` visit (core/reward.py)."""
+    dw = dw + delta
+    apply_trace = ct != 0
+    c = jnp.where(apply_trace, c * exp_dc + tau_c * dw, c)
+    dw = jnp.where(apply_trace, 0.0, dw)
+    ct = jnp.where(apply_trace, 0, 1).astype(ct.dtype)
+    w = w + c * dop
+    return w, c, dw, ct
+
+
+def _make_kernel(spec, n_steps):
+    """Build the fused kernel.  Ref order must match `_flat_inputs` /
+    `_out_shapes` exactly (inputs then outputs, cursor style)."""
+    R, C = spec.shape
+
+    def kernel(*refs):
+        cur = [0]
+
+        def take():
+            r = refs[cur[0]]
+            cur[0] += 1
+            return r
+
+        clock_ref = take()                  # (1,)  i32 SMEM
+        pp_ref = take()                     # (5,)  f32 SMEM
+        rp_ref = take()                     # (7,)  f32 SMEM
+        dop_ref = take()                    # (1,)  f32 SMEM
+        rew_ref = take()                    # (n_steps,) f32 SMEM
+
+        lats = []
+        for ls in spec.lattices:
+            d = dict(v=take()[:, :], w=take()[:, :], lft=take()[:, :],
+                     wst=take()[:, :, :], in_deg=take()[:, :])
+            if ls.kind in ("plastic", "mod"):
+                d["mask"] = take()[:, :, :]
+            for p in LAT_PARAM_KEYS:
+                d[p] = take()[:, :]
+            if ls.kind == "mod":
+                d["tc"] = take()[:, :, :]
+                d["tdw"] = take()[:, :, :]
+                d["tct"] = take()[:, :, :]
+            lats.append(d)
+
+        trains = []
+        for ts in spec.trains:
+            d = dict(lft=take()[:, :], v_th=take()[:, :],
+                     v_resting=take()[:, :], refr_k=take()[:, :],
+                     dt=take()[:, :])
+            if ts.kind == "poisson":
+                d["chance"] = take()[:, :]
+                d["uniforms"] = take()      # (n_steps * R, C) ref, sliced
+            else:
+                d["rate"] = take()[:, :]
+                d["step"] = take()[:, :]
+            trains.append(d)
+
+        conns = []
+        for cs in spec.conns:
+            d = dict(w=take()[:, :], mask=take()[:, :])
+            if cs.reward:
+                d["tc"] = take()[:, :]
+                d["tdw"] = take()[:, :]
+                d["tct"] = take()[:, :]
+            conns.append(d)
+
+        # remaining refs are outputs, in carry order (see _out_shapes)
+        out_refs = refs[cur[0]:]
+
+        pp = {k: pp_ref[i] for i, k in enumerate(PP_KEYS)}
+        rp = {k: rp_ref[i] for i, k in enumerate(RP_KEYS)}
+        clock0 = clock_ref[0]
+        exp_dc = jnp.exp(-rp["dt"] / rp["tau_c"])
+        exp_dd = jnp.exp(-rp["dt"] / rp["tau_d"])
+
+        # static per-run precomputation
+        zero = jnp.zeros((R, C), jnp.float32)
+        cnts = []
+        dt_cm, dt_tau = [], []
+        for i, ls in enumerate(spec.lattices):
+            cnt = lats[i]["in_deg"]
+            for ci, cs in enumerate(spec.conns):
+                if cs.post == i:
+                    cnt = cnt + conns[ci]["mask"]
+            cnts.append(jnp.maximum(cnt, 1.0))
+            dt_cm.append(lats[i]["dt"] / lats[i]["c_m"])
+            dt_tau.append(lats[i]["dt"] / lats[i]["tau_m"])
+
+        lat0 = tuple(
+            (lats[i]["v"], lats[i]["w"], lats[i]["lft"], lats[i]["wst"],
+             (lats[i]["tc"], lats[i]["tdw"], lats[i]["tct"])
+             if ls.kind == "mod" else (), zero)
+            for i, ls in enumerate(spec.lattices))
+        tr0 = tuple(
+            (trains[j]["lft"],
+             trains[j]["step"] if ts.kind == "rate" else zero, zero)
+            for j, ts in enumerate(spec.trains))
+        cn0 = tuple(
+            (conns[ci]["w"],
+             (conns[ci]["tc"], conns[ci]["tdw"], conns[ci]["tct"])
+             if cs.reward else ())
+            for ci, cs in enumerate(spec.conns))
+        dop0 = dop_ref[0]
+
+        def body(k, carry):
+            lat_c, tr_c, cn_c, dop = carry
+            lat_c = list(lat_c)
+            tr_c = list(tr_c)
+            cn_c = list(cn_c)
+            step_clock = clock0 + k
+
+            # ---- spike-train effects (previous-step firing times) ----
+            effects = []
+            for j, ts in enumerate(spec.trains):
+                t = trains[j]
+                lft_t = tr_c[j][0]
+                amp = t["v_th"] - t["v_resting"]
+                tdiff = (step_clock - lft_t).astype(jnp.float32)
+                decay = -1.0 / (t["refr_k"] / t["dt"])
+                if ts.refractoriness == "delta_dirac":
+                    eff = amp * jnp.exp(decay * tdiff * tdiff) \
+                        + t["v_resting"]
+                else:
+                    eff = amp * jnp.exp(decay * tdiff) + t["v_resting"]
+                effects.append(jnp.where(lft_t == NEVER, t["v_resting"],
+                                         eff))
+
+            # ---- phase A: electrical inputs ----
+            inputs = []
+            for i, ls in enumerate(spec.lattices):
+                v, w, lft, wst = lat_c[i][:4]
+                acc = zero
+                wsum = zero
+                for o, (dr, dc) in enumerate(ls.offsets):
+                    acc = acc + wst[o] * _shift(v, dr, dc)
+                    wsum = wsum + wst[o]
+                total = acc - v * wsum
+                for ci, cs in enumerate(spec.conns):
+                    if cs.post != i:
+                        continue
+                    cw = cn_c[ci][0]
+                    cmask = conns[ci]["mask"]
+                    if cs.pre_is_st:
+                        total = total + cmask * cw * effects[cs.pre]
+                    else:
+                        v_pre = lat_c[cs.pre][0]
+                        total = total + cmask * cw * (v_pre - v)
+                inputs.append(lats[i]["gap_conductance"] * total / cnts[i])
+
+            # ---- dopamine decays with the reward before the visits ----
+            if spec.with_reward:
+                dop = dop * exp_dd + rp["tau_d"] * rew_ref[k]
+
+            # ---- phase B: Izhikevich step, deferred firing times ----
+            new_lat = []
+            for i, ls in enumerate(spec.lattices):
+                v, w, lft, wst, traces, _ = lat_c[i]
+                dv = (0.04 * v * v + 5.0 * v + 140.0 - w + inputs[i]) \
+                    * dt_cm[i]
+                dw_ = (lats[i]["a"] * (lats[i]["b"] * v - w)) * dt_tau[i]
+                v_new = v + dv
+                w_new = w + dw_
+                spk = v_new >= lats[i]["v_th"]
+                v_new = jnp.where(spk, lats[i]["c"], v_new)
+                w_new = jnp.where(spk, w_new + lats[i]["d"], w_new)
+                lft = jnp.where(spk, step_clock, lft)
+                new_lat.append([v_new, w_new, lft, wst, traces,
+                                spk.astype(jnp.float32)])
+            lat_c = new_lat
+
+            def trig_of(idx, is_st):
+                return zero if is_st else lat_c[idx][5]
+
+            def lft_of(idx, is_st):
+                return tr_c[idx][0] if is_st else lat_c[idx][2]
+
+            # ---- STDP: plastic intra graphs + plain connections ----
+            for i, ls in enumerate(spec.lattices):
+                if ls.kind != "plastic":
+                    continue
+                lft = lat_c[i][2]
+                spk_f = lat_c[i][5]
+                wst = lat_c[i][3]
+                mask = lats[i]["mask"]
+                new_w = []
+                for o, (dr, dc) in enumerate(ls.offsets):
+                    delta = _stdp_delta(_shift(lft, dr, dc), lft,
+                                        pp["a_plus"], pp["a_minus"],
+                                        pp["tau_plus"], pp["tau_minus"],
+                                        pp["dt"])
+                    count = _shift(spk_f, dr, dc) + spk_f
+                    new_w.append(jnp.where(mask[o] > 0.0,
+                                           wst[o] + delta * count, wst[o]))
+                lat_c[i][3] = jnp.stack(new_w)
+            for ci, cs in enumerate(spec.conns):
+                if cs.reward or not cs.updates:
+                    continue
+                cw = cn_c[ci][0]
+                cmask = conns[ci]["mask"]
+                delta = _stdp_delta(lft_of(cs.pre, cs.pre_is_st),
+                                    lat_c[cs.post][2],
+                                    pp["a_plus"], pp["a_minus"],
+                                    pp["tau_plus"], pp["tau_minus"],
+                                    pp["dt"])
+                count = jnp.full((R, C), float(cs.static), jnp.float32)
+                if cs.pre_plastic:
+                    count = count + trig_of(cs.pre, cs.pre_is_st)
+                if cs.post_plastic:
+                    count = count + lat_c[cs.post][5]
+                cn_c[ci] = (jnp.where(cmask > 0.0, cw + delta * count, cw),
+                            cn_c[ci][1])
+
+            # ---- R-STDP: modulated intra graphs (two visits/edge) ----
+            for i, ls in enumerate(spec.lattices):
+                if ls.kind != "mod":
+                    continue
+                lft = lat_c[i][2]
+                wst = lat_c[i][3]
+                tc, tdw, tct = lat_c[i][4]
+                mask = lats[i]["mask"]
+                nw, nc, nd, nt = [], [], [], []
+                for o, (dr, dc) in enumerate(ls.offsets):
+                    delta = _stdp_delta(_shift(lft, dr, dc), lft,
+                                        rp["a_plus"], rp["a_minus"],
+                                        rp["tau_plus"], rp["tau_minus"],
+                                        rp["dt"])
+                    w1, c1, d1, t1 = _rstdp_visit(
+                        wst[o], tc[o], tdw[o], tct[o], delta, dop, exp_dc,
+                        rp["tau_c"])
+                    w2, c2, d2, t2 = _rstdp_visit(
+                        w1, c1, d1, t1, delta, dop, exp_dc, rp["tau_c"])
+                    m = mask[o] > 0.0
+                    nw.append(jnp.where(m, w2, wst[o]))
+                    nc.append(jnp.where(m, c2, tc[o]))
+                    nd.append(jnp.where(m, d2, tdw[o]))
+                    nt.append(jnp.where(m, t2, tct[o]))
+                lat_c[i][3] = jnp.stack(nw)
+                lat_c[i][4] = (jnp.stack(nc), jnp.stack(nd), jnp.stack(nt))
+
+            # ---- reward connections: gated visits ----
+            for ci, cs in enumerate(spec.conns):
+                if not cs.reward:
+                    continue
+                cw = cn_c[ci][0]
+                tc, tdw, tct = cn_c[ci][1]
+                cmask = conns[ci]["mask"] > 0.0
+                delta = _stdp_delta(lft_of(cs.pre, cs.pre_is_st),
+                                    lat_c[cs.post][2],
+                                    rp["a_plus"], rp["a_minus"],
+                                    rp["tau_plus"], rp["tau_minus"],
+                                    rp["dt"])
+                visits = jnp.full((R, C), float(cs.static), jnp.float32)
+                if cs.pre_plastic:
+                    visits = visits + trig_of(cs.pre, cs.pre_is_st)
+                if cs.post_plastic:
+                    visits = visits + lat_c[cs.post][5]
+                w1, c1, d1, t1 = _rstdp_visit(cw, tc, tdw, tct, delta, dop,
+                                              exp_dc, rp["tau_c"])
+                m1 = jnp.logical_and(cmask, visits >= 1.0)
+                cw = jnp.where(m1, w1, cw)
+                tc = jnp.where(m1, c1, tc)
+                tdw = jnp.where(m1, d1, tdw)
+                tct = jnp.where(m1, t1, tct)
+                w2, c2, d2, t2 = _rstdp_visit(cw, tc, tdw, tct, delta, dop,
+                                              exp_dc, rp["tau_c"])
+                m2 = jnp.logical_and(cmask, visits >= 2.0)
+                cn_c[ci] = (jnp.where(m2, w2, cw),
+                            (jnp.where(m2, c2, tc), jnp.where(m2, d2, tdw),
+                             jnp.where(m2, t2, tct)))
+
+            # ---- spike trains step last (pre-increment clock) ----
+            new_tr = []
+            for j, ts in enumerate(spec.trains):
+                t = trains[j]
+                lft_t, step_t, _ = tr_c[j]
+                if ts.kind == "poisson":
+                    u = t["uniforms"][pl.ds(k * R, R), :]
+                    spk_t = u <= t["chance"]
+                else:
+                    stepped = step_t + t["dt"]
+                    spk_t = jnp.logical_and(t["rate"] != 0.0,
+                                            stepped >= t["rate"])
+                    step_t = jnp.where(spk_t, 0.0, stepped)
+                lft_t = jnp.where(spk_t, step_clock, lft_t)
+                new_tr.append((lft_t, step_t, spk_t.astype(jnp.float32)))
+
+            return (tuple(tuple(x) for x in lat_c), tuple(new_tr),
+                    tuple(cn_c), dop)
+
+        lat_f, tr_f, cn_f, dop_f = jax.lax.fori_loop(
+            0, n_steps, body, (lat0, tr0, cn0, dop0))
+
+        # ---- write outputs (order mirrors _out_shapes) ----
+        oc = [0]
+
+        def put(val):
+            out_refs[oc[0]][...] = val
+            oc[0] += 1
+
+        for i, ls in enumerate(spec.lattices):
+            v, w, lft, wst, traces, spk = lat_f[i]
+            put(v)
+            put(w)
+            put(lft)
+            put(spk)
+            if ls.kind in ("plastic", "mod"):
+                put(wst)
+            if ls.kind == "mod":
+                put(traces[0])
+                put(traces[1])
+                put(traces[2])
+        for j, ts in enumerate(spec.trains):
+            lft_t, step_t, spk_t = tr_f[j]
+            put(lft_t)
+            put(spk_t)
+            if ts.kind == "rate":
+                put(step_t)
+        for ci, cs in enumerate(spec.conns):
+            put(cn_f[ci][0])
+            if cs.reward:
+                put(cn_f[ci][1][0])
+                put(cn_f[ci][1][1])
+                put(cn_f[ci][1][2])
+        put(jnp.full((8, 128), dop_f, jnp.float32))
+
+    return kernel
+
+
+def _out_shapes(spec):
+    R, C = spec.shape
+    f = jax.ShapeDtypeStruct((R, C), jnp.float32)
+    i = jax.ShapeDtypeStruct((R, C), jnp.int32)
+    out = []
+    for ls in spec.lattices:
+        n_off = len(ls.offsets)
+        p = jax.ShapeDtypeStruct((n_off, R, C), jnp.float32)
+        pi = jax.ShapeDtypeStruct((n_off, R, C), jnp.int32)
+        out += [f, f, i, f]              # v, w, lft, spk
+        if ls.kind in ("plastic", "mod"):
+            out.append(p)                # wst
+        if ls.kind == "mod":
+            out += [p, p, pi]            # tc, tdw, tct
+    for ts in spec.trains:
+        out += [i, f]                    # lft, spk
+        if ts.kind == "rate":
+            out.append(f)                # step
+    for cs in spec.conns:
+        out.append(f)                    # w
+        if cs.reward:
+            out += [f, f, i]             # tc, tdw, tct
+    out.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))   # dopamine
+    return out
+
+
+def _fused_chunk(spec, n_steps, flat_inputs):
+    """One kernel launch advancing ``n_steps`` steps."""
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [smem] * 5 + [vmem] * (len(flat_inputs) - 5)
+    out_shapes = _out_shapes(spec)
+    return pl.pallas_call(
+        _make_kernel(spec, n_steps),
+        grid_spec=pl.GridSpec(grid=(1,), in_specs=in_specs,
+                              out_specs=[vmem] * len(out_shapes)),
+        out_shape=out_shapes,
+        compiler_params=_compiler_params(),
+        interpret=jax.default_backend() == "cpu",
+    )(*flat_inputs)
+
+
+# ---------------------------------------------------------------------------
+# Host-side data marshalling
+# ---------------------------------------------------------------------------
+
+
+class _LatData(NamedTuple):
+    v: jnp.ndarray
+    w: jnp.ndarray
+    lft: jnp.ndarray
+    wst: jnp.ndarray
+    mask: jnp.ndarray          # () placeholder when unused
+    params: tuple              # 9 planes, LAT_PARAM_KEYS order
+    traces: tuple              # (tc, tdw, tct) or ()
+
+
+class _TrainData(NamedTuple):
+    lft: jnp.ndarray
+    v_th: jnp.ndarray
+    v_resting: jnp.ndarray
+    refr_k: jnp.ndarray
+    dt: jnp.ndarray
+    chance: jnp.ndarray        # poisson only ((),) otherwise
+    rate: jnp.ndarray
+    step: jnp.ndarray
+
+
+class _ConnData(NamedTuple):
+    w: jnp.ndarray
+    mask: jnp.ndarray
+    traces: tuple              # (tc, tdw, tct) or ()
+
+
+def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
+                 rewards, uniforms, pp_vec, rp_vec):
+    """Flatten in the exact cursor order `_make_kernel` reads."""
+    flat = [jnp.asarray(clock, jnp.int32).reshape(1), pp_vec, rp_vec,
+            jnp.asarray(dop, jnp.float32).reshape(1),
+            jnp.asarray(rewards, jnp.float32).reshape(n_steps)]
+    for ls, d in zip(spec.lattices, lat_data):
+        flat += [d.v, d.w, d.lft, d.wst]
+        # in_deg derives from the (static) f32 mask planes, matching
+        # StencilGraph's mask.sum(axis=0) construction
+        flat.append(jnp.sum(d.mask, axis=0))
+        if ls.kind in ("plastic", "mod"):
+            flat.append(d.mask)
+        flat += list(d.params)
+        if ls.kind == "mod":
+            flat += list(d.traces)
+    for ts, d, u in zip(spec.trains, tr_data, uniforms):
+        flat += [d.lft, d.v_th, d.v_resting, d.refr_k, d.dt]
+        if ts.kind == "poisson":
+            flat += [d.chance, u]
+        else:
+            flat += [d.rate, d.step]
+    for cs, d in zip(spec.conns, cn_data):
+        flat += [d.w, d.mask]
+        if cs.reward:
+            flat += list(d.traces)
+    return flat
+
+
+def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
+               uniforms, pp_vec, rp_vec):
+    """Scan ``n_steps // chunk`` kernel launches of ``chunk`` steps each.
+    Traced — called inside the cached jitted runners."""
+    n_steps = rewards.shape[0]
+    q = n_steps // chunk
+    assert q * chunk == n_steps
+    R, C = spec.shape
+
+    rew_chunks = rewards.reshape(q, chunk)
+    unif_chunks = tuple(u.reshape(q, chunk * R, -1) for u in uniforms)
+    zero = jnp.zeros((R, C), jnp.float32)
+    lat_spk0 = tuple(zero for _ in spec.lattices)
+    tr_spk0 = tuple(zero for _ in spec.trains)
+
+    def step(carry, xs):
+        lat_data, tr_data, cn_data, dop, clock, _, _ = carry
+        rew_k, unif_k = xs
+        outs = _fused_chunk(spec, chunk, _flat_inputs(
+            spec, chunk, lat_data, tr_data, cn_data, dop, clock, rew_k,
+            unif_k, pp_vec, rp_vec))
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _unflatten(
+            spec, outs, lat_data, tr_data, cn_data)
+        return (lat_data, tr_data, cn_data, dop, clock + chunk,
+                lat_spk, tr_spk), None
+
+    (lat_data, tr_data, cn_data, dop, clock, lat_spk, tr_spk), _ = \
+        jax.lax.scan(step, (lat_data, tr_data, cn_data, dop, clock,
+                            lat_spk0, tr_spk0),
+                     (rew_chunks, unif_chunks))
+    return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk
+
+
+def _unflatten(spec, outs, lat_data, tr_data, cn_data):
+    """Rebuild the data tuples from kernel outputs (mirrors _out_shapes)."""
+    cur = [0]
+
+    def take():
+        v = outs[cur[0]]
+        cur[0] += 1
+        return v
+
+    new_lat, lat_spk = [], []
+    for ls, d in zip(spec.lattices, lat_data):
+        v, w, lft, spk = take(), take(), take(), take()
+        wst = d.wst
+        traces = d.traces
+        if ls.kind in ("plastic", "mod"):
+            wst = take()
+        if ls.kind == "mod":
+            traces = (take(), take(), take())
+        new_lat.append(d._replace(v=v, w=w, lft=lft, wst=wst, traces=traces))
+        lat_spk.append(spk)
+    new_tr, tr_spk = [], []
+    for ts, d in zip(spec.trains, tr_data):
+        lft, spk = take(), take()
+        step = d.step
+        if ts.kind == "rate":
+            step = take()
+        new_tr.append(d._replace(lft=lft, step=step))
+        tr_spk.append(spk)
+    new_cn = []
+    for cs, d in zip(spec.conns, cn_data):
+        w = take()
+        traces = d.traces
+        if cs.reward:
+            traces = (take(), take(), take())
+        new_cn.append(d._replace(w=w, traces=traces))
+    dop = take()[0, 0]
+    return (tuple(new_lat), tuple(new_tr), tuple(new_cn), dop,
+            tuple(lat_spk), tuple(tr_spk))
+
+
+def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
+             key, pp, rp, chunk=DEFAULT_CHUNK):
+    """Advance ``n_steps`` fused steps (traced; one jit contains the chunked
+    scan AND the remainder launch — a run is a single device program).
+
+    Returns (lat_data, tr_data, cn_data, dopamine, lat_spk, tr_spk, key).
+    """
+    R, C = spec.shape
+    pp_vec = jnp.stack([jnp.float32(pp[k]) for k in PP_KEYS])
+    rp_vec = jnp.stack([jnp.float32(rp[k]) for k in RP_KEYS])
+
+    # pre-generate the Poisson uniforms: one split + one draw per train for
+    # the whole run (the XLA path splits per step; see module docstring)
+    uniforms = []
+    for ts in spec.trains:
+        if ts.kind == "poisson":
+            key, sub = jax.random.split(key)
+            uniforms.append(jax.random.uniform(sub, (n_steps * R, C)))
+        else:
+            # unused placeholder, minimal footprint (kernel never reads it)
+            uniforms.append(jnp.zeros((n_steps * R, 1), jnp.float32))
+
+    chunk = max(1, min(chunk, n_steps))
+    done = (n_steps // chunk) * chunk
+    clock = jnp.asarray(clock, jnp.int32)
+    dop = jnp.asarray(dop, jnp.float32)
+    lat_spk = tr_spk = None
+    if done:
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _run_fused(
+            spec, chunk, lat_data, tr_data, cn_data, dop, clock,
+            rewards[:done], tuple(u[:done * R] for u in uniforms),
+            pp_vec, rp_vec)
+    rem = n_steps - done
+    if rem:
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _run_fused(
+            spec, rem, lat_data, tr_data, cn_data, dop, clock + done,
+            rewards[done:], tuple(u[done * R:] for u in uniforms),
+            pp_vec, rp_vec)
+    return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, key
+
+
+def estimate_vmem(spec, chunk=DEFAULT_CHUNK):
+    """Rough VMEM requirement: all input planes + the uniforms chunk + a
+    small multiplier for loop-carried temporaries."""
+    R, C = spec.shape
+    planes = 0
+    for ls in spec.lattices:
+        n_off = len(ls.offsets)
+        planes += 5 + 9 + n_off * 2
+        if ls.kind == "mod":
+            planes += n_off * 3
+    for ts in spec.trains:
+        planes += 6 + chunk
+    for cs in spec.conns:
+        planes += 2 + (3 if cs.reward else 0)
+    return planes * R * C * 4 * 3
+
+
+def supports_shapes(spec, chunk=DEFAULT_CHUNK):
+    R, C = spec.shape
+    return C <= 128 and estimate_vmem(spec, chunk) < VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# Adapters: structured reward network / standalone reward lattice
+# ---------------------------------------------------------------------------
+
+
+def _lat_data(state, graph, kind, trace):
+    R, C = graph.shape
+
+    def g(n):
+        return state[n].reshape(R, C)
+
+    traces = ()
+    if kind == "mod":
+        traces = (trace["c"], trace["dw"], trace["counter"])
+    return _LatData(
+        v=g("v"), w=g("w"), lft=state["last_firing_time"].reshape(R, C),
+        wst=graph.weights, mask=graph.mask.astype(jnp.float32),
+        params=tuple(g(p) for p in LAT_PARAM_KEYS), traces=traces)
+
+
+def _train_data(state, R, C):
+    def g(n):
+        return state[n].reshape(R, C)
+
+    zero = jnp.zeros((R, C), jnp.float32)
+    return _TrainData(
+        lft=state["last_firing_time"].reshape(R, C),
+        v_th=g("v_th"), v_resting=g("v_resting"),
+        refr_k=g("refractoriness$k"), dt=g("dt"),
+        chance=g("chance_of_firing") if "chance_of_firing" in state else zero,
+        rate=g("rate") if "rate" in state else zero,
+        step=g("step") if "step" in state else zero)
+
+
+def _conn_data(w, aux, R, C, trace0):
+    traces = ()
+    if trace0 is not None:
+        traces = (trace0["c"].reshape(R, C), trace0["dw"].reshape(R, C),
+                  trace0["counter"].reshape(R, C))
+    return _ConnData(w=w.reshape(R, C),
+                     mask=aux["mask"].astype(jnp.float32).reshape(R, C),
+                     traces=traces)
+
+
+def _stencil_ok(graph, shape):
+    from .graph import StencilGraph
+    return isinstance(graph, StencilGraph) and tuple(graph.shape) == shape
+
+
+def supports_lattice(lat):
+    """Fused-path predicate for a standalone RewardModulatedLattice."""
+    from ..models.integrate_and_fire import Izhikevich
+    from ..core.plasticity import RewardModulatedSTDP
+    from ..core.lattice import _mask_any
+    return (type(lat.model) is Izhikevich
+            and lat.electrical_synapse and not lat.chemical_synapse
+            and _stencil_ok(lat.graph, (lat.rows, lat.cols))
+            and lat.cols <= 128
+            and type(lat.reward_modulator) is RewardModulatedSTDP
+            and not bool(_mask_any(lat.state["nt$mask"])))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_lattice_runner(spec):
+    """Jitted standalone-lattice runner (everything — marshalling, uniform
+    generation, the chunk scan, write-back reshapes — in ONE device
+    program; eager per-call device ops each pay tunnel dispatch latency).
+    jit re-traces per rewards length, like the XLA runners' static
+    ``length``."""
+
+    def impl(state, graph, trace, dopamine, key, clock, rewards, rp):
+        lat_data = (_lat_data(state, graph, spec.lattices[0].kind, trace),)
+        lat_data, _, _, dop, lat_spk, _, key = _advance(
+            spec, rewards.shape[0], lat_data, (), (), dopamine, clock,
+            rewards, key, rp, rp)
+        d = lat_data[0]
+        state = dict(state)
+        state["v"] = d.v.reshape(-1)
+        state["w"] = d.w.reshape(-1)
+        state["last_firing_time"] = d.lft.reshape(-1)
+        state["is_spiking"] = lat_spk[0].reshape(-1) > 0.0
+        out_graph, out_trace = graph, trace
+        if spec.lattices[0].kind == "mod":
+            out_graph = graph.replace_weights(d.wst)
+            out_trace = dict(c=d.traces[0], dw=d.traces[1],
+                             counter=d.traces[2])
+        return state, out_graph, out_trace, dop, key
+
+    return jax.jit(impl)
+
+
+def lattice_run(lat, rewards, with_reward):
+    """Run a standalone reward lattice with the fused kernel.  The caller
+    must have checked `supports_lattice` and that no histories are on.
+    Returns False (untouched) when the shape budget rejects the config."""
+    spec = NetSpec((lat.rows, lat.cols),
+                   (LatSpec("mod" if lat.do_modulation else "plain",
+                            lat.graph.offsets),),
+                   (), (), bool(with_reward))
+    if not supports_shapes(spec):
+        return False
+    n_steps = int(rewards.shape[0])
+    runner = _build_fused_lattice_runner(spec)
+    rp = {k: jnp.float32(v) for k, v in lat.reward_modulator.params.items()}
+    lat.state, lat.graph, lat.trace, dop, lat.key = runner(
+        lat.state, lat.graph, lat.trace, jnp.float32(lat.dopamine), lat.key,
+        jnp.int32(lat.internal_clock), jnp.asarray(rewards, jnp.float32), rp)
+    lat.state = dict(lat.state)
+    lat.trace = dict(lat.trace) if lat.trace is not None else None
+    lat.dopamine = float(dop)
+    lat.internal_clock += n_steps
+    return True
+
+
+def network_runner(net, plan, lat_kind, skip_nt, with_reward):
+    """Drop-in fused runner for `run_structured_reward` (same call and
+    return signature as `_build_structured_reward_runner`'s runner), or
+    None when the network configuration is unsupported."""
+    from ..models.integrate_and_fire import Izhikevich
+    from ..models.spike_train import PoissonSpikeTrain, RateSpikeTrain
+    from ..core.plasticity import STDP, RewardModulatedSTDP
+    from ..core.lattice import _mask_any
+
+    merged = net._neuron_lattices()
+    lat_ids, st_ids = plan["lat_ids"], plan["st_ids"]
+    lattices = [merged[i] for i in lat_ids]
+    sts = [net.spike_train_lattices[i] for i in st_ids]
+    if not (net.electrical_synapse and not net.chemical_synapse and skip_nt):
+        return None
+    if any(k == "reward" for k in lat_kind):
+        return None                     # do_modulation=False: fall back
+    shape = (lattices[0].rows, lattices[0].cols)
+    if shape[1] > 128:
+        return None
+    model = lattices[0].model
+    if type(model) is not Izhikevich:
+        return None
+    for lat in lattices:
+        if lat.model != model or (lat.rows, lat.cols) != shape \
+                or not _stencil_ok(lat.graph, shape):
+            return None
+    st_model = sts[0].model if sts else None
+    tr_specs = []
+    for s in sts:
+        if (s.rows, s.cols) != shape or s.model != st_model:
+            return None
+        if type(s.model) is PoissonSpikeTrain:
+            kind = "poisson"
+        elif type(s.model) is RateSpikeTrain:
+            kind = "rate"
+        else:
+            return None
+        if bool(_mask_any(s.state["nt$mask"])):
+            return None
+        tr_specs.append(TrainSpec(kind, s.model.refractoriness))
+    if type(net._plasticity()) is not STDP \
+            or type(net.reward_modulator) is not RewardModulatedSTDP:
+        return None
+    lat_index = {i: k for k, i in enumerate(lat_ids)}
+    st_index = {i: k for k, i in enumerate(st_ids)}
+    conn_specs = []
+    for entry in plan["conns"]:
+        if entry["op"].kind != "one2one":
+            return None
+        pre_is_st = entry["pre_is_st"]
+        conn_specs.append(ConnSpec(
+            pre_is_st,
+            st_index[entry["pre"]] if pre_is_st else lat_index[entry["pre"]],
+            lat_index[entry["post"]], False, entry["static"],
+            entry["pre_plastic"], entry["post_plastic"], entry["updates"]))
+    for entry in plan["rconns"]:
+        if entry["op"].kind != "one2one":
+            return None
+        pre_is_st = entry["pre_is_st"]
+        conn_specs.append(ConnSpec(
+            pre_is_st,
+            st_index[entry["pre"]] if pre_is_st else lat_index[entry["pre"]],
+            lat_index[entry["post"]], True, entry["static"],
+            entry["pre_plastic"], entry["post_plastic"], True))
+    spec = NetSpec(shape, tuple(LatSpec(k, lat.graph.offsets)
+                                for k, lat in zip(lat_kind, lattices)),
+                   tuple(tr_specs), tuple(conn_specs), bool(with_reward))
+    if not supports_shapes(spec):
+        return None
+    return _build_fused_network_runner(spec, len(plan["conns"]),
+                                       len(plan["rconns"]))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_network_runner(spec, n_plain, n_reward):
+    """Jitted network runner — one device program per run (marshalling,
+    uniforms, chunk scan + remainder, write-back reshapes all inside)."""
+    R, C = spec.shape
+
+    def impl(states, st_states, graphs, traces, conn_ws, conn_aux,
+             rconn_ws, rconn_traces, rconn_aux, dopamine, key, clock,
+             rewards, pparams, rparams):
+        lat_data = tuple(
+            _lat_data(states[k], graphs[k], spec.lattices[k].kind, traces[k])
+            for k in range(len(spec.lattices)))
+        tr_data = tuple(_train_data(st_states[k], R, C)
+                        for k in range(len(spec.trains)))
+        cn_data = tuple(
+            _conn_data(conn_ws[ci], conn_aux[ci], R, C, None)
+            for ci in range(n_plain)) + tuple(
+            _conn_data(rconn_ws[ci], rconn_aux[ci], R, C, rconn_traces[ci])
+            for ci in range(n_reward))
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, key = _advance(
+            spec, rewards.shape[0], lat_data, tr_data, cn_data, dopamine,
+            clock, rewards, key, pparams, rparams)
+        new_states = []
+        new_graphs = list(graphs)
+        new_traces = list(traces)
+        for k, ls in enumerate(spec.lattices):
+            d = lat_data[k]
+            s = dict(states[k])
+            s["v"] = d.v.reshape(-1)
+            s["w"] = d.w.reshape(-1)
+            s["last_firing_time"] = d.lft.reshape(-1)
+            s["is_spiking"] = lat_spk[k].reshape(-1) > 0.0
+            new_states.append(s)
+            if ls.kind in ("plastic", "mod"):
+                new_graphs[k] = graphs[k].replace_weights(d.wst)
+            if ls.kind == "mod":
+                new_traces[k] = dict(c=d.traces[0], dw=d.traces[1],
+                                     counter=d.traces[2])
+        new_st = []
+        for k, ts in enumerate(spec.trains):
+            d = tr_data[k]
+            s = dict(st_states[k])
+            spk = tr_spk[k].reshape(-1) > 0.0
+            s["is_spiking"] = spk
+            s["v"] = jnp.where(spk, s["v_th"], s["v_resting"])
+            s["last_firing_time"] = d.lft.reshape(-1)
+            if ts.kind == "rate":
+                s["step"] = d.step.reshape(-1)
+            new_st.append(s)
+        new_conn_ws = tuple(cn_data[ci].w.reshape(-1)
+                            for ci in range(n_plain))
+        new_rconn_ws = tuple(cn_data[n_plain + ci].w.reshape(-1)
+                             for ci in range(n_reward))
+        new_rconn_tr = tuple(
+            dict(c=cn_data[n_plain + ci].traces[0].reshape(-1),
+                 dw=cn_data[n_plain + ci].traces[1].reshape(-1),
+                 counter=cn_data[n_plain + ci].traces[2].reshape(-1))
+            for ci in range(n_reward))
+        return (tuple(new_states), tuple(new_st), tuple(new_graphs),
+                tuple(new_traces), new_conn_ws, new_rconn_ws, new_rconn_tr,
+                dop, key, {})
+
+    return jax.jit(impl)

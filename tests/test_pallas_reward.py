@@ -1,0 +1,185 @@
+"""Fused whole-network Pallas kernel (ops/pallas_reward.py) vs the XLA
+structured runners.
+
+On CPU the kernel runs in interpret mode, so these tests check the fused
+step's *semantics* (ordering, visit gating, dopamine decay, trace
+alternation) against the XLA paths that are themselves golden-tested
+against the reference transcriptions."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spiking_neural_networks_tpu as snn
+
+
+def _standalone(use_pallas, iters, with_reward=True, rows=12, cols=12):
+    lat = snn.RewardModulatedLattice(snn.Izhikevich())
+    lat.populate(rows, cols, gap_conductance=10.0)
+    lat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                and x != y)
+    v0 = np.random.default_rng(0).uniform(-65, 30, rows * cols)
+    lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+    lat.use_pallas = use_pallas
+    if with_reward:
+        lat.run_lattice_with_reward(0.5, iters)
+    else:
+        lat.dopamine = 0.3
+        lat.run_lattice(iters)
+    return lat
+
+
+def _assert_lattice_match(a, b):
+    np.testing.assert_allclose(np.asarray(b.state["v"]),
+                               np.asarray(a.state["v"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.state["w"]),
+                               np.asarray(a.state["w"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(b.state["last_firing_time"]),
+        np.asarray(a.state["last_firing_time"]))
+    np.testing.assert_array_equal(np.asarray(b.state["is_spiking"]),
+                                  np.asarray(a.state["is_spiking"]))
+    np.testing.assert_allclose(np.asarray(b.graph.weights),
+                               np.asarray(a.graph.weights),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_standalone_rstdp_matches_xla():
+    """Whole-lattice R-STDP: weights, traces, dopamine, spike timing.
+    121 steps exercises the 16-step chunking plus the remainder launch."""
+    a = _standalone(False, 121)
+    b = _standalone(True, 121)
+    _assert_lattice_match(a, b)
+    for k in ("c", "dw"):
+        np.testing.assert_allclose(np.asarray(b.trace[k]),
+                                   np.asarray(a.trace[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(b.trace["counter"]),
+                                  np.asarray(a.trace["counter"]))
+    assert abs(a.dopamine - b.dopamine) <= 1e-5 * max(1.0, abs(a.dopamine))
+
+
+def test_fused_standalone_without_reward():
+    """run_lattice keeps the stale dopamine (no decay) but still modulates."""
+    a = _standalone(False, 40, with_reward=False)
+    b = _standalone(True, 40, with_reward=False)
+    _assert_lattice_match(a, b)
+    assert abs(a.dopamine - 0.3) < 1e-6 and abs(b.dopamine - 0.3) < 1e-6
+
+
+def _network(train, seed=2, n_side=8):
+    rng = np.random.default_rng(seed)
+    rlat = snn.RewardModulatedLattice(snn.Izhikevich(), id=0)
+    rlat.populate(n_side, n_side, gap_conductance=10.0)
+    rlat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                 and x != y)
+    plain = snn.Lattice(snn.Izhikevich(), id=1)
+    plain.populate(n_side, n_side, gap_conductance=10.0)
+    plain.connect_stencil(radius=2.0, keep_prob=0.8, seed=4)
+    plain.do_plasticity = True
+    plain.apply(lambda s: {**s, "v": jnp.asarray(
+        rng.uniform(-65, 25, n_side * n_side), jnp.float32)})
+    st = snn.SpikeTrainLattice(train, id=2)
+    st.populate(n_side, n_side)
+    if isinstance(train, snn.PoissonSpikeTrain):
+        st.state = st.model.init_from_firing_rate(n_side * n_side,
+                                                  hertz=40.0, dt=0.1)
+    else:
+        st.state = st.model.init_state(n_side * n_side, rate=1.0, dt=0.1)
+    net = snn.RewardModulatedLatticeNetwork()
+    net.add_lattice(rlat)
+    net.add_lattice(plain)
+    net.add_spike_train_lattice(st)
+    net.connect(2, 1, lambda a, b: a == b, lambda a, b: 5.0)
+    net.connect_with_reward_modulation(1, 0, lambda a, b: a == b,
+                                       lambda a, b: 1.0)
+    return net
+
+
+def test_fused_network_matches_xla_deterministic():
+    """The bench topology (reward + plastic + spike-train lattices, mixed
+    plain/reward one-to-one connections) with a deterministic Rate train:
+    the fused kernel must reproduce the XLA structured runner."""
+    def run(use_pallas):
+        net = _network(snn.RateSpikeTrain())
+        net.use_pallas = use_pallas
+        net.run_lattices_with_reward(0.5, 100)
+        return net
+
+    a, b = run(False), run(True)
+    for lid in (0, 1):
+        la = a.reward_modulated_lattices.get(lid) or a.lattices[lid]
+        lb = b.reward_modulated_lattices.get(lid) or b.lattices[lid]
+        _assert_lattice_match(la, lb)
+    sta, stb = a.spike_train_lattices[2], b.spike_train_lattices[2]
+    np.testing.assert_array_equal(
+        np.asarray(stb.state["last_firing_time"]),
+        np.asarray(sta.state["last_firing_time"]))
+    np.testing.assert_allclose(np.asarray(stb.state["step"]),
+                               np.asarray(sta.state["step"]), atol=1e-6)
+    tr_a = a.reward_modulated_lattices[0].trace
+    tr_b = b.reward_modulated_lattices[0].trace
+    for k in ("c", "dw"):
+        np.testing.assert_allclose(np.asarray(tr_b[k]), np.asarray(tr_a[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(tr_b["counter"]),
+                                  np.asarray(tr_a["counter"]))
+    for key in a.reward_connections:
+        ca, cb = a.reward_connections[key], b.reward_connections[key]
+        for i in (2, 3, 4):     # w, c, dw host mirrors
+            np.testing.assert_allclose(np.asarray(cb[i]), np.asarray(ca[i]),
+                                       rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(cb[5]), np.asarray(ca[5]))
+    for key in a.connections:
+        np.testing.assert_allclose(np.asarray(b.connections[key][2]),
+                                   np.asarray(a.connections[key][2]),
+                                   rtol=1e-5, atol=1e-5)
+    assert abs(a.dopamine - b.dopamine) <= 1e-4 * max(1.0, abs(a.dopamine))
+
+
+def test_fused_network_poisson_statistical():
+    """Poisson trains use a different (pre-generated) uniform stream in the
+    fused kernel; agreement is statistical — dopamine (spike-independent)
+    is exact, firing fractions close."""
+    def run(use_pallas):
+        net = _network(snn.PoissonSpikeTrain(), seed=3)
+        net.use_pallas = use_pallas
+        net.run_lattices_with_reward(0.2, 400)
+        lft = np.asarray(net.lattices[1].state["last_firing_time"])
+        st_lft = np.asarray(
+            net.spike_train_lattices[2].state["last_firing_time"])
+        return (lft >= 0).mean(), (st_lft >= 0).mean(), float(net.dopamine)
+
+    fa, sa, da = run(False)
+    fb, sb, db = run(True)
+    assert abs(fa - fb) <= 0.2
+    assert abs(sa - sb) <= 0.2
+    assert abs(da - db) <= 1e-4 * max(1.0, abs(da))
+
+
+def test_fused_fallback_on_unsupported_config():
+    """A chemical-synapse reward lattice is outside the fused class; with
+    use_pallas=True it must silently fall back to the XLA path and still
+    match use_pallas=False."""
+    def run(use_pallas):
+        lat = snn.RewardModulatedLattice(snn.Izhikevich())
+        lat.populate(6, 6, gap_conductance=10.0)
+        lat.connect(lambda x, y: x != y)   # dense support -> stencil decomp
+        lat.electrical_synapse = True
+        lat.chemical_synapse = True
+        lat.state = lat.model.insert_neurotransmitter(
+            lat.state, "AMPA", t_max=1.0)
+        v0 = np.random.default_rng(5).uniform(-65, 30, 36)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        lat.use_pallas = use_pallas
+        lat.run_lattice_with_reward(0.4, 30)
+        return lat
+
+    a, b = run(False), run(True)
+    np.testing.assert_array_equal(np.asarray(b.state["v"]),
+                                  np.asarray(a.state["v"]))
+    np.testing.assert_array_equal(np.asarray(b.graph.weights),
+                                  np.asarray(a.graph.weights))
