@@ -238,11 +238,19 @@ class Lattice:
             self.model, self.graph, self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity))
         if use_pallas and not self._history_items() \
-                and not self.update_graph_history \
-                and pallas_stencil.multistep_vmem_ok(self.graph):
-            # whole-lattice-in-VMEM multi-step kernel: HBM traffic is paid
-            # once per K steps (512x512: 21 us/step vs 45-52 us XLA)
-            use_pallas = "multi"
+                and not self.update_graph_history:
+            if pallas_stencil.multistep_vmem_ok(self.graph):
+                # whole-lattice-in-VMEM multi-step kernel: HBM traffic is
+                # paid once per K steps (512x512: 21 us/step vs 45-52 XLA)
+                use_pallas = "multi"
+            else:
+                # VMEM overflow (e.g. 2048x2048 radius-2 = ~200 MB of
+                # weight planes): temporal-blocked row tiles amortize the
+                # weight traffic K-fold; needs spatially uniform params
+                cfg = pallas_stencil.multistep_tiled_config(self.graph)
+                if cfg is not None \
+                        and pallas_stencil.uniform_lattice_params(self.state):
+                    use_pallas = ("tiled",) + cfg
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),
@@ -354,6 +362,34 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
             return st, graph, key, ck, {}
 
         return jax.jit(run_multi, donate_argnums=(0,))
+
+    if isinstance(use_pallas, tuple) and use_pallas[0] == "tiled":
+        from ..ops import pallas_stencil
+        _, tile_r, halo = use_pallas
+        K = 8      # must match multistep_tiled_config's n_steps default
+
+        def run_tiled(state, graph, key, clock, pparams):
+            wst_ov, ind_ov = pallas_stencil.tiled_overlap_weights(
+                graph.weights, graph.in_deg, tile_r, halo)
+            n_outer, rem = divmod(length, K)
+
+            def step(carry, _):
+                st, ck = carry
+                st = pallas_stencil.lattice_multistep_tiled(
+                    model, st, graph, wst_ov, ind_ov, ck, K, tile_r, halo)
+                return (st, ck + K), ()
+
+            carry = (state, clock)
+            if n_outer:
+                carry, _ = jax.lax.scan(step, carry, None, length=n_outer)
+            st, ck = carry
+            if rem:
+                st = pallas_stencil.lattice_multistep_tiled(
+                    model, st, graph, wst_ov, ind_ov, ck, rem, tile_r, halo)
+                ck = ck + rem
+            return st, graph, key, ck, {}
+
+        return jax.jit(run_tiled, donate_argnums=(0,))
 
     def one_step(pparams, carry, _):
         state, graph, key, clock = carry

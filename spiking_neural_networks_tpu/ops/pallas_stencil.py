@@ -302,3 +302,200 @@ def lattice_step(model, state, graph, clock, tile_r=64):
     state["last_firing_time"] = jnp.where(
         spikes_b, clock, state["last_firing_time"])
     return state, spikes_b
+
+
+# ---------------------------------------------------------------------------
+# Temporal-blocked (tiled halo) multi-step kernel: lattices whose weight
+# planes exceed VMEM (2048x2048 radius-2 = ~200 MB of planes).  Grid over
+# row tiles; each program advances K steps on a tile padded by halo
+# h = K * pad rows and discards the halo (overlap-and-discard temporal
+# blocking) — weight/param HBM traffic is amortized K-fold while only
+# 2h/tile_r of the compute is redundant.  Izhikevich params must be
+# spatially uniform (checked host-side, `uniform_lattice_params`) so they
+# ride the scalar-prefetch SMEM path instead of 9 more full planes.
+# ---------------------------------------------------------------------------
+
+PARAM_ORDER = ("a", "b", "c", "d", "v_th", "gap_conductance", "tau_m",
+               "c_m", "dt")
+
+
+@functools.partial(jax.jit, static_argnames=("keys",))
+def _param_spans(state, keys):
+    return [(jnp.min(state[k]), jnp.max(state[k])) for k in keys]
+
+
+def uniform_lattice_params(state, keys=PARAM_ORDER):
+    """Whether every model-parameter plane holds a single value (one
+    batched reduction + one host fetch)."""
+    spans = jax.device_get(_param_spans(state, tuple(keys)))
+    return all(float(lo) == float(hi) for lo, hi in spans)
+
+
+def _kernel_multi_tiled(offsets, n_off, n_steps, halo, tile_r,
+                        clock_ref, par_ref,
+                        v_ref, w_ref, lft_ref, wst_ref, ind_ref,
+                        v_out_ref, w_out_ref, lft_out_ref, spike_out_ref):
+    """K steps on one (rows_t = tile_r + 2*halo, C) padded row tile.
+
+    Rolls wrap WITHIN the tile: wrapped garbage enters at the tile edges
+    and creeps inward `pad` rows per step, staying inside the halo for all
+    K steps; the core rows written out are exact.  Column wrap-around is
+    killed by the zero global border weights as in `_kernel_multi`."""
+    v = v_ref[0]
+    w = w_ref[0]
+    lft = lft_ref[0]
+    wst = [wst_ref[0, o] for o in range(n_off)]
+    wsum = sum(wst)
+    cnt = jnp.maximum(ind_ref[0], 1.0)
+    a, b, c, d, v_th, gap, tau_m, c_m, dt = [par_ref[i] for i in range(9)]
+    dt_cm = dt / c_m
+    dt_tau = dt / tau_m
+    clock0 = clock_ref[0]
+
+    def body(k, carry):
+        v, w, lft, _ = carry
+        acc = jnp.zeros_like(v)
+        for o, (dr, dc) in enumerate(offsets):
+            shifted = v
+            if dr:
+                shifted = jnp.roll(shifted, -dr, 0)
+            if dc:
+                shifted = jnp.roll(shifted, -dc, 1)
+            acc = acc + wst[o] * shifted
+        i_syn = gap * (acc - v * wsum) / cnt
+        dv = (0.04 * v * v + 5.0 * v + 140.0 - w + i_syn) * dt_cm
+        dw = (a * (b * v - w)) * dt_tau
+        v_new = v + dv
+        w_new = w + dw
+        spikes = v_new >= v_th
+        v_new = jnp.where(spikes, c, v_new)
+        w_new = jnp.where(spikes, w_new + d, w_new)
+        lft = jnp.where(spikes, clock0 + k, lft)
+        return v_new, w_new, lft, spikes
+
+    spk0 = jnp.zeros(v.shape, jnp.bool_)
+    v, w, lft, spk = jax.lax.fori_loop(0, n_steps, body, (v, w, lft, spk0),
+                                       unroll=True)
+    v_out_ref[0] = v[halo:halo + tile_r, :]
+    w_out_ref[0] = w[halo:halo + tile_r, :]
+    lft_out_ref[0] = lft[halo:halo + tile_r, :]
+    spike_out_ref[0] = spk[halo:halo + tile_r, :].astype(jnp.float32)
+
+
+def _overlap_rows(x, tile_r, halo, axis=0):
+    """(..., R, ...) -> stacked overlapping row windows (n_tiles, ...,
+    rows_t, ...) along a new leading axis."""
+    rows = x.shape[axis]
+    n_tiles = rows // tile_r
+    rows_t = tile_r + 2 * halo
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (halo, halo)
+    xp = jnp.pad(x, pads)
+    return jnp.stack([
+        jax.lax.slice_in_dim(xp, i * tile_r, i * tile_r + rows_t, axis=axis)
+        for i in range(n_tiles)])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "halo"))
+def tiled_overlap_weights(wstencil, in_deg, tile_r, halo):
+    """Pre-overlapped weight/in-degree layouts — loop-invariant across
+    launches, so computed ONCE per run before the launch scan."""
+    return (_overlap_rows(wstencil, tile_r, halo, axis=1),
+            _overlap_rows(in_deg, tile_r, halo, axis=0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "n_steps", "tile_r", "halo"))
+def fused_izhikevich_multistep_tiled(v, w, lft, wst_ov, ind_ov, params,
+                                     clock, offsets, n_steps, tile_r, halo):
+    """``n_steps`` steps with row-tile temporal blocking.
+
+    ``params`` is the (9,) scalar vector in PARAM_ORDER; ``wst_ov`` /
+    ``ind_ov`` come from `tiled_overlap_weights`.  Returns
+    (v, w, last_firing_time, final-step spikes as f32)."""
+    rows, cols = v.shape
+    n_off = wst_ov.shape[1]
+    n_tiles = rows // tile_r
+    rows_t = tile_r + 2 * halo
+
+    def overlap(x):
+        return _overlap_rows(x, tile_r, halo)
+
+    kernel = functools.partial(_kernel_multi_tiled, tuple(offsets), n_off,
+                               int(n_steps), int(halo), int(tile_r))
+    # index maps under PrefetchScalarGridSpec also receive the scalar
+    # prefetch refs — accept and ignore them
+    state_spec = pl.BlockSpec((1, rows_t, cols), lambda i, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tile_r, cols), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, n_off, rows_t, cols),
+                          lambda i, *_: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    v_new, w_new, lft_new, spikes = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[state_spec, state_spec, state_spec, w_spec,
+                      state_spec],
+            out_specs=[out_spec, out_spec, out_spec, out_spec]),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tile_r, cols), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_r, cols), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_r, cols), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, tile_r, cols), jnp.float32)],
+        compiler_params=_compiler_params(),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray([clock], jnp.int32), params,
+      overlap(v), overlap(w), overlap(lft), wst_ov, ind_ov)
+    back = (rows, cols)
+    return (v_new.reshape(back), w_new.reshape(back),
+            lft_new.reshape(back), spikes.reshape(back))
+
+
+def lattice_multistep_tiled(model, state, graph, wst_ov, ind_ov, clock,
+                            n_steps, tile_r, halo):
+    """Advance ``n_steps`` with the temporal-blocked kernel (electrical
+    Izhikevich + StencilGraph, uniform params, no histories).  ``wst_ov`` /
+    ``ind_ov`` from `tiled_overlap_weights` (computed once per run)."""
+    rows, cols = graph.shape
+    params = jnp.stack([state[k].reshape(-1)[0] for k in PARAM_ORDER])
+    v, w, lft, spikes = fused_izhikevich_multistep_tiled(
+        state["v"].reshape(rows, cols), state["w"].reshape(rows, cols),
+        state["last_firing_time"].reshape(rows, cols), wst_ov,
+        ind_ov, params, clock, offsets=graph.offsets,
+        n_steps=n_steps, tile_r=tile_r, halo=halo)
+    state = dict(state)
+    state["v"] = v.reshape(-1)
+    state["w"] = w.reshape(-1)
+    state["last_firing_time"] = lft.reshape(-1)
+    state["is_spiking"] = spikes.reshape(-1) > 0.0
+    return state
+
+
+def multistep_tiled_config(graph, n_steps=8):
+    """(tile_r, halo) for the temporal-blocked kernel, or None.
+
+    Picks the largest row tile whose per-program working set (weight +
+    state + temporary planes) stays within ~60 MB of VMEM, requiring the
+    redundant halo compute to stay under 25% of the tile."""
+    rows, cols = graph.shape
+    n_off = graph.weights.shape[0]
+    pad = 0
+    for dr, dc in graph.offsets:
+        pad = max(pad, abs(dr))
+    if pad == 0 or pad > 4 or cols < 128:
+        return None
+    halo = -(-n_steps * pad // 8) * 8
+    for tile_r in (512, 256, 128, 64):
+        if rows % tile_r or 2 * halo > tile_r // 4:
+            continue
+        rows_t = tile_r + 2 * halo
+        # the x2 covers Mosaic's roll/select temporaries in the unrolled
+        # step loop (measured: tile_r=256 at 2048 cols allocated 122 MB
+        # against the naive (n_off + 12)-plane estimate of 57 MB)
+        vmem = rows_t * cols * 4 * (n_off + 12) * 2
+        if vmem < 95 * 1024 * 1024:
+            return tile_r, halo
+    return None
