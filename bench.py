@@ -87,6 +87,40 @@ def bench_izhikevich(rows=512, cols=512, iters=2048):
     return xla_ups, {"pallas_multistep": pl_vals, "xla": xla_vals}
 
 
+def bench_izhikevich_large(rows=2048, cols=2048, iters=1024):
+    """4.2M-neuron electrical lattice: weight planes (~200 MB) exceed VMEM,
+    so use_pallas engages the temporal-blocked row-tile kernel
+    (ops/pallas_stencil.fused_izhikevich_multistep_tiled)."""
+    import spiking_neural_networks_tpu as snn
+
+    def build(pallas):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(rows, cols, gap_conductance=10.0)
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=4)
+        v0 = np.random.default_rng(1).uniform(-65.0, 30.0, rows * cols)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        lat.use_pallas = pallas
+        return lat
+
+    def measure(lat, label):
+        lat.run_lattice(iters)
+        best, vals = timed_repeats(
+            lambda: lat.run_lattice(iters),
+            lambda: jax.block_until_ready(lat.state["v"]), iters, repeats=2)
+        ups = rows * cols * best
+        log(f"izhikevich {rows}x{cols} [{label}]: best {ups:.3e} "
+            f"updates/s ({1e6 / best:.1f} us/step)")
+        return ups, [rows * cols * v for v in vals]
+
+    xla_ups, xla_vals = measure(build(False), "xla")
+    try:
+        pl_ups, pl_vals = measure(build(True), "pallas-tiled")
+    except Exception as e:
+        log("pallas tiled path unavailable:", repr(e)[:200])
+        pl_ups, pl_vals = 0.0, []
+    return max(xla_ups, pl_ups), {"xla": xla_vals, "pallas_tiled": pl_vals}
+
+
 def bench_hh_stdp(rows=128, cols=128, iters=2000):
     import spiking_neural_networks_tpu as snn
 
@@ -330,7 +364,9 @@ def main():
     log("devices:", jax.devices())
     ups, up_runs = bench_izhikevich()
     extra = {"izhikevich_runs": up_runs}
-    for name, fn in [("hh_stdp_steps_per_sec_128x128", bench_hh_stdp),
+    for name, fn in [("izhikevich_updates_per_sec_2048x2048",
+                      bench_izhikevich_large),
+                     ("hh_stdp_steps_per_sec_128x128", bench_hh_stdp),
                      ("alif_poisson_network_steps_per_sec_64x64",
                       bench_lif_poisson_network),
                      ("eeg_stdp_network_steps_per_sec_64x64",

@@ -133,7 +133,13 @@ def run_structured_reward(net, rewards, with_reward):
          else "reward" if i in reward_ids
          else "plastic" if merged[i].do_plasticity else "plain")
         for i in lat_ids)
-    skip_nt = not any(bool(_mask_any(l.state["nt$mask"])) for l in lattices)
+    # one batched pull for every nt-mask check (per-array bool() pays a
+    # relay round trip each)
+    nt_flags = jax.device_get(
+        [_mask_any(l.state["nt$mask"]) for l in lattices]
+        + [_mask_any(s.state["nt$mask"]) for s in sts])
+    skip_nt = not any(bool(f) for f in nt_flags[:len(lattices)])
+    st_nt_clean = not any(bool(f) for f in nt_flags[len(lattices):])
     hist = tuple(
         (i, l.grid_history.kind, _freeze(l.grid_history), (l.rows, l.cols))
         for i, l in zip(lat_ids, lattices) if l.update_grid_history)
@@ -157,7 +163,8 @@ def run_structured_reward(net, rewards, with_reward):
         # fused whole-network multi-step kernel (ops/pallas_reward.py);
         # None when the configuration is outside the supported class
         from ..ops import pallas_reward
-        runner = pallas_reward.network_runner(net, plan, lat_kind, skip_nt,
+        runner = pallas_reward.network_runner(net, plan, lat_kind,
+                                              skip_nt and st_nt_clean,
                                               bool(with_reward))
     if runner is None:
         runner = _build_structured_reward_runner(

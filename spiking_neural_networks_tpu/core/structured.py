@@ -465,7 +465,10 @@ def run_structured(net, iterations):
     st_model = sts[0].model if sts else None
     plasticity = net._plasticity()
     do_plast = tuple(bool(l.do_plasticity) for l in lattices)
-    skip_nt = not any(bool(_mask_any(l.state["nt$mask"])) for l in lattices)
+    # one batched pull (per-array bool() pays a relay round trip each)
+    skip_nt = not lattices or not any(
+        bool(f) for f in jax.device_get(
+            [_mask_any(l.state["nt$mask"]) for l in lattices]))
     hist = tuple(
         (i, l.grid_history.kind, _freeze(l.grid_history), (l.rows, l.cols))
         for i, l in zip(lat_ids, lattices) if l.update_grid_history)

@@ -812,7 +812,6 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
     from ..models.integrate_and_fire import Izhikevich
     from ..models.spike_train import PoissonSpikeTrain, RateSpikeTrain
     from ..core.plasticity import STDP, RewardModulatedSTDP
-    from ..core.lattice import _mask_any
 
     merged = net._neuron_lattices()
     lat_ids, st_ids = plan["lat_ids"], plan["st_ids"]
@@ -843,8 +842,7 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
             kind = "rate"
         else:
             return None
-        if bool(_mask_any(s.state["nt$mask"])):
-            return None
+        # spike-train nt masks are covered by the caller's batched skip_nt
         tr_specs.append(TrainSpec(kind, s.model.refractoriness))
     if type(net._plasticity()) is not STDP \
             or type(net.reward_modulator) is not RewardModulatedSTDP:
