@@ -251,6 +251,10 @@ class Lattice:
                 if cfg is not None \
                         and pallas_stencil.uniform_lattice_params(self.state):
                     use_pallas = ("tiled",) + cfg
+        if use_pallas is True and not pallas_stencil.step_kernel_ok(self.graph):
+            # per-step kernel can't lay these cols out as (rows, L, 128):
+            # fall back to the XLA stencil path rather than miscompile
+            use_pallas = False
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),

@@ -73,7 +73,11 @@ class JitEnvironment:
         self.state_encoder = state_encoder
         self.reward_function = reward_function
         self.update_state = update_state
-        self._runner = None  # (iterations, flags) -> jitted scan
+        # (iterations, flags, callbacks) -> jitted scan.  A dict, not a
+        # single slot: history chunking builds TWO runners per call (the
+        # chunk-length one and the tail-length one), and a single slot
+        # would evict and rebuild both on every call.
+        self._runners = {}
 
     def _build(self, iterations, skip_nt, hist_sig):
         import functools
@@ -159,9 +163,10 @@ class JitEnvironment:
                    agent.chemical_synapse, agent.do_modulation, hist_sig,
                    self.reward_function, self.update_state,
                    self.state_encoder)
-            if self._runner is None or self._runner[0] != key:
-                self._runner = (key, self._build(length, skip_nt, hist_sig))
-            runner = self._runner[1]
+            runner = self._runners.get(key)
+            if runner is None:
+                runner = self._runners[key] = self._build(
+                    length, skip_nt, hist_sig)
             pparams = {k: jnp.float32(v)
                        for k, v in agent.reward_modulator.params.items()}
             carry, ys = runner(
@@ -177,6 +182,8 @@ class JitEnvironment:
             if hist_sig is not None:
                 agent.grid_history.extend(ys["grid"])
             remaining -= length
+        if not rewards_all:
+            return np.zeros((0,), np.float32)
         return np.concatenate(rewards_all)
 
     # -- unsupervised fused loop (Environment::run, interactable/
@@ -233,10 +240,10 @@ class JitEnvironment:
             key = ("unsup", length, skip_nt, agent.electrical_synapse,
                    agent.chemical_synapse, bool(agent.do_plasticity),
                    hist_sig, self.update_state, self.state_encoder)
-            if self._runner is None or self._runner[0] != key:
-                self._runner = (key, self._build_unsupervised(
-                    length, skip_nt, hist_sig))
-            runner = self._runner[1]
+            runner = self._runners.get(key)
+            if runner is None:
+                runner = self._runners[key] = self._build_unsupervised(
+                    length, skip_nt, hist_sig)
             pparams = {k: jnp.float32(v)
                        for k, v in agent.plasticity.params.items()}
             (s, graph, clock, env), ys = runner(

@@ -34,17 +34,18 @@ connections, STDP plasticity + RewardModulatedSTDP modulation, no
 histories.  Anything else falls back to the XLA structured runner.
 
 Poisson randomness: the XLA path threads a `jax.random` key through the
-scan (one split per step).  Inside the kernel the uniforms are read from a
-PRE-GENERATED (n_steps * R, C) buffer drawn from one split of the same key
-— a different (equally valid) stream, so Poisson-driven runs agree with
-the XLA path statistically, not bitwise (the reference makes the same
+scan (one split per step).  Each K-step kernel launch instead reads a
+(chunk * R, C) uniforms buffer drawn per chunk inside the launch scan
+(`fold_in(train_key, chunk_index)`) — a different (equally valid) stream
+with O(chunk) not O(run length) footprint, so Poisson-driven runs agree
+with the XLA path statistically, not bitwise (the reference makes the same
 choice for its GPU xorshift RNG vs thread_rng, spike_train/mod.rs:380-388).
 Rate/Preset-driven and trainless configs are deterministic and match the
 XLA path to float tolerance.
 
 Mosaic notes: planes stay (R, C) (lane dim <= 128 at these sizes); shifts
 are `jnp.roll` with wrap-around killed by the zero border weights; the
-per-step uniforms are a dynamic ROW slice (k * R) of a (n_steps * R, C)
+per-step uniforms are a dynamic ROW slice (k * R) of a (chunk * R, C)
 ref (dynamic leading-dim slices are safe at <= 128 lanes); scalars
 (clock, dopamine, rewards, rule parameters) live in SMEM.
 """
@@ -175,7 +176,7 @@ def _make_kernel(spec, n_steps):
                      dt=take()[:, :])
             if ts.kind == "poisson":
                 d["chance"] = take()[:, :]
-                d["uniforms"] = take()      # (n_steps * R, C) ref, sliced
+                d["uniforms"] = take()      # (chunk * R, C) ref, sliced
             else:
                 d["rate"] = take()[:, :]
                 d["step"] = take()[:, :]
@@ -556,26 +557,44 @@ def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
 
 
 def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
-               uniforms, pp_vec, rp_vec):
+               keys, pp_vec, rp_vec, chunk_i0=0):
     """Scan ``n_steps // chunk`` kernel launches of ``chunk`` steps each.
-    Traced — called inside the cached jitted runners."""
+    Traced — called inside the cached jitted runners.
+
+    Poisson uniforms are drawn PER CHUNK inside the scan (``fold_in(key,
+    chunk_i0 + i)``): pre-materializing the whole run's uniforms up front
+    ((n_steps*R, C) per train) costs O(run length) HBM — ~4 GB for a 1e6-
+    step 32x32 run — where the streamed draw is O(chunk*R*C).  ``chunk_i0``
+    offsets the fold-in index so a remainder launch never reuses the main
+    scan's stream."""
     n_steps = rewards.shape[0]
     q = n_steps // chunk
     assert q * chunk == n_steps
     R, C = spec.shape
 
     rew_chunks = rewards.reshape(q, chunk)
-    unif_chunks = tuple(u.reshape(q, chunk * R, -1) for u in uniforms)
     zero = jnp.zeros((R, C), jnp.float32)
     lat_spk0 = tuple(zero for _ in spec.lattices)
     tr_spk0 = tuple(zero for _ in spec.trains)
 
+    def draw(i):
+        us = []
+        for ts, k in zip(spec.trains, keys):
+            if ts.kind == "poisson":
+                us.append(jax.random.uniform(
+                    jax.random.fold_in(k, chunk_i0 + i), (chunk * R, C)))
+            else:
+                # unused placeholder, minimal footprint (kernel never
+                # reads it)
+                us.append(jnp.zeros((chunk * R, 1), jnp.float32))
+        return tuple(us)
+
     def step(carry, xs):
         lat_data, tr_data, cn_data, dop, clock, _, _ = carry
-        rew_k, unif_k = xs
+        rew_k, i = xs
         outs = _fused_chunk(spec, chunk, _flat_inputs(
             spec, chunk, lat_data, tr_data, cn_data, dop, clock, rew_k,
-            unif_k, pp_vec, rp_vec))
+            draw(i), pp_vec, rp_vec))
         lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _unflatten(
             spec, outs, lat_data, tr_data, cn_data)
         return (lat_data, tr_data, cn_data, dop, clock + chunk,
@@ -584,7 +603,7 @@ def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
     (lat_data, tr_data, cn_data, dop, clock, lat_spk, tr_spk), _ = \
         jax.lax.scan(step, (lat_data, tr_data, cn_data, dop, clock,
                             lat_spk0, tr_spk0),
-                     (rew_chunks, unif_chunks))
+                     (rew_chunks, jnp.arange(q, dtype=jnp.int32)))
     return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk
 
 
@@ -639,16 +658,13 @@ def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
     pp_vec = jnp.stack([jnp.float32(pp[k]) for k in PP_KEYS])
     rp_vec = jnp.stack([jnp.float32(rp[k]) for k in RP_KEYS])
 
-    # pre-generate the Poisson uniforms: one split + one draw per train for
-    # the whole run (the XLA path splits per step; see module docstring)
-    uniforms = []
-    for ts in spec.trains:
-        if ts.kind == "poisson":
-            key, sub = jax.random.split(key)
-            uniforms.append(jax.random.uniform(sub, (n_steps * R, C)))
-        else:
-            # unused placeholder, minimal footprint (kernel never reads it)
-            uniforms.append(jnp.zeros((n_steps * R, 1), jnp.float32))
+    # one subkey per train for the whole run; chunks stream their uniforms
+    # inside the scan via fold_in (the XLA path splits per step)
+    keys = []
+    for _ in spec.trains:
+        key, sub = jax.random.split(key)
+        keys.append(sub)
+    keys = tuple(keys)
 
     chunk = max(1, min(chunk, n_steps))
     done = (n_steps // chunk) * chunk
@@ -658,14 +674,13 @@ def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
     if done:
         lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _run_fused(
             spec, chunk, lat_data, tr_data, cn_data, dop, clock,
-            rewards[:done], tuple(u[:done * R] for u in uniforms),
-            pp_vec, rp_vec)
+            rewards[:done], keys, pp_vec, rp_vec)
     rem = n_steps - done
     if rem:
         lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _run_fused(
             spec, rem, lat_data, tr_data, cn_data, dop, clock + done,
-            rewards[done:], tuple(u[done * R:] for u in uniforms),
-            pp_vec, rp_vec)
+            rewards[done:], keys, pp_vec, rp_vec,
+            chunk_i0=n_steps // chunk)
     return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, key
 
 

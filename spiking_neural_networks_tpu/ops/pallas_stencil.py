@@ -99,7 +99,14 @@ def fused_izhikevich_stencil_step(v, w, wstencil, in_deg, a, b, c, d, v_th,
     Returns (v_new, w_new, spikes_f32).
     """
     rows, cols = v.shape
-    # split columns into lanes of <=128 (see _kernel layout note)
+    # split columns into lanes of <=128 (see _kernel layout note).  cols
+    # that are neither <=128 nor a multiple of 128 would force lane > 128
+    # and hit the documented Mosaic unblocked-ref miscompile — callers must
+    # check `step_kernel_ok` first (the runner falls back to XLA).
+    if cols > 128 and cols % 128:
+        raise ValueError(
+            f"fused_izhikevich_stencil_step needs cols <= 128 or a "
+            f"multiple of 128 (got {cols}); see step_kernel_ok")
     lane = 128 if cols % 128 == 0 else cols
     L = cols // lane
     halo = 0
@@ -118,9 +125,10 @@ def fused_izhikevich_stencil_step(v, w, wstencil, in_deg, a, b, c, d, v_th,
     vp = vp.reshape(len(dcs) * rows_p, L, lane)
     n_off = len(offsets)
     tile_r = min(tile_r, rows)
-    while rows % tile_r or tile_r % 8:
+    while tile_r > 1 and (rows % tile_r or tile_r % 8):
         tile_r -= 1
-    if tile_r < 1:
+    if rows % tile_r or tile_r % 8:
+        # no divisor of rows is a multiple of 8: one full-row block
         tile_r = rows
     grid = (rows // tile_r,)
 
@@ -265,11 +273,25 @@ def lattice_multistep(model, state, graph, clock, n_steps):
 
 
 def multistep_vmem_ok(graph, n_params=13):
-    """Whether the whole lattice (weights + params + state) fits in VMEM."""
+    """Whether the whole lattice (weights + params + state) fits in VMEM.
+
+    The x2 covers Mosaic's roll/select temporaries in the unrolled step
+    loop — the same factor `multistep_tiled_config` applies (measured ~2.1x
+    the naive plane estimate); without it mid-size lattices select this
+    kernel and fail VMEM compile instead of falling back to tiled/XLA."""
     n_off = graph.weights.shape[0]
     n = graph.shape[0] * graph.shape[1]
-    total = 4 * n * (n_off + n_params + 6)
+    total = 4 * n * (n_off + n_params + 6) * 2
     return total < 90 * 1024 * 1024
+
+
+def step_kernel_ok(graph):
+    """Whether the per-step kernel's (rows, L, 128) layout can represent
+    this lattice: cols <= 128 (single lane group) or a multiple of 128.
+    Other widths would need lane > 128, which miscompiles on Mosaic's
+    dynamic row slice of unblocked refs (module docstring gotcha (a))."""
+    cols = graph.shape[1]
+    return cols <= 128 or cols % 128 == 0
 
 
 def supports(model, graph, electrical, chemical, do_plasticity):

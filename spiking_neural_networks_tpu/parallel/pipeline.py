@@ -417,7 +417,7 @@ def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
         src, dst, _old = net.connections[key]
         net.connections[key] = (src, dst, host_cw[s_idx][np.asarray(dst)])
     net._conn_version += 1  # weights may have moved: invalidate cached plans
-    if hist_sig is not None:
+    if hist_sig is not None and hist_parts:
         hist = np.concatenate(hist_parts)  # (T, S, rows, cols)
         for s_idx, lat in enumerate(lattices):
             lat.grid_history.extend(hist[:, s_idx])
@@ -843,7 +843,7 @@ def run_pipelined_with_reward(net, reward, iterations, mesh=None,
                 src, dst, host_cw[s_idx][d], host_ct["c"][s_idx][d],
                 host_ct["dw"][s_idx][d], host_ct["counter"][s_idx][d])
     net._conn_version += 1
-    if hist_sig is not None:
+    if hist_sig is not None and hist_parts:
         hist = np.concatenate(hist_parts)
         for s_idx, lat in enumerate(lattices):
             lat.grid_history.extend(hist[:, s_idx])

@@ -310,3 +310,12 @@ def test_reward_pipeline_grid_history():
         hb = np.stack(_reward_lat(b, k).grid_history.history)
         assert ha.shape == hb.shape == (60, 6, 6)
         np.testing.assert_allclose(ha, hb, rtol=2e-5, atol=2e-4)
+
+
+def test_reward_pipeline_zero_iterations():
+    """iterations=0 with grid histories on: the chunk loop never runs and
+    hist_parts stays empty (np.concatenate([]) crashed)."""
+    net = _reward_chain(stages=2, history=True)
+    run_pipelined_with_reward(net, 0.4, 0, mesh=_mesh(2))
+    assert net.internal_clock == 0
+    run_pipelined(_chain(stages=2, history=True), 0, mesh=_mesh(2))

@@ -186,3 +186,77 @@ def test_empty_reward_connection_runs():
                                        lambda a, b: 1.0)
     net.run_lattices_with_reward(0.5, 10)
     assert net.internal_clock == 10
+
+
+def test_jit_environment_zero_iterations():
+    """run_with_reward(0) must return an empty reward array (the chunk
+    loop never runs; np.concatenate([]) crashed)."""
+    from spiking_neural_networks_tpu.interactable import JitEnvironment
+    lat = snn.RewardModulatedLattice(snn.Izhikevich())
+    lat.populate(2, 2, gap_conductance=10.0)
+    lat.connect_stencil(radius=1.5, seed=0)
+    env = JitEnvironment(lat, {"x": jnp.float32(0.0)},
+                         lambda e, s: s,
+                         lambda e, s: jnp.float32(0.0),
+                         lambda e, s: e)
+    out = env.run_with_reward(0)
+    assert out.shape == (0,)
+    assert lat.internal_clock == 0
+
+
+def test_pallas_step_kernel_odd_rows():
+    """rows with no divisor that is a multiple of 8 (e.g. 12) crashed the
+    per-step kernel's tile_r search with ZeroDivisionError."""
+    rows = cols = 12
+    v0 = np.random.default_rng(2).uniform(-65, 30,
+                                          rows * cols).astype(np.float32)
+
+    def run(use_pallas):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(rows, cols, gap_conductance=10.0, v=v0)
+        lat.connect_stencil(radius=1.0, keep_prob=0.9, seed=1)
+        lat.use_pallas = use_pallas
+        lat.update_grid_history = True    # per-step kernel, not multi-step
+        lat.run_lattice(20)
+        return lat
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(np.asarray(b.state["v"]),
+                               np.asarray(a.state["v"]),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_pallas_step_kernel_cols_guard():
+    """cols > 128 that are not a multiple of 128 cannot use the per-step
+    kernel's (rows, L, 128) layout (Mosaic unblocked-ref miscompile);
+    the runner must fall back to XLA, bit-identically."""
+    from spiking_neural_networks_tpu.ops import pallas_stencil
+    rows, cols = 8, 192
+    v0 = np.random.default_rng(3).uniform(-65, 30,
+                                          rows * cols).astype(np.float32)
+
+    def run(use_pallas):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(rows, cols, gap_conductance=10.0, v=v0)
+        lat.connect_stencil(radius=1.0, keep_prob=0.9, seed=1)
+        lat.use_pallas = use_pallas
+        lat.update_grid_history = True
+        lat.run_lattice(20)
+        assert not pallas_stencil.step_kernel_ok(lat.graph)
+        return lat
+
+    a, b = run(False), run(True)
+    np.testing.assert_array_equal(np.asarray(b.state["v"]),
+                                  np.asarray(a.state["v"]))
+
+
+def test_multistep_vmem_estimate_covers_temporaries():
+    """multistep_vmem_ok must include the ~2x Mosaic roll/select temporary
+    factor: a 768x768 radius-2 lattice (naive ~73 MB) must NOT select the
+    whole-lattice multi-step kernel (measured real usage ~2x naive)."""
+    from types import SimpleNamespace
+    from spiking_neural_networks_tpu.ops import pallas_stencil
+    fake = SimpleNamespace(weights=np.zeros((25, 1, 1)), shape=(768, 768))
+    assert not pallas_stencil.multistep_vmem_ok(fake)
+    small = SimpleNamespace(weights=np.zeros((9, 1, 1)), shape=(512, 512))
+    assert pallas_stencil.multistep_vmem_ok(small)
