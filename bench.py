@@ -122,31 +122,46 @@ def bench_izhikevich_large(rows=2048, cols=2048, iters=1024):
 
 
 def bench_hh_stdp(rows=128, cols=128, iters=2000):
+    """BASELINE config: HH with ion channels + receptor kinetics + STDP.
+    Measures the XLA path and the fused multi-step chemical kernel
+    (ops/pallas_hh.py); reports the best."""
     import spiking_neural_networks_tpu as snn
 
-    lat = snn.Lattice(snn.HodgkinHuxley())
-    lat.populate(rows, cols, gap_conductance=10.0)
-    s = lat.state
-    for t in ("AMPA", "NMDA", "GABA"):
-        s = lat.model.insert_receptor(s, t)
-        s = lat.model.insert_neurotransmitter(s, t)
-    lat.state = s
-    lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=11)
-    lat.chemical_synapse = True
-    lat.do_plasticity = True
-    lat.plasticity = snn.STDP()
-    lat.scan_unroll = 4  # 18.9k -> 21.7k steps/s in-process on v5e
+    def build(pallas):
+        lat = snn.Lattice(snn.HodgkinHuxley())
+        lat.populate(rows, cols, gap_conductance=10.0)
+        s = lat.state
+        for t in ("AMPA", "NMDA", "GABA"):
+            s = lat.model.insert_receptor(s, t)
+            s = lat.model.insert_neurotransmitter(s, t)
+        lat.state = s
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=11)
+        lat.chemical_synapse = True
+        lat.do_plasticity = True
+        lat.plasticity = snn.STDP()
+        lat.scan_unroll = 4  # 18.9k -> 21.7k steps/s in-process on v5e
+        lat.use_pallas = pallas
+        return lat
 
-    log("compiling HH+STDP lattice ...")
-    lat.run_lattice(iters)
-    jax.block_until_ready(lat.state["v"])
+    def measure(lat, label):
+        log(f"compiling HH+STDP lattice ({label}) ...")
+        lat.run_lattice(iters)
+        jax.block_until_ready(lat.state["v"])
+        best, vals = timed_repeats(
+            lambda: lat.run_lattice(iters),
+            lambda: jax.block_until_ready(lat.state["v"]), iters)
+        log(f"HH+STDP {rows}x{cols} [{label}]: best {best:.1f} steps/s over "
+            f"{len(vals)} runs (spread {min(vals) / max(vals):.2f})")
+        return best, vals
 
-    best, vals = timed_repeats(lambda: lat.run_lattice(iters),
-                               lambda: jax.block_until_ready(lat.state["v"]),
-                               iters)
-    log(f"HH+STDP {rows}x{cols}: best {best:.1f} steps/s over {len(vals)} "
-        f"runs (spread {min(vals) / max(vals):.2f})")
-    return best, vals
+    xla_best, xla_vals = measure(build(False), "xla")
+    try:
+        pl_best, pl_vals = measure(build(True), "pallas-multistep")
+    except Exception as e:
+        log("pallas HH path unavailable:", repr(e)[:200])
+        pl_best, pl_vals = 0.0, []
+    return max(xla_best, pl_best), {"xla": xla_vals,
+                                    "pallas_multistep": pl_vals}
 
 
 def bench_lif_poisson_network(rows=64, cols=64, iters=5000):

@@ -255,6 +255,15 @@ class Lattice:
             # per-step kernel can't lay these cols out as (rows, L, 128):
             # fall back to the XLA stencil path rather than miscompile
             use_pallas = False
+        if not use_pallas and self.use_pallas and not self._history_items() \
+                and not self.update_graph_history:
+            # fused multi-step HH chemical kernel (ops/pallas_hh.py)
+            from ..ops import pallas_hh
+            if pallas_hh.supports(self.model, self.graph,
+                                  self.electrical_synapse,
+                                  self.chemical_synapse, self.do_plasticity,
+                                  self.plasticity, self.state):
+                use_pallas = "hh"
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),
@@ -366,6 +375,35 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
             return st, graph, key, ck, {}
 
         return jax.jit(run_multi, donate_argnums=(0,))
+
+    if use_pallas == "hh":
+        # fused multi-step HH chemical kernel: whole lattice (state +
+        # receptor/NT planes + weights) VMEM-resident for K steps
+        from ..ops import pallas_hh
+        K = 16
+
+        def run_hh(state, graph, key, clock, pparams):
+            n_outer, rem = divmod(length, K)
+
+            def step(carry, _):
+                st, gr, ck = carry
+                st, gr = pallas_hh.lattice_multistep(
+                    model, st, gr, ck, K, electrical, do_plasticity,
+                    pparams)
+                return (st, gr, ck + K), ()
+
+            carry = (state, graph, clock)
+            if n_outer:
+                carry, _ = jax.lax.scan(step, carry, None, length=n_outer)
+            st, gr, ck = carry
+            if rem:
+                st, gr = pallas_hh.lattice_multistep(
+                    model, st, gr, ck, rem, electrical, do_plasticity,
+                    pparams)
+                ck = ck + rem
+            return st, gr, key, ck, {}
+
+        return jax.jit(run_hh, donate_argnums=(0,))
 
     if isinstance(use_pallas, tuple) and use_pallas[0] == "tiled":
         from ..ops import pallas_stencil
