@@ -19,6 +19,7 @@ import copy
 from enum import IntEnum
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .errors import LatticeNetworkError
@@ -256,22 +257,52 @@ def _neuron_overrides(neuron):
     return over
 
 
+def _pull_state(state, ndim=None):
+    """ONE batched host pull of (a subset of) the state.  Per-array
+    np.asarray pays a full relay round trip EACH (~40-90 ms over the axon
+    tunnel) — a 45-field pull-loop cost ~6 s per trial in the Bayesian
+    pipeline; a single jax.device_get batches them."""
+    keys = [k for k, v in state.items() if ndim is None or np.ndim(v) == ndim]
+    vals = jax.device_get([state[k] for k in keys])
+    return {k: np.array(v) for k, v in zip(keys, vals)}
+
+
+def _host_insert_nt(model, host, name, **params):
+    """Host-side `Neurotransmitters::insert` (no device round trips;
+    semantics of models.base.insert_neurotransmitter)."""
+    k = model.type_index(name)
+    host["nt$mask"][:, k] = True
+    for p, v in params.items():
+        host[f"nt${p}"][:, k] = v
+
+
+def _host_insert_receptor(model, host, name, **params):
+    """Host-side `Receptors::insert` (ops.receptors.ReceptorSystem.insert)."""
+    k = model.receptors.type_names.index(name)
+    host["rec$mask"][:, k] = True
+    for p, v in params.items():
+        key = f"rec${p}"
+        if host[key].ndim == 2:
+            host[key][:, k] = v
+        else:
+            host[key][:] = v
+
+
 def _install_synapses(model, state, neuron):
+    # mutate host-side, ship once: a burst of per-field device programs
+    # is the relay-exhaustion pattern CLAUDE.md forbids, and per-field
+    # host pulls pay one relay round trip each
+    host = _pull_state(state)
     for t, kin in neuron.synaptic_neurotransmitters.items():
         name = DopaGluGABANeurotransmitterType(t).name
-        state = model.insert_neurotransmitter(
-            state, name, t_max=kin.t_max,
-            clearance_constant=kin.clearance_constant, t=kin.t)
+        _host_insert_nt(model, host, name, t_max=kin.t_max,
+                        clearance_constant=kin.clearance_constant, t=kin.t)
     rec = neuron.receptors
     if isinstance(rec, DopaGluGABA):
-        # mutate host-side, ship once: a burst of per-field device programs
-        # is the relay-exhaustion pattern CLAUDE.md forbids
-        host = {k: np.asarray(v).copy() for k, v in state.items()}
         n = host["v"].shape[0]
         for t, r in rec.receptors.items():
             name = DopaGluGABANeurotransmitterType(t).name
-            state = model.insert_receptor(state, name)
-            host["rec$mask"] = np.asarray(state["rec$mask"])
+            _host_insert_receptor(model, host, name)
             if isinstance(r, GlutamateReceptor):
                 host["rec$g_ampa"] = np.full((n,), r.g_ampa, np.float32)
                 host["rec$g_nmda"] = np.full((n,), r.g_nmda, np.float32)
@@ -289,9 +320,8 @@ def _install_synapses(model, state, neuron):
                 host["rec$s_d2"] = np.full((n,), r.s_d2, np.float32)
                 host["rec$r_max"][:, 2] = r.r_d1.r_max
                 host["rec$r2$r_max"][:, 2] = r.r_d2.r_max
-        from .utils.transfer import device_put_state
-        state = device_put_state(host)
-    return state
+    from .utils.transfer import device_put_state
+    return device_put_state(host)
 
 
 class _NeuronView:
@@ -307,13 +337,16 @@ class _NeuronView:
 
 class _LatticeMixin:
     def _host_arrays(self):
-        return {k: np.asarray(v).copy() for k, v in self._inner.state.items()
-                if np.asarray(v).ndim == 1}
+        return _pull_state(self._inner.state, ndim=1)
 
     def _write_back(self, arrays):
+        from .utils.transfer import device_put_state
         state = dict(self._inner.state)
-        for k, v in arrays.items():
-            state[k] = jnp.asarray(v, state[k].dtype)
+        # one packed ship for all mutated leaves (a burst of unsynced
+        # per-field puts is the relay-exhaustion pattern)
+        state.update(device_put_state({
+            k: np.asarray(v, np.dtype(state[k].dtype))
+            for k, v in arrays.items()}))
         self._inner.state = state
 
     def apply(self, function):
@@ -470,12 +503,15 @@ class IzhikevichNeuronLattice(_LatticeMixin):
         idx = row * self._inner.cols + col
         n = copy.deepcopy(self._prototype) if self._prototype else IzhikevichNeuron()
         state = self._inner.state
+        keys = [_IZH_KEYMAP.get(a, a) for a in _IZH_SCALARS]
+        host = jax.device_get(    # one batched pull, not one RTT per field
+            {k: state[k] for k in keys + ["last_firing_time", "is_spiking"]})
         for attr in _IZH_SCALARS:
             key = _IZH_KEYMAP.get(attr, attr)
-            setattr(n, attr, float(np.asarray(state[key][idx])))
-        lft = int(np.asarray(state["last_firing_time"][idx]))
+            setattr(n, attr, float(host[key][idx]))
+        lft = int(host["last_firing_time"][idx])
         n.last_firing_time = None if lft < 0 else lft
-        n.is_spiking = bool(np.asarray(state["is_spiking"][idx]))
+        n.is_spiking = bool(host["is_spiking"][idx])
         return n
 
     def set_neuron(self, row, col, neuron):
@@ -586,8 +622,7 @@ class RateSpikeTrainLattice(_LatticeMixin):
         self._inner.run_lattice(iterations)
 
     def apply(self, function):
-        arrays = {k: np.asarray(v).copy() for k, v in self._inner.state.items()
-                  if np.asarray(v).ndim == 1}
+        arrays = _pull_state(self._inner.state, ndim=1)
         for idx in range(self._inner.n):
             function(_NeuronView(arrays, idx, _ST_KEYMAP))
         self._write_back(arrays)
@@ -603,14 +638,18 @@ class RateSpikeTrainLattice(_LatticeMixin):
         proto = copy.deepcopy(self._prototype) if self._prototype \
             else RateSpikeTrain()
         state = self._inner.state
+        keys = [k for k in
+                [_ST_KEYMAP.get(a, a) for a in self._ST_SCALARS]
+                if k in state] + ["v", "last_firing_time", "is_spiking"]
+        host = jax.device_get({k: state[k] for k in keys})  # one pull
         for attr in self._ST_SCALARS:
             key = _ST_KEYMAP.get(attr, attr)
-            if key in state:
-                setattr(proto, attr, float(np.asarray(state[key][idx])))
-        proto.current_voltage = float(np.asarray(state["v"][idx]))
-        lft = int(np.asarray(state["last_firing_time"][idx]))
+            if key in host:
+                setattr(proto, attr, float(host[key][idx]))
+        proto.current_voltage = float(host["v"][idx])
+        lft = int(host["last_firing_time"][idx])
         proto.last_firing_time = None if lft < 0 else lft
-        proto.is_spiking = bool(np.asarray(state["is_spiking"][idx]))
+        proto.is_spiking = bool(host["is_spiking"][idx])
         return proto
 
     def set_spike_train(self, row, col, neuron):
@@ -708,8 +747,7 @@ class IzhikevichNeuronNetwork:
 
     def apply_spike_train_lattice_given_position(self, id, function):
         st = self._st_lattices[id]
-        arrays = {k: np.asarray(v).copy() for k, v in st._inner.state.items()
-                  if np.asarray(v).ndim == 1}
+        arrays = _pull_state(st._inner.state, ndim=1)
         cols = st._inner.cols
         for idx in range(st._inner.n):
             function((idx // cols, idx % cols),
@@ -1055,22 +1093,28 @@ class ApproximateLigandGatedChannels:
 
 
 def _install_ionotropic(model, state, neuron):
-    """Install legacy-style Ionotropic neurotransmitters + ligand gates."""
+    """Install legacy-style Ionotropic neurotransmitters + ligand gates
+    (host-side, one pull + one ship; see _install_synapses)."""
     nts = getattr(neuron, "ionotropic_neurotransmitters", None)
+    gates = getattr(neuron, "ligand_gates", None)
+    if nts is None and gates is None:
+        return state
+    host = _pull_state(state)
     if nts is not None:
         for t, kin in nts.neurotransmitters.items():
-            state = model.insert_neurotransmitter(
-                state, _IONO_NAMES[int(t)], t_max=kin.t_max,
-                clearance_constant=kin.clearance_constant, t=kin.t)
-    gates = getattr(neuron, "ligand_gates", None)
+            _host_insert_nt(model, host, _IONO_NAMES[int(t)],
+                            t_max=kin.t_max,
+                            clearance_constant=kin.clearance_constant,
+                            t=kin.t)
     if gates is not None:
         for t, ch in gates.gates.items():
             params = dict(g=ch.g, e=ch.e)
             if int(t) == 1:
                 params["mg"] = ch.mg
-            state = model.insert_receptor(state, _IONO_NAMES[int(t)],
-                                          **params)
-    return state
+            _host_insert_receptor(model, host, _IONO_NAMES[int(t)],
+                                  **params)
+    from .utils.transfer import device_put_state
+    return device_put_state(host)
 
 
 class _LegacyNeuronBase:
@@ -1191,13 +1235,17 @@ def _make_legacy_lattice(cls_name, model_factory, proto_cls, scalars,
             n = copy.deepcopy(self._prototype) if self._prototype \
                 else proto_cls()
             state = self._inner.state
+            keys = [k for k in
+                    [self._KEYMAP.get(a, a) for a in self._SCALARS]
+                    if k in state] + ["last_firing_time", "is_spiking"]
+            host = jax.device_get({k: state[k] for k in keys})  # one pull
             for attr in self._SCALARS:
                 key = self._KEYMAP.get(attr, attr)
-                if key in state:
-                    setattr(n, attr, float(np.asarray(state[key][idx])))
-            lft = int(np.asarray(state["last_firing_time"][idx]))
+                if key in host:
+                    setattr(n, attr, float(host[key][idx]))
+            lft = int(host["last_firing_time"][idx])
             n.last_firing_time = None if lft < 0 else lft
-            n.is_spiking = bool(np.asarray(state["is_spiking"][idx]))
+            n.is_spiking = bool(host["is_spiking"][idx])
             return n
 
         def set_neuron(self, row, col, neuron):
