@@ -165,26 +165,43 @@ def bench_hh_stdp(rows=128, cols=128, iters=2000):
 
 
 def bench_lif_poisson_network(rows=64, cols=64, iters=5000):
-    """BASELINE config 2: adaptive LIF lattice driven by a Poisson lattice."""
+    """BASELINE config 2: adaptive LIF lattice driven by a Poisson lattice.
+    Measures the XLA structured runner and the fused whole-network kernel
+    (ops/pallas_reward.plain_network_runner); reports the best."""
     import spiking_neural_networks_tpu as snn
 
-    lat = snn.Lattice(snn.AdaptiveLeakyIntegrateAndFire(), id=0)
-    lat.populate(rows, cols, gap_conductance=10.0)
-    lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=3)
-    st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=1)
-    st.populate(rows, cols)
-    st.state = st.model.init_from_firing_rate(rows * cols, hertz=50.0, dt=0.1)
-    net = snn.LatticeNetwork.generate_network([lat], [st])
-    net.connect(1, 0, lambda x, y: x == y, lambda x, y: 5.0)
+    def build(pallas):
+        lat = snn.Lattice(snn.AdaptiveLeakyIntegrateAndFire(), id=0)
+        lat.populate(rows, cols, gap_conductance=10.0)
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=3)
+        st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=1)
+        st.populate(rows, cols)
+        st.state = st.model.init_from_firing_rate(rows * cols, hertz=50.0,
+                                                  dt=0.1)
+        net = snn.LatticeNetwork.generate_network([lat], [st])
+        net.connect(1, 0, lambda x, y: x == y, lambda x, y: 5.0)
+        net.use_pallas = pallas
+        return net
 
-    net.run_lattices(iters)
-    jax.block_until_ready(lat.state["v"])
-    best, vals = timed_repeats(
-        lambda: net.run_lattices(iters),
-        lambda: jax.block_until_ready(net.get_lattice(0).state["v"]), iters)
-    log(f"ALIF+Poisson network {rows}x{cols}: best {best:.1f} steps/s "
-        f"(spread {min(vals) / max(vals):.2f})")
-    return best, vals
+    def measure(net, label):
+        net.run_lattices(iters)
+        jax.block_until_ready(net.get_lattice(0).state["v"])
+        best, vals = timed_repeats(
+            lambda: net.run_lattices(iters),
+            lambda: jax.block_until_ready(net.get_lattice(0).state["v"]),
+            iters)
+        log(f"ALIF+Poisson network {rows}x{cols} [{label}]: best {best:.1f} "
+            f"steps/s (spread {min(vals) / max(vals):.2f})")
+        return best, vals
+
+    xla_best, xla_vals = measure(build(False), "xla")
+    try:
+        pl_best, pl_vals = measure(build(True), "pallas-fused")
+    except Exception as e:
+        log("pallas plain-network path unavailable:", repr(e)[:200])
+        pl_best, pl_vals = 0.0, []
+    return max(xla_best, pl_best), {"xla": xla_vals,
+                                    "pallas_fused": pl_vals}
 
 
 def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):

@@ -195,26 +195,30 @@ def get_noisy_rate_spike_train_setup_function(noise_level, firing_rate,
 
 def find_peaks(series):
     """Local maxima (strictly greater than both neighbors); plateau-aware
-    like scipy.signal.find_peaks for simple plateaus."""
+    like scipy.signal.find_peaks for simple plateaus.
+
+    Vectorized: a peak is a rising nonzero diff immediately followed (in
+    the nonzero-diff sequence) by a falling one; the plateau between spans
+    indices a+1..b and the reported index is its midpoint — identical to
+    the scalar two-pointer scan (the Python loop cost 0.42 s/trial at 49
+    calls x 2500 samples in the Bayesian pipeline)."""
     x = np.asarray(series, np.float64)
-    peaks = []
-    i = 1
-    while i < len(x) - 1:
-        if x[i - 1] < x[i]:
-            j = i
-            while j < len(x) - 1 and x[j + 1] == x[j]:
-                j += 1
-            if j < len(x) - 1 and x[j + 1] < x[i]:
-                peaks.append((i + j) // 2)
-            i = j + 1
-        else:
-            i += 1
-    return np.asarray(peaks, np.int64)
+    if len(x) < 3:
+        return np.asarray([], np.int64)
+    d = np.diff(x)
+    nz = np.nonzero(d)[0]
+    if nz.size < 2:
+        return np.asarray([], np.int64)
+    cand = (d[nz[:-1]] > 0) & (d[nz[1:]] < 0)
+    a = nz[:-1][cand]
+    b = nz[1:][cand]
+    return ((a + 1 + b) // 2).astype(np.int64)
 
 
 def find_peaks_above_threshold(series, threshold):
     series = np.asarray(series)
-    return [int(i) for i in find_peaks(series) if series[i] > threshold]
+    idx = find_peaks(series)
+    return [int(i) for i in idx[series[idx] > threshold]]
 
 
 def acc(true_pattern, pred_pattern, exc_n, threshold=10):

@@ -113,6 +113,18 @@ class Lattice:
         # would allocate (N, N) -- 274 GB at 512x512)
         self.graph = SparseGraph.empty(self.n)
 
+    def populate_host(self, rows, cols, **overrides):
+        """`populate` leaving the fresh state as HOST NumPy arrays, for
+        callers that mutate construction-time state host-side and ship
+        once via device_put_state (lixirnet.populate — each extra ship
+        costs relay round trips)."""
+        if self.in_network and (rows, cols) != (self.rows, self.cols):
+            raise GraphError(
+                "dimensions must match when lattice is in a network")
+        self.rows, self.cols = rows, cols
+        self.state = self.model.init_state_host(rows * cols, **overrides)
+        self.graph = SparseGraph.empty(self.n)
+
     def connect(self, connecting_conditional, weight_logic=None):
         """`Lattice::connect` (neuron/mod.rs:1134-1157). O(N^2) host-side;
         for big lattices prefer `connect_stencil` / `set_graph`.

@@ -69,6 +69,14 @@ class SpikeTrainLattice:
         self.rows, self.cols = rows, cols
         self.state = self.model.init_state(rows * cols, **overrides)
 
+    def populate_host(self, rows, cols, **overrides):
+        """`populate` leaving the state as HOST arrays (see
+        core.lattice.Lattice.populate_host)."""
+        if self.in_network and (rows, cols) != (self.rows, self.cols):
+            raise ValueError("dimensions must match when lattice is in a network")
+        self.rows, self.cols = rows, cols
+        self.state = self.model.init_state_host(rows * cols, **overrides)
+
     def apply(self, fn):
         self.state = dict(fn(dict(self.state)))
 
@@ -252,8 +260,9 @@ class LatticeNetwork:
         self.internal_clock = 0
         self.history_chunk = 1024
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
-        # opt-in fused whole-network Pallas kernel for small reward
-        # networks (ops/pallas_reward.py; plain networks ignore it)
+        # opt-in fused whole-network Pallas kernel for small networks
+        # (ops/pallas_reward.py; engages for electrical Izhikevich/ALIF/
+        # LIF + stencil + one-to-one classes, reward or plain)
         self.use_pallas = False
         self.key = jax.random.PRNGKey(0)
         # bumped on any topology/weight mutation; run_structured caches its

@@ -466,9 +466,12 @@ def run_structured(net, iterations):
     plasticity = net._plasticity()
     do_plast = tuple(bool(l.do_plasticity) for l in lattices)
     # one batched pull (per-array bool() pays a relay round trip each)
+    nt_flags = jax.device_get(
+        [_mask_any(l.state["nt$mask"]) for l in lattices]
+        + [_mask_any(s.state["nt$mask"]) for s in sts])
     skip_nt = not lattices or not any(
-        bool(f) for f in jax.device_get(
-            [_mask_any(l.state["nt$mask"]) for l in lattices]))
+        bool(f) for f in nt_flags[:len(lattices)])
+    st_nt_clean = not any(bool(f) for f in nt_flags[len(lattices):])
     hist = tuple(
         (i, l.grid_history.kind, _freeze(l.grid_history), (l.rows, l.cols))
         for i, l in zip(lat_ids, lattices) if l.update_grid_history)
@@ -484,12 +487,21 @@ def run_structured(net, iterations):
         (c["pre"], c["post"], c["op"].kind, c["pre_is_st"]) for c in conns)
     graph_types = tuple(type(l.graph) for l in lattices)
 
-    runner = _build_structured_runner(
-        model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,
-        graph_types, net.electrical_synapse, net.chemical_synapse,
-        do_plast, type(plasticity), skip_nt, hist, st_hist, int(iterations),
-        ghist, resolve_unroll(net.scan_unroll,
-                              sum(l.n for l in lattices)))
+    runner = None
+    if getattr(net, "use_pallas", False) and not hist and not st_hist \
+            and not ghist:
+        # fused whole-network multi-step kernel (ops/pallas_reward.py);
+        # None when the configuration is outside the supported class
+        from ..ops import pallas_reward
+        runner = pallas_reward.plain_network_runner(
+            net, plan, skip_nt and st_nt_clean, int(iterations))
+    if runner is None:
+        runner = _build_structured_runner(
+            model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,
+            graph_types, net.electrical_synapse, net.chemical_synapse,
+            do_plast, type(plasticity), skip_nt, hist, st_hist,
+            int(iterations), ghist,
+            resolve_unroll(net.scan_unroll, sum(l.n for l in lattices)))
 
     states = tuple(l.state for l in lattices)
     st_states = tuple(s.state for s in sts)

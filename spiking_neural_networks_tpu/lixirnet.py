@@ -293,6 +293,14 @@ def _install_synapses(model, state, neuron):
     # is the relay-exhaustion pattern CLAUDE.md forbids, and per-field
     # host pulls pay one relay round trip each
     host = _pull_state(state)
+    _install_synapses_host(model, host, neuron)
+    from .utils.transfer import device_put_state
+    return device_put_state(host)
+
+
+def _install_synapses_host(model, host, neuron):
+    """Install the prototype's neurotransmitters/receptors into a HOST
+    state dict in place (no device traffic)."""
     for t, kin in neuron.synaptic_neurotransmitters.items():
         name = DopaGluGABANeurotransmitterType(t).name
         _host_insert_nt(model, host, name, t_max=kin.t_max,
@@ -320,8 +328,6 @@ def _install_synapses(model, state, neuron):
                 host["rec$s_d2"] = np.full((n,), r.s_d2, np.float32)
                 host["rec$r_max"][:, 2] = r.r_d1.r_max
                 host["rec$r2$r_max"][:, 2] = r.r_d2.r_max
-    from .utils.transfer import device_put_state
-    return device_put_state(host)
 
 
 class _NeuronView:
@@ -482,8 +488,13 @@ class IzhikevichNeuronLattice(_LatticeMixin):
     def populate(self, neuron, num_rows, num_cols):
         self._prototype = copy.deepcopy(neuron)
         model = self._inner.model
-        self._inner.populate(num_rows, num_cols, **_neuron_overrides(neuron))
-        self._inner.state = _install_synapses(model, self._inner.state, neuron)
+        # build + install host-side, ship ONCE (each extra state ship
+        # costs relay round trips; see utils.transfer)
+        self._inner.populate_host(num_rows, num_cols,
+                                  **_neuron_overrides(neuron))
+        _install_synapses_host(model, self._inner.state, neuron)
+        from .utils.transfer import device_put_state
+        self._inner.state = device_put_state(self._inner.state)
 
     def connect(self, connection_conditional, weight_logic=None):
         self._inner.connect(connection_conditional, weight_logic)
@@ -604,19 +615,17 @@ class RateSpikeTrainLattice(_LatticeMixin):
             if hasattr(spike_train, attr) and key in known:
                 over[key] = float(getattr(spike_train, attr))
         over["refractoriness$k"] = spike_train.neural_refractoriness.k
-        self._inner.populate(num_rows, num_cols, **over)
-        model = self._inner.model
+        # build + install host-side, ship ONCE (see utils.transfer)
+        self._inner.populate_host(num_rows, num_cols, **over)
+        host = self._inner.state
         for t, kin in spike_train.synaptic_neurotransmitters.items():
-            name = DopaGluGABANeurotransmitterType(t).name
             # spike trains share the Ionotropic axis in the base framework;
             # the DopaGluGABA axis has the same cardinality so indices map 1:1
-            self._inner.state["nt$mask"] = \
-                self._inner.state["nt$mask"].at[:, int(t)].set(True)
-            self._inner.state["nt$t_max"] = \
-                self._inner.state["nt$t_max"].at[:, int(t)].set(kin.t_max)
-            self._inner.state["nt$clearance_constant"] = \
-                self._inner.state["nt$clearance_constant"].at[:, int(t)].set(
-                    kin.clearance_constant)
+            host["nt$mask"][:, int(t)] = True
+            host["nt$t_max"][:, int(t)] = kin.t_max
+            host["nt$clearance_constant"][:, int(t)] = kin.clearance_constant
+        from .utils.transfer import device_put_state
+        self._inner.state = device_put_state(host)
 
     def run_lattice(self, iterations):
         self._inner.run_lattice(iterations)
@@ -1092,14 +1101,11 @@ class ApproximateLigandGatedChannels:
         self.gates[int(t)] = gate
 
 
-def _install_ionotropic(model, state, neuron):
+def _install_ionotropic(model, host, neuron):
     """Install legacy-style Ionotropic neurotransmitters + ligand gates
-    (host-side, one pull + one ship; see _install_synapses)."""
+    into a HOST state dict in place (see _install_synapses_host)."""
     nts = getattr(neuron, "ionotropic_neurotransmitters", None)
     gates = getattr(neuron, "ligand_gates", None)
-    if nts is None and gates is None:
-        return state
-    host = _pull_state(state)
     if nts is not None:
         for t, kin in nts.neurotransmitters.items():
             _host_insert_nt(model, host, _IONO_NAMES[int(t)],
@@ -1113,8 +1119,7 @@ def _install_ionotropic(model, state, neuron):
                 params["mg"] = ch.mg
             _host_insert_receptor(model, host, _IONO_NAMES[int(t)],
                                   **params)
-    from .utils.transfer import device_put_state
-    return device_put_state(host)
+    return host
 
 
 class _LegacyNeuronBase:
@@ -1168,14 +1173,14 @@ class LeakyIntegrateAndFireNeuron(_LegacyNeuronBase):
                      c_m=100.0, dt=0.1)
 
 
-def _legacy_izhikevich_installer(model, state, neuron):
+def _legacy_izhikevich_installer(model, host, neuron):
     # the legacy IzhikevichNeuron prototype is the shared class above,
     # which may carry either DopaGluGABA receptors (v0.4 style) or the
     # Ionotropic containers (v0.1 style)
     if getattr(neuron, "ionotropic_neurotransmitters", None) is not None \
             or getattr(neuron, "ligand_gates", None) is not None:
-        return _install_ionotropic(model, state, neuron)
-    return state
+        return _install_ionotropic(model, host, neuron)
+    return host
 
 
 def _make_legacy_lattice(cls_name, model_factory, proto_cls, scalars,
@@ -1200,9 +1205,11 @@ def _make_legacy_lattice(cls_name, model_factory, proto_cls, scalars,
                 key = self._KEYMAP.get(attr, attr)
                 if hasattr(neuron, attr) and key in known:
                     over[key] = float(getattr(neuron, attr))
-            self._inner.populate(num_rows, num_cols, **over)
-            self._inner.state = installer(
-                self._inner.model, self._inner.state, neuron)
+            # build + install host-side, ship ONCE (see utils.transfer)
+            self._inner.populate_host(num_rows, num_cols, **over)
+            installer(self._inner.model, self._inner.state, neuron)
+            from .utils.transfer import device_put_state
+            self._inner.state = device_put_state(self._inner.state)
 
         def connect(self, connection_conditional, weight_logic=None):
             self._inner.connect(connection_conditional, weight_logic)

@@ -94,6 +94,15 @@ class NeuronModel:
         """Build the SoA state for ``n`` identical neurons (like `populate`
         cloning a base neuron, neuron/mod.rs:1090-1100). ``overrides`` set
         per-field initial values (scalar or (n,) array)."""
+        # packed transfer: see utils.transfer for why per-leaf device_put
+        # is unsafe here
+        from ..utils.transfer import device_put_state
+        return device_put_state(self.init_state_host(n, **overrides))
+
+    def init_state_host(self, n, **overrides):
+        """`init_state` without the device transfer: plain NumPy arrays,
+        for callers that mutate construction-time state host-side and ship
+        once (lixirnet.populate)."""
         nk = (n, self.n_types)
         s = {}
         for f, d in self.FIELDS.items():
@@ -120,10 +129,7 @@ class NeuronModel:
             arr = np.asarray(s[key])
             s[key] = np.broadcast_to(
                 np.asarray(val, arr.dtype), arr.shape).copy()
-        # packed transfer: two flat buffers + one unpack program (see
-        # utils.transfer for why per-leaf device_put is unsafe here)
-        from ..utils.transfer import device_put_state
-        return device_put_state(s)
+        return s
 
     # -- receptor / neurotransmitter insertion (Receptors::insert,
     #    Neurotransmitters::insert) ------------------------------------------

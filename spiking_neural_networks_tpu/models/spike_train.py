@@ -86,6 +86,11 @@ class SpikeTrainModel:
 
     def init_state(self, n, **overrides):
         # host-side construction, one device_put (see models.base.init_state)
+        from ..utils.transfer import device_put_state
+        return device_put_state(self.init_state_host(n, **overrides))
+
+    def init_state_host(self, n, **overrides):
+        """`init_state` without the device transfer (models.base)."""
         import numpy as np
         nk = (n, self.n_types)
         s = {}
@@ -108,8 +113,7 @@ class SpikeTrainModel:
                 raise KeyError(f"unknown state field {key!r} for {self.name}")
             s[key] = np.broadcast_to(
                 np.asarray(val, s[key].dtype), s[key].shape).copy()
-        from ..utils.transfer import device_put_state
-        return device_put_state(s)
+        return s
 
     def type_index(self, type_name):
         if type_name not in self.type_names:

@@ -66,6 +66,18 @@ from .pallas_stencil import _compiler_params
 
 LAT_PARAM_KEYS = ("a", "b", "c", "d", "v_th", "gap_conductance",
                   "tau_m", "c_m", "dt")
+# per-model parameter planes (state keys, models/integrate_and_fire.py)
+MODEL_PARAM_KEYS = {
+    "izhikevich": LAT_PARAM_KEYS,
+    "alif": ("v_th", "v_reset", "tref", "alpha", "beta", "leak_constant",
+             "integration_constant", "gap_conductance", "e_l", "g_l",
+             "tau_m", "c_m", "dt"),
+    "lif": ("v_th", "v_reset", "tref", "leak_constant",
+            "integration_constant", "gap_conductance", "e_l", "g_l",
+            "tau_m", "dt"),
+}
+# models whose spike handler carries a refractory_count plane
+REFRACTORY_MODELS = ("alif", "lif")
 PP_KEYS = ("a_plus", "a_minus", "tau_plus", "tau_minus", "dt")
 RP_KEYS = ("a_plus", "a_minus", "tau_plus", "tau_minus", "dt",
            "tau_c", "tau_d")
@@ -78,6 +90,7 @@ VMEM_BUDGET = 80 * 1024 * 1024
 class LatSpec(NamedTuple):
     kind: str                  # 'plain' | 'plastic' | 'mod'
     offsets: tuple             # stencil offsets ((dr, dc), ...)
+    model: str = "izhikevich"  # MODEL_PARAM_KEYS key
 
 
 class TrainSpec(NamedTuple):
@@ -159,9 +172,11 @@ def _make_kernel(spec, n_steps):
         for ls in spec.lattices:
             d = dict(v=take()[:, :], w=take()[:, :], lft=take()[:, :],
                      wst=take()[:, :, :], in_deg=take()[:, :])
+            if ls.model in REFRACTORY_MODELS:
+                d["refr"] = take()[:, :]
             if ls.kind in ("plastic", "mod"):
                 d["mask"] = take()[:, :, :]
-            for p in LAT_PARAM_KEYS:
+            for p in MODEL_PARAM_KEYS[ls.model]:
                 d[p] = take()[:, :]
             if ls.kind == "mod":
                 d["tc"] = take()[:, :, :]
@@ -210,13 +225,15 @@ def _make_kernel(spec, n_steps):
                 if cs.post == i:
                     cnt = cnt + conns[ci]["mask"]
             cnts.append(jnp.maximum(cnt, 1.0))
-            dt_cm.append(lats[i]["dt"] / lats[i]["c_m"])
+            dt_cm.append(lats[i]["dt"] / lats[i]["c_m"]
+                         if "c_m" in MODEL_PARAM_KEYS[ls.model] else None)
             dt_tau.append(lats[i]["dt"] / lats[i]["tau_m"])
 
         lat0 = tuple(
             (lats[i]["v"], lats[i]["w"], lats[i]["lft"], lats[i]["wst"],
              (lats[i]["tc"], lats[i]["tdw"], lats[i]["tct"])
-             if ls.kind == "mod" else (), zero)
+             if ls.kind == "mod" else (), zero,
+             lats[i]["refr"] if ls.model in REFRACTORY_MODELS else zero)
             for i, ls in enumerate(spec.lattices))
         tr0 = tuple(
             (trains[j]["lft"],
@@ -278,21 +295,47 @@ def _make_kernel(spec, n_steps):
             if spec.with_reward:
                 dop = dop * exp_dd + rp["tau_d"] * rew_ref[k]
 
-            # ---- phase B: Izhikevich step, deferred firing times ----
+            # ---- phase B: neuron-model step, deferred firing times ----
             new_lat = []
             for i, ls in enumerate(spec.lattices):
-                v, w, lft, wst, traces, _ = lat_c[i]
-                dv = (0.04 * v * v + 5.0 * v + 140.0 - w + inputs[i]) \
-                    * dt_cm[i]
-                dw_ = (lats[i]["a"] * (lats[i]["b"] * v - w)) * dt_tau[i]
-                v_new = v + dv
-                w_new = w + dw_
-                spk = v_new >= lats[i]["v_th"]
-                v_new = jnp.where(spk, lats[i]["c"], v_new)
-                w_new = jnp.where(spk, w_new + lats[i]["d"], w_new)
+                v, w, lft, wst, traces, _, refr = lat_c[i]
+                p = lats[i]
+                if ls.model == "izhikevich":
+                    dv = (0.04 * v * v + 5.0 * v + 140.0 - w + inputs[i]) \
+                        * dt_cm[i]
+                    dw_ = (p["a"] * (p["b"] * v - w)) * dt_tau[i]
+                    v_new = v + dv
+                    w_new = w + dw_
+                    spk = v_new >= p["v_th"]
+                    v_new = jnp.where(spk, p["c"], v_new)
+                    w_new = jnp.where(spk, w_new + p["d"], w_new)
+                else:
+                    # LIF-family deltas (integrate_and_fire/mod.rs:108-1051)
+                    leak = p["leak_constant"] * (v - p["e_l"])
+                    drive = p["integration_constant"] * (inputs[i] / p["g_l"])
+                    if ls.model == "alif":
+                        dv = (leak + drive - w / p["g_l"]) * dt_cm[i]
+                        dw_ = (p["alpha"] * (v - p["e_l"]) - w) * dt_tau[i]
+                    else:                       # lif
+                        dv = (leak + drive) * dt_tau[i]
+                        dw_ = 0.0
+                    v_new = v + dv
+                    w_new = w + dw_
+                    # refractory handler (models/base._handle_refractory_
+                    # reset / _handle_adaptive)
+                    in_ref = refr > 0.0
+                    crossed = v_new >= p["v_th"]
+                    spk = jnp.logical_and(jnp.logical_not(in_ref), crossed)
+                    v_new = jnp.where(jnp.logical_or(in_ref, spk),
+                                      p["v_reset"], v_new)
+                    if ls.model == "alif":
+                        w_new = jnp.where(spk, w_new + p["beta"], w_new)
+                    refr = jnp.where(
+                        in_ref, refr - 1.0,
+                        jnp.where(spk, p["tref"] / p["dt"], refr))
                 lft = jnp.where(spk, step_clock, lft)
                 new_lat.append([v_new, w_new, lft, wst, traces,
-                                spk.astype(jnp.float32)])
+                                spk.astype(jnp.float32), refr])
             lat_c = new_lat
 
             def trig_of(idx, is_st):
@@ -425,11 +468,13 @@ def _make_kernel(spec, n_steps):
             oc[0] += 1
 
         for i, ls in enumerate(spec.lattices):
-            v, w, lft, wst, traces, spk = lat_f[i]
+            v, w, lft, wst, traces, spk, refr = lat_f[i]
             put(v)
             put(w)
             put(lft)
             put(spk)
+            if ls.model in REFRACTORY_MODELS:
+                put(refr)
             if ls.kind in ("plastic", "mod"):
                 put(wst)
             if ls.kind == "mod":
@@ -463,6 +508,8 @@ def _out_shapes(spec):
         p = jax.ShapeDtypeStruct((n_off, R, C), jnp.float32)
         pi = jax.ShapeDtypeStruct((n_off, R, C), jnp.int32)
         out += [f, f, i, f]              # v, w, lft, spk
+        if ls.model in REFRACTORY_MODELS:
+            out.append(f)                # refractory_count
         if ls.kind in ("plastic", "mod"):
             out.append(p)                # wst
         if ls.kind == "mod":
@@ -506,8 +553,9 @@ class _LatData(NamedTuple):
     lft: jnp.ndarray
     wst: jnp.ndarray
     mask: jnp.ndarray          # () placeholder when unused
-    params: tuple              # 9 planes, LAT_PARAM_KEYS order
+    params: tuple              # planes, MODEL_PARAM_KEYS[model] order
     traces: tuple              # (tc, tdw, tct) or ()
+    refr: jnp.ndarray = ()     # refractory_count plane (alif/lif only)
 
 
 class _TrainData(NamedTuple):
@@ -538,6 +586,8 @@ def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
         # in_deg derives from the (static) f32 mask planes, matching
         # StencilGraph's mask.sum(axis=0) construction
         flat.append(jnp.sum(d.mask, axis=0))
+        if ls.model in REFRACTORY_MODELS:
+            flat.append(d.refr)
         if ls.kind in ("plastic", "mod"):
             flat.append(d.mask)
         flat += list(d.params)
@@ -621,11 +671,15 @@ def _unflatten(spec, outs, lat_data, tr_data, cn_data):
         v, w, lft, spk = take(), take(), take(), take()
         wst = d.wst
         traces = d.traces
+        refr = d.refr
+        if ls.model in REFRACTORY_MODELS:
+            refr = take()
         if ls.kind in ("plastic", "mod"):
             wst = take()
         if ls.kind == "mod":
             traces = (take(), take(), take())
-        new_lat.append(d._replace(v=v, w=w, lft=lft, wst=wst, traces=traces))
+        new_lat.append(d._replace(v=v, w=w, lft=lft, wst=wst,
+                                  traces=traces, refr=refr))
         lat_spk.append(spk)
     new_tr, tr_spk = [], []
     for ts, d in zip(spec.trains, tr_data):
@@ -691,7 +745,9 @@ def estimate_vmem(spec, chunk=DEFAULT_CHUNK):
     planes = 0
     for ls in spec.lattices:
         n_off = len(ls.offsets)
-        planes += 5 + 9 + n_off * 2
+        planes += 5 + len(MODEL_PARAM_KEYS[ls.model]) + n_off * 2
+        if ls.model in REFRACTORY_MODELS:
+            planes += 2
         if ls.kind == "mod":
             planes += n_off * 3
     for ts in spec.trains:
@@ -711,7 +767,7 @@ def supports_shapes(spec, chunk=DEFAULT_CHUNK):
 # ---------------------------------------------------------------------------
 
 
-def _lat_data(state, graph, kind, trace):
+def _lat_data(state, graph, kind, trace, model="izhikevich"):
     R, C = graph.shape
 
     def g(n):
@@ -721,9 +777,12 @@ def _lat_data(state, graph, kind, trace):
     if kind == "mod":
         traces = (trace["c"], trace["dw"], trace["counter"])
     return _LatData(
-        v=g("v"), w=g("w"), lft=state["last_firing_time"].reshape(R, C),
+        v=g("v"),
+        w=g("w") if "w" in state else jnp.zeros((R, C), jnp.float32),
+        lft=state["last_firing_time"].reshape(R, C),
         wst=graph.weights, mask=graph.mask.astype(jnp.float32),
-        params=tuple(g(p) for p in LAT_PARAM_KEYS), traces=traces)
+        params=tuple(g(p) for p in MODEL_PARAM_KEYS[model]), traces=traces,
+        refr=(g("refractory_count") if model in REFRACTORY_MODELS else ()))
 
 
 def _train_data(state, R, C):
@@ -820,12 +879,33 @@ def lattice_run(lat, rewards, with_reward):
     return True
 
 
+def _model_kind(model):
+    """MODEL_PARAM_KEYS key for a supported neuron model, else None."""
+    from ..models.integrate_and_fire import (
+        Izhikevich, AdaptiveLeakyIntegrateAndFire, LeakyIntegrateAndFire)
+    return {Izhikevich: "izhikevich",
+            AdaptiveLeakyIntegrateAndFire: "alif",
+            LeakyIntegrateAndFire: "lif"}.get(type(model))
+
+
+def _train_spec(s, shape, st_model):
+    """TrainSpec for a spike-train lattice, or None if unsupported."""
+    from ..models.spike_train import PoissonSpikeTrain, RateSpikeTrain
+    if (s.rows, s.cols) != shape or s.model != st_model:
+        return None
+    if type(s.model) is PoissonSpikeTrain:
+        kind = "poisson"
+    elif type(s.model) is RateSpikeTrain:
+        kind = "rate"
+    else:
+        return None
+    return TrainSpec(kind, s.model.refractoriness)
+
+
 def network_runner(net, plan, lat_kind, skip_nt, with_reward):
     """Drop-in fused runner for `run_structured_reward` (same call and
     return signature as `_build_structured_reward_runner`'s runner), or
     None when the network configuration is unsupported."""
-    from ..models.integrate_and_fire import Izhikevich
-    from ..models.spike_train import PoissonSpikeTrain, RateSpikeTrain
     from ..core.plasticity import STDP, RewardModulatedSTDP
 
     merged = net._neuron_lattices()
@@ -839,26 +919,21 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
     shape = (lattices[0].rows, lattices[0].cols)
     if shape[1] > 128:
         return None
-    model = lattices[0].model
-    if type(model) is not Izhikevich:
-        return None
+    lat_models = []
     for lat in lattices:
-        if lat.model != model or (lat.rows, lat.cols) != shape \
+        mk = _model_kind(lat.model)
+        if mk is None or (lat.rows, lat.cols) != shape \
                 or not _stencil_ok(lat.graph, shape):
             return None
+        lat_models.append(mk)
     st_model = sts[0].model if sts else None
     tr_specs = []
     for s in sts:
-        if (s.rows, s.cols) != shape or s.model != st_model:
-            return None
-        if type(s.model) is PoissonSpikeTrain:
-            kind = "poisson"
-        elif type(s.model) is RateSpikeTrain:
-            kind = "rate"
-        else:
-            return None
         # spike-train nt masks are covered by the caller's batched skip_nt
-        tr_specs.append(TrainSpec(kind, s.model.refractoriness))
+        ts = _train_spec(s, shape, st_model)
+        if ts is None:
+            return None
+        tr_specs.append(ts)
     if type(net._plasticity()) is not STDP \
             or type(net.reward_modulator) is not RewardModulatedSTDP:
         return None
@@ -883,8 +958,10 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
             st_index[entry["pre"]] if pre_is_st else lat_index[entry["pre"]],
             lat_index[entry["post"]], True, entry["static"],
             entry["pre_plastic"], entry["post_plastic"], True))
-    spec = NetSpec(shape, tuple(LatSpec(k, lat.graph.offsets)
-                                for k, lat in zip(lat_kind, lattices)),
+    spec = NetSpec(shape,
+                   tuple(LatSpec(k, lat.graph.offsets, mk)
+                         for k, lat, mk in zip(lat_kind, lattices,
+                                               lat_models)),
                    tuple(tr_specs), tuple(conn_specs), bool(with_reward))
     if not supports_shapes(spec):
         return None
@@ -902,7 +979,8 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
              rconn_ws, rconn_traces, rconn_aux, dopamine, key, clock,
              rewards, pparams, rparams):
         lat_data = tuple(
-            _lat_data(states[k], graphs[k], spec.lattices[k].kind, traces[k])
+            _lat_data(states[k], graphs[k], spec.lattices[k].kind,
+                      traces[k], spec.lattices[k].model)
             for k in range(len(spec.lattices)))
         tr_data = tuple(_train_data(st_states[k], R, C)
                         for k in range(len(spec.trains)))
@@ -921,9 +999,12 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
             d = lat_data[k]
             s = dict(states[k])
             s["v"] = d.v.reshape(-1)
-            s["w"] = d.w.reshape(-1)
+            if "w" in s:
+                s["w"] = d.w.reshape(-1)
             s["last_firing_time"] = d.lft.reshape(-1)
             s["is_spiking"] = lat_spk[k].reshape(-1) > 0.0
+            if ls.model in REFRACTORY_MODELS:
+                s["refractory_count"] = d.refr.reshape(-1)
             new_states.append(s)
             if ls.kind in ("plastic", "mod"):
                 new_graphs[k] = graphs[k].replace_weights(d.wst)
@@ -953,5 +1034,130 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
         return (tuple(new_states), tuple(new_st), tuple(new_graphs),
                 tuple(new_traces), new_conn_ws, new_rconn_ws, new_rconn_tr,
                 dop, key, {})
+
+    return jax.jit(impl)
+
+
+def plain_network_runner(net, plan, skip_nt, length):
+    """Fused runner for `core.structured.run_structured` (plain
+    LatticeNetwork; same call and return signature as
+    `_build_structured_runner`'s runner), or None when unsupported.
+
+    Supported class mirrors `network_runner` minus the reward machinery:
+    Izhikevich/ALIF/LIF lattices on same-shape StencilGraphs, electrical
+    synapses only, no neurotransmitters, Poisson/Rate trains, one-to-one
+    connections, STDP plasticity.
+    """
+    from ..core.plasticity import STDP
+
+    lat_ids, st_ids = plan["lat_ids"], plan["st_ids"]
+    lattices = [net.lattices[i] for i in lat_ids]
+    sts = [net.spike_train_lattices[i] for i in st_ids]
+    if not lattices:
+        return None
+    if not (net.electrical_synapse and not net.chemical_synapse and skip_nt):
+        return None
+    shape = (lattices[0].rows, lattices[0].cols)
+    if shape[1] > 128:
+        return None
+    lat_models, lat_kind = [], []
+    for lat in lattices:
+        mk = _model_kind(lat.model)
+        if mk is None or (lat.rows, lat.cols) != shape \
+                or not _stencil_ok(lat.graph, shape):
+            return None
+        lat_models.append(mk)
+        lat_kind.append("plastic" if lat.do_plasticity else "plain")
+    if any(k == "plastic" for k in lat_kind) \
+            and type(net._plasticity()) is not STDP:
+        return None
+    st_model = sts[0].model if sts else None
+    tr_specs = []
+    for s in sts:
+        # spike-train nt masks are covered by the caller's batched check
+        ts = _train_spec(s, shape, st_model)
+        if ts is None:
+            return None
+        tr_specs.append(ts)
+    lat_index = {i: k for k, i in enumerate(lat_ids)}
+    st_index = {i: k for k, i in enumerate(st_ids)}
+    do_plast = [k == "plastic" for k in lat_kind]
+    conn_specs = []
+    for entry in plan["conns"]:
+        if entry["op"].kind != "one2one":
+            return None
+        pre_is_st = entry["pre_is_st"]
+        # plain-network connection visits (structured runner gated_delta):
+        # count = pre_spiking * pre_plastic + post_spiking * post_plastic
+        pre_plastic = (not pre_is_st) and do_plast[lat_index[entry["pre"]]]
+        post_plastic = do_plast[lat_index[entry["post"]]]
+        conn_specs.append(ConnSpec(
+            pre_is_st,
+            st_index[entry["pre"]] if pre_is_st else lat_index[entry["pre"]],
+            lat_index[entry["post"]], False, 0,
+            pre_plastic, post_plastic, pre_plastic or post_plastic))
+    spec = NetSpec(shape,
+                   tuple(LatSpec(k, lat.graph.offsets, mk)
+                         for k, lat, mk in zip(lat_kind, lattices,
+                                               lat_models)),
+                   tuple(tr_specs), tuple(conn_specs), False)
+    if not supports_shapes(spec):
+        return None
+    return _build_fused_plain_runner(spec, int(length))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_plain_runner(spec, length):
+    """Jitted plain-network runner (signature of
+    `core.structured._build_structured_runner`'s `run`)."""
+    R, C = spec.shape
+    n_conns = len(spec.conns)
+
+    def impl(states, st_states, graphs, conn_ws, conn_aux, key, clock,
+             pparams):
+        lat_data = tuple(
+            _lat_data(states[k], graphs[k], spec.lattices[k].kind, None,
+                      spec.lattices[k].model)
+            for k in range(len(spec.lattices)))
+        tr_data = tuple(_train_data(st_states[k], R, C)
+                        for k in range(len(spec.trains)))
+        cn_data = tuple(_conn_data(conn_ws[ci], conn_aux[ci], R, C, None)
+                        for ci in range(n_conns))
+        # no reward machinery: dopamine stays 0, rp values are unused by
+        # the kernel on a with_reward=False spec with no mod/reward parts
+        rp = {k: jnp.float32(1.0) for k in RP_KEYS}
+        lat_data, tr_data, cn_data, _, lat_spk, tr_spk, key = _advance(
+            spec, length, lat_data, tr_data, cn_data, jnp.float32(0.0),
+            clock, jnp.zeros((length,), jnp.float32), key, pparams, rp)
+        new_states = []
+        new_graphs = list(graphs)
+        for k, ls in enumerate(spec.lattices):
+            d = lat_data[k]
+            s = dict(states[k])
+            s["v"] = d.v.reshape(-1)
+            if "w" in s:
+                s["w"] = d.w.reshape(-1)
+            s["last_firing_time"] = d.lft.reshape(-1)
+            s["is_spiking"] = lat_spk[k].reshape(-1) > 0.0
+            if ls.model in REFRACTORY_MODELS:
+                s["refractory_count"] = d.refr.reshape(-1)
+            new_states.append(s)
+            if ls.kind == "plastic":
+                new_graphs[k] = graphs[k].replace_weights(d.wst)
+        new_st = []
+        for k, ts in enumerate(spec.trains):
+            d = tr_data[k]
+            s = dict(st_states[k])
+            spk = tr_spk[k].reshape(-1) > 0.0
+            s["is_spiking"] = spk
+            s["v"] = jnp.where(spk, s["v_th"], s["v_resting"])
+            s["last_firing_time"] = d.lft.reshape(-1)
+            if ts.kind == "rate":
+                s["step"] = d.step.reshape(-1)
+            new_st.append(s)
+        new_conn_ws = tuple(cn_data[ci].w.reshape(-1)
+                            for ci in range(n_conns))
+        return (tuple(new_states), tuple(new_st), tuple(new_graphs),
+                new_conn_ws, key, {})
 
     return jax.jit(impl)

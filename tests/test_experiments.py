@@ -198,3 +198,35 @@ def test_tolman_eichenbaum_binds_observations():
     # bindings must beat chance in at least one environment (spiking
     # dynamics are noisy at this scale; the full run beats it in both)
     assert max(out["env0_accuracy"], out["env1_accuracy"]) > chance
+
+
+def test_find_peaks_matches_scalar_scan():
+    """The vectorized find_peaks must match the original two-pointer
+    plateau-aware scan exactly (fuzzed over tie-heavy series)."""
+    from pipeline_setup import find_peaks
+
+    def scalar(series):
+        x = np.asarray(series, np.float64)
+        peaks = []
+        i = 1
+        while i < len(x) - 1:
+            if x[i - 1] < x[i]:
+                j = i
+                while j < len(x) - 1 and x[j + 1] == x[j]:
+                    j += 1
+                if j < len(x) - 1 and x[j + 1] < x[i]:
+                    peaks.append((i + j) // 2)
+                i = j + 1
+            else:
+                i += 1
+        return np.asarray(peaks, np.int64)
+
+    rng = np.random.default_rng(3)
+    cases = [rng.integers(-3, 4, int(n)).astype(float)
+             for n in rng.integers(0, 50, 120)]
+    cases += [np.array([]), np.array([1.0]),
+              np.array([0, 1, 1, 1, 0], float),
+              np.array([0, 1, 1, 1, 2, 0], float),
+              np.array([0, 1, 2, 2, 2], float)]
+    for x in cases:
+        np.testing.assert_array_equal(find_peaks(x), scalar(x))

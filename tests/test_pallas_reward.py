@@ -183,3 +183,170 @@ def test_fused_fallback_on_unsupported_config():
                                   np.asarray(a.state["v"]))
     np.testing.assert_array_equal(np.asarray(b.graph.weights),
                                   np.asarray(a.graph.weights))
+
+
+# ---------------------------------------------------------------------------
+# IF-family models + plain LatticeNetwork fused path
+# ---------------------------------------------------------------------------
+
+
+def _plain_net(model_a, model_b, train, rows=8, cols=8, seed=6,
+               plastic_b=True):
+    rng = np.random.default_rng(seed)
+    n = rows * cols
+    a = snn.Lattice(model_a, id=0)
+    a.populate(rows, cols, gap_conductance=10.0)
+    a.connect_stencil(radius=2.0, keep_prob=0.8, seed=3)
+    a.apply(lambda s: {**s, "v": jnp.asarray(
+        rng.uniform(-75, -50, n), jnp.float32)})
+    b = snn.Lattice(model_b, id=1)
+    b.populate(rows, cols, gap_conductance=10.0)
+    b.connect_stencil(radius=1.5, keep_prob=0.9, seed=4)
+    b.do_plasticity = plastic_b
+    b.apply(lambda s: {**s, "v": jnp.asarray(
+        rng.uniform(-75, -50, n), jnp.float32)})
+    st = snn.SpikeTrainLattice(train, id=2)
+    st.populate(rows, cols)
+    if isinstance(train, snn.PoissonSpikeTrain):
+        st.state = st.model.init_from_firing_rate(n, hertz=80.0, dt=0.1)
+    else:
+        st.state = st.model.init_state(n, rate=1.0, dt=0.1)
+    net = snn.LatticeNetwork.generate_network([a, b], [st])
+    net.connect(2, 0, lambda x, y: x == y, lambda x, y: 30.0)
+    net.connect(0, 1, lambda x, y: x == y, lambda x, y: 8.0)
+    return net
+
+
+def _net_match(a, b, lids=(0, 1), check_w=True, check_refr=False):
+    for lid in lids:
+        la, lb = a.get_lattice(lid), b.get_lattice(lid)
+        np.testing.assert_allclose(np.asarray(lb.state["v"]),
+                                   np.asarray(la.state["v"]),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"v{lid}")
+        np.testing.assert_array_equal(
+            np.asarray(lb.state["last_firing_time"]),
+            np.asarray(la.state["last_firing_time"]), err_msg=f"lft{lid}")
+        if check_w and "w" in la.state:
+            np.testing.assert_allclose(np.asarray(lb.state["w"]),
+                                       np.asarray(la.state["w"]),
+                                       rtol=1e-5, atol=1e-4,
+                                       err_msg=f"w{lid}")
+        if check_refr and "refractory_count" in la.state:
+            np.testing.assert_array_equal(
+                np.asarray(lb.state["refractory_count"]),
+                np.asarray(la.state["refractory_count"]),
+                err_msg=f"refr{lid}")
+        np.testing.assert_allclose(np.asarray(lb.graph.weights),
+                                   np.asarray(la.graph.weights),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"gw{lid}")
+    for key in a.connections:
+        np.testing.assert_allclose(np.asarray(b.connections[key][2]),
+                                   np.asarray(a.connections[key][2]),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(key))
+
+
+def test_fused_plain_network_alif_rate():
+    """Plain LatticeNetwork of ALIF lattices + Rate train through the
+    fused kernel (deterministic) must match the XLA structured runner,
+    including refractory counters and STDP on the plastic lattice and
+    the one-to-one connections."""
+    def run(use_pallas):
+        net = _plain_net(snn.AdaptiveLeakyIntegrateAndFire(),
+                         snn.AdaptiveLeakyIntegrateAndFire(),
+                         snn.RateSpikeTrain())
+        net.use_pallas = use_pallas
+        net.run_lattices(137)     # chunks + remainder
+        return net
+
+    a, b = run(False), run(True)
+    _net_match(a, b, check_refr=True)
+    lft = np.asarray(a.get_lattice(0).state["last_firing_time"])
+    assert (lft >= 0).any()       # the drive actually makes neurons fire
+
+
+def test_fused_plain_network_lif():
+    """LIF network (no adaptation current; refractory reset handler)
+    through the per-model dispatch of the fused kernel."""
+    def run(use_pallas):
+        net = _plain_net(snn.LeakyIntegrateAndFire(),
+                         snn.LeakyIntegrateAndFire(),
+                         snn.RateSpikeTrain(), plastic_b=True)
+        net.use_pallas = use_pallas
+        net.run_lattices(100)
+        return net
+
+    a, b = run(False), run(True)
+    _net_match(a, b, check_refr=True)
+
+
+def test_fused_plain_network_poisson_statistical():
+    """Poisson-driven plain network: different (equally valid) uniform
+    stream, statistical agreement (see module docstring)."""
+    def run(use_pallas):
+        net = _plain_net(snn.AdaptiveLeakyIntegrateAndFire(),
+                         snn.AdaptiveLeakyIntegrateAndFire(),
+                         snn.PoissonSpikeTrain())
+        net.use_pallas = use_pallas
+        net.run_lattices(400)
+        lft = np.asarray(net.get_lattice(0).state["last_firing_time"])
+        st_lft = np.asarray(
+            net.spike_train_lattices[2].state["last_firing_time"])
+        return (lft >= 0).mean(), (st_lft >= 0).mean()
+
+    fa, sa = run(False)
+    fb, sb = run(True)
+    assert abs(fa - fb) <= 0.25
+    assert abs(sa - sb) <= 0.2
+
+
+def test_fused_reward_network_alif():
+    """All-ALIF reward network: the per-model dispatch must compose with
+    the reward machinery (R-STDP traces, dopamine, reward connections)."""
+    def run(use_pallas):
+        rng = np.random.default_rng(2)
+        n_side = 8
+        rlat = snn.RewardModulatedLattice(
+            snn.AdaptiveLeakyIntegrateAndFire(), id=0)
+        rlat.populate(n_side, n_side, gap_conductance=10.0)
+        rlat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                     and x != y)
+        rlat.apply(lambda s: {**s, "v": jnp.asarray(
+            rng.uniform(-75, -50, n_side * n_side), jnp.float32)})
+        plain = snn.Lattice(snn.AdaptiveLeakyIntegrateAndFire(), id=1)
+        plain.populate(n_side, n_side, gap_conductance=10.0)
+        plain.connect_stencil(radius=2.0, keep_prob=0.8, seed=4)
+        plain.do_plasticity = True
+        plain.apply(lambda s: {**s, "v": jnp.asarray(
+            rng.uniform(-75, -50, n_side * n_side), jnp.float32)})
+        st = snn.SpikeTrainLattice(snn.RateSpikeTrain(), id=2)
+        st.populate(n_side, n_side)
+        st.state = st.model.init_state(n_side * n_side, rate=1.0, dt=0.1)
+        net = snn.RewardModulatedLatticeNetwork()
+        net.add_lattice(rlat)
+        net.add_lattice(plain)
+        net.add_spike_train_lattice(st)
+        net.connect(2, 1, lambda a, b: a == b, lambda a, b: 30.0)
+        net.connect_with_reward_modulation(1, 0, lambda a, b: a == b,
+                                           lambda a, b: 1.0)
+        net.use_pallas = use_pallas
+        net.run_lattices_with_reward(0.5, 90)
+        return net
+
+    a, b = run(False), run(True)
+    for lid in (0, 1):
+        la = a.reward_modulated_lattices.get(lid) or a.lattices[lid]
+        lb = b.reward_modulated_lattices.get(lid) or b.lattices[lid]
+        np.testing.assert_allclose(np.asarray(lb.state["v"]),
+                                   np.asarray(la.state["v"]),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(lb.state["last_firing_time"]),
+            np.asarray(la.state["last_firing_time"]))
+        np.testing.assert_allclose(np.asarray(lb.graph.weights),
+                                   np.asarray(la.graph.weights),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(b.lattices[1].state["refractory_count"]),
+        np.asarray(a.lattices[1].state["refractory_count"]))
+    assert abs(a.dopamine - b.dopamine) <= 1e-4 * max(1.0, abs(a.dopamine))
