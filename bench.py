@@ -328,28 +328,46 @@ def bench_reward_network(n_side=32, iters=3000):
 
 def bench_closed_loop(iters=1500):
     """Fused on-device RL loop (interactable.JitEnvironment): reward ->
-    R-STDP agent update -> env state -> cue encoding, one lax.scan."""
+    R-STDP agent update -> env state -> cue encoding, one lax.scan.
+    use_pallas additionally collapses the agent update into one chunk=1
+    Pallas launch per step; reports the best of both."""
     import spiking_neural_networks_tpu as snn
     from spiking_neural_networks_tpu.interactable import JitEnvironment
 
-    lat = snn.RewardModulatedLattice(snn.Izhikevich())
-    lat.populate(10, 10, gap_conductance=10.0)
-    lat.connect_stencil(radius=2.0, keep_prob=1.0, seed=5)
-    v0 = np.random.default_rng(0).uniform(-65, 30, 100).astype(np.float32)
-    lat.apply(lambda s: {**s, "v": jnp.asarray(v0)})
-    env = JitEnvironment(
-        lat, {"rate": jnp.float32(0.0)},
-        lambda e, s: {**s, "v": s["v"].at[:6].set(31.0)},
-        lambda e, s: jnp.clip(0.08 - e["rate"], -0.05, 0.05),
-        lambda e, s: {"rate": 0.9 * e["rate"]
-                      + 0.1 * s["is_spiking"].astype(jnp.float32).mean()})
-    env.run_with_reward(iters)
-    best, vals = timed_repeats(
-        lambda: env.run_with_reward(iters),
-        lambda: jax.block_until_ready(lat.state["v"]), iters)
-    log(f"closed-loop RL (JitEnvironment): best {best:.1f} steps/s "
-        f"(spread {min(vals) / max(vals):.2f})")
-    return best, vals
+    def build(pallas):
+        lat = snn.RewardModulatedLattice(snn.Izhikevich())
+        lat.populate(10, 10, gap_conductance=10.0)
+        lat.connect_stencil(radius=2.0, keep_prob=1.0, seed=5)
+        v0 = np.random.default_rng(0).uniform(-65, 30,
+                                              100).astype(np.float32)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0)})
+        lat.use_pallas = pallas
+        env = JitEnvironment(
+            lat, {"rate": jnp.float32(0.0)},
+            lambda e, s: {**s, "v": s["v"].at[:6].set(31.0)},
+            lambda e, s: jnp.clip(0.08 - e["rate"], -0.05, 0.05),
+            lambda e, s: {"rate": 0.9 * e["rate"]
+                          + 0.1 * s["is_spiking"].astype(jnp.float32).mean()})
+        return lat, env
+
+    def measure(pallas, label):
+        lat, env = build(pallas)
+        env.run_with_reward(iters)
+        best, vals = timed_repeats(
+            lambda: env.run_with_reward(iters),
+            lambda: jax.block_until_ready(lat.state["v"]), iters)
+        log(f"closed-loop RL (JitEnvironment) [{label}]: best {best:.1f} "
+            f"steps/s (spread {min(vals) / max(vals):.2f})")
+        return best, vals
+
+    xla_best, xla_vals = measure(False, "xla")
+    try:
+        pl_best, pl_vals = measure(True, "pallas-fused-step")
+    except Exception as e:
+        log("pallas closed-loop path unavailable:", repr(e)[:200])
+        pl_best, pl_vals = 0.0, []
+    return max(xla_best, pl_best), {"xla": xla_vals,
+                                    "pallas_fused": pl_vals}
 
 
 

@@ -94,6 +94,61 @@ class JitEnvironment:
         unroll = resolve_unroll(agent.scan_unroll, agent.n)
         readout, shape = self._readout(hist_sig)
 
+        # fused agent step: the R-STDP lattice update is kernel-COUNT
+        # bound at closed-loop sizes (~45 serialized fusions per step,
+        # see ops/pallas_reward.py); when the agent is in the fused class
+        # the whole update runs as ONE chunk=1 Pallas launch per step,
+        # with the env callbacks fused around it by XLA
+        fused_spec = None
+        if getattr(agent, "use_pallas", False) and skip_nt:
+            from .ops import pallas_reward as _pr
+            if _pr.supports_lattice(agent):
+                cand = _pr.NetSpec(
+                    (agent.rows, agent.cols),
+                    (_pr.LatSpec("mod" if do_modulation else "plain",
+                                 agent.graph.offsets,
+                                 _pr._model_kind(model)),),
+                    (), (), True)
+                if _pr.supports_shapes(cand, chunk=1):
+                    fused_spec = cand
+
+        def fused_step(rparams, carry, _):
+            from .ops import pallas_reward as _pr
+            s, graph, trace, dopamine, clock, env = carry
+            reward = self.reward_function(env, s)
+            ls = fused_spec.lattices[0]
+            pp_vec = jnp.stack([jnp.float32(rparams.get(k, 0.0))
+                                for k in _pr.PP_KEYS])
+            rp_vec = jnp.stack([jnp.float32(rparams[k])
+                                for k in _pr.RP_KEYS])
+            lat_data = (_pr._lat_data(s, graph, ls.kind, trace, ls.model),)
+            outs = _pr._fused_chunk(
+                fused_spec, 1, _pr._flat_inputs(
+                    fused_spec, 1, lat_data, (), (), dopamine, clock,
+                    jnp.reshape(reward, (1,)), (), pp_vec, rp_vec))
+            lat_new, _, _, dopamine, lat_spk, _ = _pr._unflatten(
+                fused_spec, outs, lat_data, (), ())
+            d = lat_new[0]
+            s = dict(s)
+            s["v"] = d.v.reshape(-1)
+            if "w" in s:
+                s["w"] = d.w.reshape(-1)
+            s["last_firing_time"] = d.lft.reshape(-1)
+            s["is_spiking"] = lat_spk[0].reshape(-1) > 0.0
+            if ls.model in _pr.REFRACTORY_MODELS:
+                s["refractory_count"] = d.refr.reshape(-1)
+            if ls.kind == "mod":
+                graph = graph.replace_weights(d.wst)
+                trace = dict(c=d.traces[0], dw=d.traces[1],
+                             counter=d.traces[2])
+            clock = clock + 1
+            env = self.update_state(env, s)
+            s = dict(self.state_encoder(env, s))
+            ys = {"reward": reward}
+            if readout is not None:
+                ys["grid"] = readout.readout(s, shape)
+            return (s, graph, trace, dopamine, clock, env), ys
+
         def one_step(pparams, carry, _):
             s, graph, trace, dopamine, clock, env = carry
             reward = self.reward_function(env, s)
@@ -108,7 +163,8 @@ class JitEnvironment:
             return (s, graph, trace, dopamine, clock, env), ys
 
         def run(state, graph, trace, dopamine, clock, env, pparams):
-            step = functools.partial(one_step, pparams)
+            step = functools.partial(
+                fused_step if fused_spec is not None else one_step, pparams)
             carry, ys = jax.lax.scan(
                 step, (state, graph, trace, dopamine, clock, env), None,
                 length=iterations, unroll=unroll)
@@ -158,9 +214,13 @@ class JitEnvironment:
             length = min(remaining, chunk)
             # the callback OBJECTS are part of the cache key (not their
             # id()s, which CPython can reuse after GC): a swapped reward/
-            # encoder function must retrace, not reuse stale traced code
+            # encoder function must retrace, not reuse stale traced code.
+            # use_pallas + the graph's offsets select the fused step, so
+            # they key the cache too (edit_weight can change the offsets)
             key = (length, skip_nt, agent.electrical_synapse,
                    agent.chemical_synapse, agent.do_modulation, hist_sig,
+                   bool(getattr(agent, "use_pallas", False)),
+                   getattr(agent.graph, "offsets", None),
                    self.reward_function, self.update_state,
                    self.state_encoder)
             runner = self._runners.get(key)

@@ -816,10 +816,9 @@ def _stencil_ok(graph, shape):
 
 def supports_lattice(lat):
     """Fused-path predicate for a standalone RewardModulatedLattice."""
-    from ..models.integrate_and_fire import Izhikevich
     from ..core.plasticity import RewardModulatedSTDP
     from ..core.lattice import _mask_any
-    return (type(lat.model) is Izhikevich
+    return (_model_kind(lat.model) is not None
             and lat.electrical_synapse and not lat.chemical_synapse
             and _stencil_ok(lat.graph, (lat.rows, lat.cols))
             and lat.cols <= 128
@@ -836,16 +835,20 @@ def _build_fused_lattice_runner(spec):
     ``length``."""
 
     def impl(state, graph, trace, dopamine, key, clock, rewards, rp):
-        lat_data = (_lat_data(state, graph, spec.lattices[0].kind, trace),)
+        ls = spec.lattices[0]
+        lat_data = (_lat_data(state, graph, ls.kind, trace, ls.model),)
         lat_data, _, _, dop, lat_spk, _, key = _advance(
             spec, rewards.shape[0], lat_data, (), (), dopamine, clock,
             rewards, key, rp, rp)
         d = lat_data[0]
         state = dict(state)
         state["v"] = d.v.reshape(-1)
-        state["w"] = d.w.reshape(-1)
+        if "w" in state:
+            state["w"] = d.w.reshape(-1)
         state["last_firing_time"] = d.lft.reshape(-1)
         state["is_spiking"] = lat_spk[0].reshape(-1) > 0.0
+        if ls.model in REFRACTORY_MODELS:
+            state["refractory_count"] = d.refr.reshape(-1)
         out_graph, out_trace = graph, trace
         if spec.lattices[0].kind == "mod":
             out_graph = graph.replace_weights(d.wst)
@@ -862,7 +865,7 @@ def lattice_run(lat, rewards, with_reward):
     Returns False (untouched) when the shape budget rejects the config."""
     spec = NetSpec((lat.rows, lat.cols),
                    (LatSpec("mod" if lat.do_modulation else "plain",
-                            lat.graph.offsets),),
+                            lat.graph.offsets, _model_kind(lat.model)),),
                    (), (), bool(with_reward))
     if not supports_shapes(spec):
         return False

@@ -211,3 +211,49 @@ def test_jit_environment_unsupervised_grid_history():
         None, lambda e, s: {"t": e["t"] + 1.0})
     env.run(40)
     assert len(lat.grid_history.history) == 40
+
+
+def test_jit_environment_fused_agent_step():
+    """use_pallas=True routes the agent update through the chunk=1 fused
+    kernel; the whole closed-loop trajectory (rewards, weights, traces,
+    env state) must match the XLA step."""
+    def run(use_pallas):
+        agent = _agent()
+        agent.use_pallas = use_pallas
+
+        def reward_fn(env, s):
+            return jnp.float32(TARGET) - env["rate"]
+
+        def update_fn(env, s):
+            spiking = s["is_spiking"].astype(jnp.float32).mean()
+            return {"rate": jnp.float32(0.9) * env["rate"]
+                    + jnp.float32(0.1) * spiking}
+
+        def encoder_fn(env, s):
+            return {**s, "v": s["v"].at[:6].set(40.0)}
+
+        env = JitEnvironment(agent, {"rate": jnp.float32(0.0)},
+                             encoder_fn, reward_fn, update_fn)
+        rewards = env.run_with_reward(75)
+        return agent, env, rewards
+
+    a, env_a, rew_a = run(False)
+    b, env_b, rew_b = run(True)
+    np.testing.assert_allclose(rew_b, rew_a, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.state["v"]),
+                               np.asarray(a.state["v"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(b.state["last_firing_time"]),
+        np.asarray(a.state["last_firing_time"]))
+    np.testing.assert_allclose(np.asarray(b.graph.weights),
+                               np.asarray(a.graph.weights),
+                               rtol=1e-5, atol=1e-5)
+    for k in ("c", "dw"):
+        np.testing.assert_allclose(np.asarray(b.trace[k]),
+                                   np.asarray(a.trace[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(float(env_b.state["rate"]),
+                               float(env_a.state["rate"]),
+                               rtol=1e-5, atol=1e-6)
+    assert abs(a.dopamine - b.dopamine) <= 1e-4 * max(1.0, abs(a.dopamine))

@@ -350,3 +350,31 @@ def test_fused_reward_network_alif():
         np.asarray(b.lattices[1].state["refractory_count"]),
         np.asarray(a.lattices[1].state["refractory_count"]))
     assert abs(a.dopamine - b.dopamine) <= 1e-4 * max(1.0, abs(a.dopamine))
+
+
+def test_fused_standalone_alif_rstdp():
+    """Standalone ALIF R-STDP lattice through the fused path (model
+    dispatch + refractory counter + eligibility traces)."""
+    def run(use_pallas):
+        lat = snn.RewardModulatedLattice(snn.AdaptiveLeakyIntegrateAndFire())
+        lat.populate(8, 8, gap_conductance=10.0)
+        lat.connect(lambda x, y: np.hypot(x[0] - y[0], x[1] - y[1]) <= 2
+                    and x != y)
+        v0 = np.random.default_rng(1).uniform(-75, -52, 64)
+        lft0 = np.full(64, -1, np.int32)
+        lft0[::3] = 2
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32),
+                             "last_firing_time": jnp.asarray(lft0)})
+        lat.use_pallas = use_pallas
+        lat.run_lattice_with_reward(0.5, 77)
+        return lat
+
+    a, b = run(False), run(True)
+    _assert_lattice_match(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(b.state["refractory_count"]),
+        np.asarray(a.state["refractory_count"]))
+    for k in ("c", "dw"):
+        np.testing.assert_allclose(np.asarray(b.trace[k]),
+                                   np.asarray(a.trace[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
