@@ -272,9 +272,8 @@ class Lattice:
             # fused multi-step HH chemical kernel (ops/pallas_hh.py)
             from ..ops import pallas_hh
             if pallas_hh.supports(self.model, self.graph,
-                                  self.electrical_synapse,
                                   self.chemical_synapse, self.do_plasticity,
-                                  self.plasticity, self.state):
+                                  self.plasticity):
                 use_pallas = "hh"
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,

@@ -252,10 +252,14 @@ class RewardModulatedLattice:
                 self._run(rewards[off:off + length], with_reward)
                 off += length
             return
+        # _last_run_fused: observability for tests/users — whether the
+        # LAST run went through the fused Pallas path or fell back to XLA
+        self._last_run_fused = False
         if self.use_pallas and not any_hist:
             from ..ops import pallas_reward
             if pallas_reward.supports_lattice(self) \
                     and pallas_reward.lattice_run(self, rewards, with_reward):
+                self._last_run_fused = True
                 return
         runner = _build_reward_runner(
             self.model, type(self.graph), self.electrical_synapse,

@@ -166,6 +166,7 @@ def run_structured_reward(net, rewards, with_reward):
         runner = pallas_reward.network_runner(net, plan, lat_kind,
                                               skip_nt and st_nt_clean,
                                               bool(with_reward))
+    net._last_run_fused = runner is not None
     if runner is None:
         runner = _build_structured_reward_runner(
             model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,

@@ -495,6 +495,7 @@ def run_structured(net, iterations):
         from ..ops import pallas_reward
         runner = pallas_reward.plain_network_runner(
             net, plan, skip_nt and st_nt_clean, int(iterations))
+    net._last_run_fused = runner is not None
     if runner is None:
         runner = _build_structured_runner(
             model, st_model, tuple(lat_ids), tuple(st_ids), conn_meta,

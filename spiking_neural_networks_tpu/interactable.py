@@ -73,11 +73,17 @@ class JitEnvironment:
         self.state_encoder = state_encoder
         self.reward_function = reward_function
         self.update_state = update_state
-        # (iterations, flags, callbacks) -> jitted scan.  A dict, not a
-        # single slot: history chunking builds TWO runners per call (the
-        # chunk-length one and the tail-length one), and a single slot
-        # would evict and rebuild both on every call.
+        # (iterations, flags, callbacks) -> jitted scan.  A small bounded
+        # cache, not a single slot: history chunking builds TWO runners
+        # per call (the chunk-length one and the tail-length one), and a
+        # single slot would evict and rebuild both on every call; the
+        # bound keeps variable-length episode sweeps from accumulating
+        # compiled whole-episode executables without limit.
         self._runners = {}
+        self._runners_max = 8
+        # whether the most recent _build produced the fused Pallas agent
+        # step (observability for tests/users)
+        self.last_build_fused = False
 
     def _build(self, iterations, skip_nt, hist_sig):
         import functools
@@ -111,6 +117,7 @@ class JitEnvironment:
                     (), (), True)
                 if _pr.supports_shapes(cand, chunk=1):
                     fused_spec = cand
+        self.last_build_fused = fused_spec is not None
 
         def fused_step(rparams, carry, _):
             from .ops import pallas_reward as _pr
@@ -172,6 +179,13 @@ class JitEnvironment:
 
         return jax.jit(run, donate_argnums=(0, 1, 2, 5))
 
+    def _cache(self, key, runner):
+        """Insert into the bounded runner cache (FIFO eviction)."""
+        if len(self._runners) >= self._runners_max:
+            self._runners.pop(next(iter(self._runners)))
+        self._runners[key] = runner
+        return runner
+
     def _readout(self, hist_sig):
         """Rebuild the history readout object from its frozen signature
         (episodes stay ONE device program; the per-step readouts ride the
@@ -220,13 +234,14 @@ class JitEnvironment:
             key = (length, skip_nt, agent.electrical_synapse,
                    agent.chemical_synapse, agent.do_modulation, hist_sig,
                    bool(getattr(agent, "use_pallas", False)),
+                   (agent.rows, agent.cols),
                    getattr(agent.graph, "offsets", None),
                    self.reward_function, self.update_state,
                    self.state_encoder)
             runner = self._runners.get(key)
             if runner is None:
-                runner = self._runners[key] = self._build(
-                    length, skip_nt, hist_sig)
+                runner = self._cache(key, self._build(
+                    length, skip_nt, hist_sig))
             pparams = {k: jnp.float32(v)
                        for k, v in agent.reward_modulator.params.items()}
             carry, ys = runner(
@@ -299,11 +314,12 @@ class JitEnvironment:
             length = min(remaining, chunk)
             key = ("unsup", length, skip_nt, agent.electrical_synapse,
                    agent.chemical_synapse, bool(agent.do_plasticity),
-                   hist_sig, self.update_state, self.state_encoder)
+                   hist_sig, (agent.rows, agent.cols),
+                   self.update_state, self.state_encoder)
             runner = self._runners.get(key)
             if runner is None:
-                runner = self._runners[key] = self._build_unsupervised(
-                    length, skip_nt, hist_sig)
+                runner = self._cache(key, self._build_unsupervised(
+                    length, skip_nt, hist_sig))
             pparams = {k: jnp.float32(v)
                        for k, v in agent.plasticity.params.items()}
             (s, graph, clock, env), ys = runner(

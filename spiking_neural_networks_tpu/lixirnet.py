@@ -288,16 +288,6 @@ def _host_insert_receptor(model, host, name, **params):
             host[key][:] = v
 
 
-def _install_synapses(model, state, neuron):
-    # mutate host-side, ship once: a burst of per-field device programs
-    # is the relay-exhaustion pattern CLAUDE.md forbids, and per-field
-    # host pulls pay one relay round trip each
-    host = _pull_state(state)
-    _install_synapses_host(model, host, neuron)
-    from .utils.transfer import device_put_state
-    return device_put_state(host)
-
-
 def _install_synapses_host(model, host, neuron):
     """Install the prototype's neurotransmitters/receptors into a HOST
     state dict in place (no device traffic)."""

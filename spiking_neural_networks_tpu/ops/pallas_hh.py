@@ -362,18 +362,21 @@ def lattice_multistep(model, state, graph, clock, n_steps, electrical,
     return state, graph
 
 
-def vmem_ok(graph, n_steps=16):
+def vmem_ok(graph):
     """Whole-lattice VMEM residency check: ~90 planes of state/params plus
-    the 2x Mosaic roll/select temporary factor (see pallas_stencil)."""
+    the 2x Mosaic roll/select temporary factor (see pallas_stencil).
+    K only affects loop temporaries already covered by the 2x factor, not
+    the resident plane count."""
     n_off = graph.weights.shape[0]
     n = graph.shape[0] * graph.shape[1]
     planes = 2 * n_off + 55 + 24     # weights+mask, scalar planes, (K,3)s
     return 4 * n * planes * 2 < 90 * 1024 * 1024
 
 
-def supports(model, graph, electrical, chemical, do_plasticity, plasticity,
-             state):
-    """Fused HH fast-path predicate (mirrors pallas_stencil.supports)."""
+def supports(model, graph, chemical, do_plasticity, plasticity):
+    """Fused HH fast-path predicate (mirrors pallas_stencil.supports).
+    The electrical flag is NOT gated — both electrical settings are
+    compiled into the kernel."""
     from ..models.hodgkin_huxley import HodgkinHuxley
     from ..core.plasticity import STDP
     from .receptors import IonotropicReceptors

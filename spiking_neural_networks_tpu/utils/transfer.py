@@ -90,11 +90,20 @@ def _device_put_state_packed(state):
 def device_put_state(state):
     """Transfer a dict of host arrays to device (packed fast path with
     verified fallback to sequential synced per-leaf puts; module
-    docstring)."""
-    try:
-        return _device_put_state_packed(state)
-    except Exception:
-        pass
+    docstring).
+
+    Escape hatch: ``SNN_TPU_SEQUENTIAL_TRANSFER=1`` forces the sequential
+    path.  The checksum fallback catches errors and corrupt buffers but
+    CANNOT catch a hang — round 2 once observed a packed-output D2H hang
+    on the relay (never reproduced since; round-3 stress testing was
+    clean).  If transfers ever hang inside populate()/write-backs, set
+    the variable."""
+    import os
+    if not os.environ.get("SNN_TPU_SEQUENTIAL_TRANSFER"):
+        try:
+            return _device_put_state_packed(state)
+        except Exception:
+            pass
     out = {}
     for key in sorted(state):
         a = np.asarray(state[key])

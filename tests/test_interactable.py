@@ -239,6 +239,7 @@ def test_jit_environment_fused_agent_step():
 
     a, env_a, rew_a = run(False)
     b, env_b, rew_b = run(True)
+    assert env_b.last_build_fused and not env_a.last_build_fused
     np.testing.assert_allclose(rew_b, rew_a, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(b.state["v"]),
                                np.asarray(a.state["v"]),

@@ -66,9 +66,8 @@ def test_fused_hh_matches_xla(plastic):
     def run(use_pallas):
         lat = _lattice(plastic=plastic)
         assert pallas_hh.supports(lat.model, lat.graph,
-                                  lat.electrical_synapse,
                                   lat.chemical_synapse, lat.do_plasticity,
-                                  lat.plasticity, lat.state)
+                                  lat.plasticity)
         lat.use_pallas = use_pallas
         lat.run_lattice(100)
         return lat

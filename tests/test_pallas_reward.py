@@ -52,6 +52,7 @@ def test_fused_standalone_rstdp_matches_xla():
     121 steps exercises the 16-step chunking plus the remainder launch."""
     a = _standalone(False, 121)
     b = _standalone(True, 121)
+    assert b._last_run_fused and not a._last_run_fused
     _assert_lattice_match(a, b)
     for k in ("c", "dw"):
         np.testing.assert_allclose(np.asarray(b.trace[k]),
@@ -260,6 +261,7 @@ def test_fused_plain_network_alif_rate():
         return net
 
     a, b = run(False), run(True)
+    assert b._last_run_fused and not a._last_run_fused
     _net_match(a, b, check_refr=True)
     lft = np.asarray(a.get_lattice(0).state["last_firing_time"])
     assert (lft >= 0).any()       # the drive actually makes neurons fire
@@ -277,6 +279,7 @@ def test_fused_plain_network_lif():
         return net
 
     a, b = run(False), run(True)
+    assert b._last_run_fused
     _net_match(a, b, check_refr=True)
 
 
@@ -334,6 +337,7 @@ def test_fused_reward_network_alif():
         return net
 
     a, b = run(False), run(True)
+    assert b._last_run_fused
     for lid in (0, 1):
         la = a.reward_modulated_lattices.get(lid) or a.lattices[lid]
         lb = b.reward_modulated_lattices.get(lid) or b.lattices[lid]
@@ -370,6 +374,7 @@ def test_fused_standalone_alif_rstdp():
         return lat
 
     a, b = run(False), run(True)
+    assert b._last_run_fused
     _assert_lattice_match(a, b)
     np.testing.assert_array_equal(
         np.asarray(b.state["refractory_count"]),
