@@ -416,6 +416,8 @@ def main():
     extra = {"izhikevich_runs": up_runs}
     for name, fn in [("izhikevich_updates_per_sec_2048x2048",
                       bench_izhikevich_large),
+                     ("izhikevich_updates_per_sec_4096x4096",
+                      lambda: bench_izhikevich_large(4096, 4096, 256)),
                      ("hh_stdp_steps_per_sec_128x128", bench_hh_stdp),
                      ("alif_poisson_network_steps_per_sec_64x64",
                       bench_lif_poisson_network),

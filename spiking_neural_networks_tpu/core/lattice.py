@@ -246,9 +246,12 @@ class Lattice:
         # no-op (N, K) concentration update inside the scan entirely.
         skip_nt = not bool(_mask_any(self.state["nt$mask"]))
         from ..ops import pallas_stencil
-        use_pallas = (self.use_pallas and skip_nt and pallas_stencil.supports(
-            self.model, self.graph, self.electrical_synapse,
-            self.chemical_synapse, self.do_plasticity))
+        # the fused kernels are single-device programs: a sharded lattice
+        # (shard()) must stay on the GSPMD-partitioned XLA path
+        use_pallas = (self.use_pallas and self.mesh is None and skip_nt
+                      and pallas_stencil.supports(
+                          self.model, self.graph, self.electrical_synapse,
+                          self.chemical_synapse, self.do_plasticity))
         if use_pallas and not self._history_items() \
                 and not self.update_graph_history:
             if pallas_stencil.multistep_vmem_ok(self.graph):
@@ -267,7 +270,8 @@ class Lattice:
             # per-step kernel can't lay these cols out as (rows, L, 128):
             # fall back to the XLA stencil path rather than miscompile
             use_pallas = False
-        if not use_pallas and self.use_pallas and not self._history_items() \
+        if not use_pallas and self.use_pallas and self.mesh is None \
+                and not self._history_items() \
                 and not self.update_graph_history:
             # fused multi-step HH chemical kernel (ops/pallas_hh.py)
             from ..ops import pallas_hh
@@ -418,8 +422,7 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
 
     if isinstance(use_pallas, tuple) and use_pallas[0] == "tiled":
         from ..ops import pallas_stencil
-        _, tile_r, halo = use_pallas
-        K = 8      # must match multistep_tiled_config's n_steps default
+        _, tile_r, halo, K = use_pallas
 
         def run_tiled(state, graph, key, clock, pparams):
             wst_ov, ind_ov = pallas_stencil.tiled_overlap_weights(

@@ -820,6 +820,7 @@ def supports_lattice(lat):
     from ..core.lattice import _mask_any
     return (_model_kind(lat.model) is not None
             and lat.electrical_synapse and not lat.chemical_synapse
+            and getattr(lat, "mesh", None) is None   # sharded: GSPMD/XLA
             and _stencil_ok(lat.graph, (lat.rows, lat.cols))
             and lat.cols <= 128
             and type(lat.reward_modulator) is RewardModulatedSTDP
@@ -917,6 +918,9 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
     sts = [net.spike_train_lattices[i] for i in st_ids]
     if not (net.electrical_synapse and not net.chemical_synapse and skip_nt):
         return None
+    if getattr(net, "mesh", None) is not None \
+            or any(getattr(l, "mesh", None) is not None for l in lattices):
+        return None                     # sharded nets stay on GSPMD/XLA
     if any(k == "reward" for k in lat_kind):
         return None                     # do_modulation=False: fall back
     shape = (lattices[0].rows, lattices[0].cols)
@@ -1060,6 +1064,9 @@ def plain_network_runner(net, plan, skip_nt, length):
         return None
     if not (net.electrical_synapse and not net.chemical_synapse and skip_nt):
         return None
+    if getattr(net, "mesh", None) is not None \
+            or any(getattr(l, "mesh", None) is not None for l in lattices):
+        return None                     # sharded nets stay on GSPMD/XLA
     shape = (lattices[0].rows, lattices[0].cols)
     if shape[1] > 128:
         return None

@@ -496,12 +496,15 @@ def lattice_multistep_tiled(model, state, graph, wst_ov, ind_ov, clock,
     return state
 
 
-def multistep_tiled_config(graph, n_steps=8):
-    """(tile_r, halo) for the temporal-blocked kernel, or None.
+def multistep_tiled_config(graph):
+    """(tile_r, halo, n_steps) for the temporal-blocked kernel, or None.
 
-    Picks the largest row tile whose per-program working set (weight +
-    state + temporary planes) stays within ~60 MB of VMEM, requiring the
-    redundant halo compute to stay under 25% of the tile."""
+    Picks the largest K (steps per launch), then the largest row tile,
+    whose per-program working set (weight + state + temporary planes)
+    stays within ~60 MB of VMEM, requiring the redundant halo compute to
+    stay under 25% of the tile.  Huge grids (4096x4096: each plane is
+    64 MB) only fit with a smaller K — a 4x weight-traffic amortization
+    still beats the XLA path's per-step reload."""
     rows, cols = graph.shape
     n_off = graph.weights.shape[0]
     pad = 0
@@ -509,15 +512,17 @@ def multistep_tiled_config(graph, n_steps=8):
         pad = max(pad, abs(dr))
     if pad == 0 or pad > 4 or cols < 128:
         return None
-    halo = -(-n_steps * pad // 8) * 8
-    for tile_r in (512, 256, 128, 64):
-        if rows % tile_r or 2 * halo > tile_r // 4:
-            continue
-        rows_t = tile_r + 2 * halo
-        # the x2 covers Mosaic's roll/select temporaries in the unrolled
-        # step loop (measured: tile_r=256 at 2048 cols allocated 122 MB
-        # against the naive (n_off + 12)-plane estimate of 57 MB)
-        vmem = rows_t * cols * 4 * (n_off + 12) * 2
-        if vmem < 95 * 1024 * 1024:
-            return tile_r, halo
+    for n_steps in (8, 4, 2):
+        halo = -(-n_steps * pad // 8) * 8
+        for tile_r in (512, 256, 128, 64):
+            if rows % tile_r or 2 * halo > tile_r // 4:
+                continue
+            rows_t = tile_r + 2 * halo
+            # the x2 covers Mosaic's roll/select temporaries in the
+            # unrolled step loop (measured: tile_r=256 at 2048 cols
+            # allocated 122 MB against the naive (n_off + 12)-plane
+            # estimate of 57 MB)
+            vmem = rows_t * cols * 4 * (n_off + 12) * 2
+            if vmem < 95 * 1024 * 1024:
+                return tile_r, halo, n_steps
     return None
