@@ -252,13 +252,21 @@ class Lattice:
                       and pallas_stencil.supports(
                           self.model, self.graph, self.electrical_synapse,
                           self.chemical_synapse, self.do_plasticity))
-        if use_pallas and not self._history_items() \
-                and not self.update_graph_history:
-            if pallas_stencil.multistep_vmem_ok(self.graph):
+        if use_pallas and not self.update_graph_history:
+            # every history kind reads only v / is_spiking, so the multi-
+            # step kernel can EMIT per-step planes and keep histories on
+            hist_kinds = tuple(h.kind for _, h in self._history_items())
+            emit = ()
+            if any(k in ("grid", "average", "eeg") for k in hist_kinds):
+                emit += ("v",)
+            if "spikes" in hist_kinds:
+                emit += ("spike",)
+            if pallas_stencil.multistep_vmem_ok(self.graph,
+                                                emit=1 if emit else 0):
                 # whole-lattice-in-VMEM multi-step kernel: HBM traffic is
                 # paid once per K steps (512x512: 21 us/step vs 45-52 XLA)
-                use_pallas = "multi"
-            else:
+                use_pallas = ("multi", emit)
+            elif not hist_kinds:
                 # VMEM overflow (e.g. 2048x2048 radius-2 = ~200 MB of
                 # weight planes): temporal-blocked row tiles amortize the
                 # weight traffic K-fold; needs spatially uniform params
@@ -364,10 +372,12 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
 
     plasticity = plasticity_cls()
 
-    if use_pallas == "multi":
+    if isinstance(use_pallas, tuple) and use_pallas[0] == "multi":
         # whole-lattice-in-VMEM multi-step kernel: the scan advances K
-        # steps per kernel launch (no histories by construction)
+        # steps per kernel launch; per-step v/spike planes are EMITTED
+        # from the kernel for history readouts when requested
         from ..ops import pallas_stencil
+        _, emit = use_pallas
         K = 16
 
         def run_multi(state, graph, key, clock, pparams):
@@ -375,19 +385,46 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
 
             def step(carry, _):
                 st, ck = carry
+                if emit:
+                    st, hists = pallas_stencil.lattice_multistep(
+                        model, st, graph, ck, K, emit)
+                    return (st, ck + K), hists
                 st = pallas_stencil.lattice_multistep(model, st, graph,
                                                       ck, K)
                 return (st, ck + K), ()
 
             carry = (state, clock)
+            parts = None
             if n_outer:
-                carry, _ = jax.lax.scan(step, carry, None, length=n_outer)
+                carry, launch_ys = jax.lax.scan(step, carry, None,
+                                                length=n_outer)
+                if emit:
+                    parts = {k: v.reshape((n_outer * K,) + v.shape[2:])
+                             for k, v in launch_ys.items()}
             st, ck = carry
             if rem:
-                st = pallas_stencil.lattice_multistep(model, st, graph,
-                                                      ck, rem)
+                if emit:
+                    st, rem_hists = pallas_stencil.lattice_multistep(
+                        model, st, graph, ck, rem, emit)
+                    parts = rem_hists if parts is None else {
+                        k: jnp.concatenate([parts[k], rem_hists[k]])
+                        for k in parts}
+                else:
+                    st = pallas_stencil.lattice_multistep(model, st, graph,
+                                                          ck, rem)
                 ck = ck + rem
-            return st, graph, key, ck, {}
+            ys = {}
+            if emit:
+                fields = {}
+                if "v" in parts:
+                    fields["v"] = parts["v"].reshape(length, -1)
+                if "spike" in parts:
+                    fields["is_spiking"] = \
+                        parts["spike"].reshape(length, -1) > 0.0
+                for name, h in readouts:
+                    ys[name] = jax.vmap(
+                        lambda f: h.readout(f, shape))(fields)
+            return st, graph, key, ck, ys
 
         return jax.jit(run_multi, donate_argnums=(0,))
 

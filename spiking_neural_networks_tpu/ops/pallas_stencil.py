@@ -164,11 +164,12 @@ def fused_izhikevich_stencil_step(v, w, wstencil, in_deg, a, b, c, d, v_th,
     return v_new.reshape(back), w_new.reshape(back), spikes.reshape(back)
 
 
-def _kernel_multi(offsets, n_off, n_steps,
+def _kernel_multi(offsets, n_off, n_steps, emit,
                   clock_ref, v_ref, w_ref, lft_ref, wst_ref, in_deg_ref,
                   a_ref, b_ref, c_ref, d_ref, vth_ref, gap_ref, tau_ref,
                   cm_ref, dt_ref,
-                  v_out_ref, w_out_ref, lft_out_ref, spike_out_ref):
+                  v_out_ref, w_out_ref, lft_out_ref, spike_out_ref,
+                  *hist_refs):
     """K simulation steps with the WHOLE lattice resident in VMEM.
 
     grid=(1,): every array is a single full block, so HBM traffic
@@ -176,7 +177,17 @@ def _kernel_multi(offsets, n_off, n_steps,
     instead of once per step.  Column/row shifts are static `jnp.roll`s on
     VALUES (not refs — Mosaic's unblocked-ref dynamic slice is what breaks
     at >128 lanes); wrap-around contributions are killed by the stencil's
-    zero border weights (StencilGraph.build pads borders with 0)."""
+    zero border weights (StencilGraph.build pads borders with 0).
+
+    With ``emit`` True a single extra (n_steps, R, C) output receives the
+    PRE-RESET voltage of every step, written with STATIC step indices (a
+    Python loop replaces the fori_loop — a dynamic leading-dim store would
+    hit the >128-lane unblocked-ref gotcha at wide grids).  Only v_pre is
+    emitted: storing any per-step value derived from a pure select chain
+    (the spike predicate, lft, even behind optimization_barrier) triggers
+    a superlinear XLA:CPU compile blowup under scan (16x16 K=16 went 4s
+    -> 135s+, growing with body size); v_pre is plain arithmetic and the
+    caller reconstructs spikes (v_pre >= v_th) and post-reset v exactly."""
     v = v_ref[:, :]
     w = w_ref[:, :]
     lft = lft_ref[:, :]
@@ -193,8 +204,7 @@ def _kernel_multi(offsets, n_off, n_steps,
     dt_cm = dt_ref[:, :] / cm_ref[:, :]
     clock0 = clock_ref[0]
 
-    def body(k, carry):
-        v, w, lft, _ = carry
+    def step_math(v, w):
         acc = jnp.zeros_like(v)
         for o, (dr, dc) in enumerate(offsets):
             shifted = v
@@ -206,82 +216,123 @@ def _kernel_multi(offsets, n_off, n_steps,
         i_syn = gap * (acc - v * wsum) / cnt
         dv = (0.04 * v * v + 5.0 * v + 140.0 - w + i_syn) * dt_cm
         dw = (a * (b * v - w)) * dt_tau
-        v_new = v + dv
-        w_new = w + dw
-        spikes = v_new >= v_th
-        v_new = jnp.where(spikes, c, v_new)
-        w_new = jnp.where(spikes, w_new + d, w_new)
+        return v + dv, w + dw
+
+    def body(k, carry):
+        v, w, lft, _ = carry
+        v_pre, w_pre = step_math(v, w)
+        spikes = v_pre >= v_th
+        v_new = jnp.where(spikes, c, v_pre)
+        w_new = jnp.where(spikes, w_pre + d, w_pre)
         lft = jnp.where(spikes, clock0 + k, lft)
         return v_new, w_new, lft, spikes
 
     spk0 = jnp.zeros(v.shape, jnp.bool_)
-    v, w, lft, spk = jax.lax.fori_loop(0, n_steps, body, (v, w, lft, spk0),
-                                       unroll=True)
+    if emit:
+        # static-index history stores: unrolled Python loop
+        spk = spk0
+        for k in range(n_steps):
+            v_pre, w_pre = step_math(v, w)
+            hist_refs[0][k, :, :] = v_pre
+            spk = v_pre >= v_th
+            v = jnp.where(spk, c, v_pre)
+            w = jnp.where(spk, w_pre + d, w_pre)
+            lft = jnp.where(spk, clock0 + k, lft)
+    else:
+        v, w, lft, spk = jax.lax.fori_loop(0, n_steps, body,
+                                           (v, w, lft, spk0), unroll=True)
     v_out_ref[:, :] = v
     w_out_ref[:, :] = w
     lft_out_ref[:, :] = lft
     spike_out_ref[:, :] = spk.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("offsets", "n_steps", "emit"))
 def fused_izhikevich_multistep(v, w, lft, wstencil, in_deg, a, b, c, d,
                                v_th, gap, tau_m, c_m, dt, clock, offsets,
-                               n_steps):
+                               n_steps, emit=()):
     """Run ``n_steps`` electrical Izhikevich steps in ONE kernel launch.
-    Returns (v, w, last_firing_time, final-step spikes as f32)."""
+    Returns (v, w, last_firing_time, final-step spikes as f32[, v_pre])
+    where v_pre is the (n_steps, rows, cols) pre-reset voltage sequence
+    when ``emit`` is truthy (see _kernel_multi for why only v_pre)."""
     rows, cols = v.shape
     n_off = len(offsets)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel_multi, tuple(offsets), n_off,
-                               int(n_steps))
+                               int(n_steps), bool(emit))
+    out_shape = [jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+                 jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+                 jax.ShapeDtypeStruct((rows, cols), jnp.int32),
+                 jax.ShapeDtypeStruct((rows, cols), jnp.float32)]
+    if emit:
+        out_shape += [jax.ShapeDtypeStruct((int(n_steps), rows, cols),
+                                           jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[full] * 14,
-            out_specs=[full] * 4),
-        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32),
-                   jax.ShapeDtypeStruct((rows, cols), jnp.float32),
-                   jax.ShapeDtypeStruct((rows, cols), jnp.int32),
-                   jax.ShapeDtypeStruct((rows, cols), jnp.float32)],
+            out_specs=[full] * len(out_shape)),
+        out_shape=out_shape,
         compiler_params=_compiler_params(),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray([clock], jnp.int32), v, w, lft, wstencil, in_deg, a, b, c,
       d, v_th, gap, tau_m, c_m, dt)
 
 
-def lattice_multistep(model, state, graph, clock, n_steps):
+def lattice_multistep(model, state, graph, clock, n_steps, emit=()):
     """Advance ``n_steps`` steps with the multi-step VMEM-resident kernel
-    (electrical Izhikevich + StencilGraph, no histories)."""
+    (electrical Izhikevich + StencilGraph).  With ``emit``, also returns
+    per-step 'v' / 'spike' planes for history readouts."""
     rows, cols = graph.shape
 
     def g(name):
         return state[name].reshape(rows, cols)
 
-    v, w, lft, spikes = fused_izhikevich_multistep(
+    out = fused_izhikevich_multistep(
         g("v"), g("w"), state["last_firing_time"].reshape(rows, cols),
         graph.weights, graph.in_deg, g("a"), g("b"), g("c"), g("d"),
         g("v_th"), g("gap_conductance"), g("tau_m"), g("c_m"), g("dt"),
-        clock, offsets=graph.offsets, n_steps=n_steps)
-    state = dict(state)
-    state["v"] = v.reshape(-1)
-    state["w"] = w.reshape(-1)
-    state["last_firing_time"] = lft.reshape(-1)
-    state["is_spiking"] = spikes.reshape(-1) > 0.0
-    return state
+        clock, offsets=graph.offsets, n_steps=n_steps, emit=tuple(emit))
+    v, w, lft, spikes = out[:4]
+    new_state = dict(state)
+    new_state["v"] = v.reshape(-1)
+    new_state["w"] = w.reshape(-1)
+    new_state["last_firing_time"] = lft.reshape(-1)
+    new_state["is_spiking"] = spikes.reshape(-1) > 0.0
+    if not emit:
+        return new_state
+    # Reconstruct per-step spike and post-reset-v planes from the emitted
+    # pre-reset voltages with the SAME ops the kernel applies (spikes =
+    # v_pre >= v_th; v_post = where(spikes, c, v_pre)) — bit-exact, and
+    # it keeps select-chain values out of the kernel's history stores
+    # (the XLA:CPU compile blowup documented on _kernel_multi).
+    v_pre = out[4]
+    hists = {}
+    spk_planes = None
+    if "spike" in emit or "v" in emit:
+        spk_planes = v_pre >= g("v_th")[None]
+    if "v" in emit:
+        hists["v"] = jnp.where(spk_planes, g("c")[None], v_pre)
+    if "spike" in emit:
+        hists["spike"] = spk_planes.astype(jnp.float32)
+    return new_state, hists
 
 
-def multistep_vmem_ok(graph, n_params=13):
+def multistep_vmem_ok(graph, n_params=13, emit=0, n_steps=16):
     """Whether the whole lattice (weights + params + state) fits in VMEM.
 
     The x2 covers Mosaic's roll/select temporaries in the unrolled step
     loop — the same factor `multistep_tiled_config` applies (measured ~2.1x
     the naive plane estimate); without it mid-size lattices select this
-    kernel and fail VMEM compile instead of falling back to tiled/XLA."""
+    kernel and fail VMEM compile instead of falling back to tiled/XLA.
+    ``emit`` (0 or 1): the v_pre history output adds n_steps whole planes
+    (written once, no temporary factor)."""
     n_off = graph.weights.shape[0]
     n = graph.shape[0] * graph.shape[1]
     total = 4 * n * (n_off + n_params + 6) * 2
+    total += 4 * n * n_steps * emit
     return total < 90 * 1024 * 1024
 
 

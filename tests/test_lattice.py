@@ -562,3 +562,35 @@ def test_scan_unroll_bit_exact():
     v4, w4 = lat_run(4)
     np.testing.assert_array_equal(v1, v4)
     np.testing.assert_array_equal(w1, w4)
+
+
+def test_pallas_multistep_emits_histories():
+    """The multi-step kernel emits per-step v/spike planes so grid, EEG,
+    average and spike histories stay on the fast path (previously any
+    history forced the per-step kernel); readouts must match XLA."""
+    from spiking_neural_networks_tpu.core.history import (
+        EEGHistory, SpikeHistory)
+    rows = cols = 16
+    v0 = np.random.default_rng(8).uniform(-65, 30,
+                                          rows * cols).astype(np.float32)
+
+    def run(use_pallas, hist_cls):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(rows, cols, gap_conductance=10.0, v=v0)
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=4)
+        lat.use_pallas = use_pallas
+        lat.grid_history = hist_cls()
+        lat.update_grid_history = True
+        lat.run_lattice(37)        # 2 x K=16 launches + remainder 5
+        return lat
+
+    for hist_cls in (EEGHistory, SpikeHistory):
+        a = run(False, hist_cls)
+        b = run(True, hist_cls)
+        ha = np.asarray(a.grid_history.history)
+        hb = np.asarray(b.grid_history.history)
+        assert ha.shape == hb.shape and ha.shape[0] == 37
+        np.testing.assert_allclose(hb, ha, rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.state["v"]),
+                                   np.asarray(a.state["v"]),
+                                   rtol=1e-6, atol=1e-5)

@@ -52,7 +52,7 @@ def test_tiled_runner_path_matches_xla():
     to fail, so the runner engages the tiled kernel (incl. the remainder
     launch: 50 = 6*8 + 2)."""
     orig = pallas_stencil.multistep_vmem_ok
-    pallas_stencil.multistep_vmem_ok = lambda g, n_params=13: False
+    pallas_stencil.multistep_vmem_ok = lambda g, *a, **kw: False
     try:
         def run(use_pallas):
             lat = snn.Lattice(snn.Izhikevich())
@@ -79,7 +79,7 @@ def test_tiled_runner_requires_uniform_params():
     """Non-uniform params fall back to the per-step kernel path (float
     tolerance, not bit-exact) and stay correct."""
     orig = pallas_stencil.multistep_vmem_ok
-    pallas_stencil.multistep_vmem_ok = lambda g, n_params=13: False
+    pallas_stencil.multistep_vmem_ok = lambda g, *a, **kw: False
     try:
         def run(use_pallas):
             lat = snn.Lattice(snn.Izhikevich())

@@ -206,48 +206,62 @@ def test_jit_environment_zero_iterations():
 
 def test_pallas_step_kernel_odd_rows():
     """rows with no divisor that is a multiple of 8 (e.g. 12) crashed the
-    per-step kernel's tile_r search with ZeroDivisionError."""
+    per-step kernel's tile_r search with ZeroDivisionError.  The multi-
+    step kernel (which would otherwise take this config since it learned
+    history emission) is forced off to reach the per-step path."""
+    from spiking_neural_networks_tpu.ops import pallas_stencil
     rows = cols = 12
     v0 = np.random.default_rng(2).uniform(-65, 30,
                                           rows * cols).astype(np.float32)
 
-    def run(use_pallas):
-        lat = snn.Lattice(snn.Izhikevich())
-        lat.populate(rows, cols, gap_conductance=10.0, v=v0)
-        lat.connect_stencil(radius=1.0, keep_prob=0.9, seed=1)
-        lat.use_pallas = use_pallas
-        lat.update_grid_history = True    # per-step kernel, not multi-step
-        lat.run_lattice(20)
-        return lat
+    orig = pallas_stencil.multistep_vmem_ok
+    pallas_stencil.multistep_vmem_ok = lambda g, *a, **kw: False
+    try:
+        def run(use_pallas):
+            lat = snn.Lattice(snn.Izhikevich())
+            lat.populate(rows, cols, gap_conductance=10.0, v=v0)
+            lat.connect_stencil(radius=1.0, keep_prob=0.9, seed=1)
+            lat.use_pallas = use_pallas
+            lat.update_grid_history = True   # per-step kernel path
+            lat.run_lattice(20)
+            return lat
 
-    a, b = run(False), run(True)
-    np.testing.assert_allclose(np.asarray(b.state["v"]),
-                               np.asarray(a.state["v"]),
-                               rtol=1e-6, atol=1e-5)
+        a, b = run(False), run(True)
+        np.testing.assert_allclose(np.asarray(b.state["v"]),
+                                   np.asarray(a.state["v"]),
+                                   rtol=1e-6, atol=1e-5)
+    finally:
+        pallas_stencil.multistep_vmem_ok = orig
 
 
 def test_pallas_step_kernel_cols_guard():
     """cols > 128 that are not a multiple of 128 cannot use the per-step
     kernel's (rows, L, 128) layout (Mosaic unblocked-ref miscompile);
-    the runner must fall back to XLA, bit-identically."""
+    with the multi-step kernel forced off the runner must fall back to
+    XLA, bit-identically."""
     from spiking_neural_networks_tpu.ops import pallas_stencil
     rows, cols = 8, 192
     v0 = np.random.default_rng(3).uniform(-65, 30,
                                           rows * cols).astype(np.float32)
 
-    def run(use_pallas):
-        lat = snn.Lattice(snn.Izhikevich())
-        lat.populate(rows, cols, gap_conductance=10.0, v=v0)
-        lat.connect_stencil(radius=1.0, keep_prob=0.9, seed=1)
-        lat.use_pallas = use_pallas
-        lat.update_grid_history = True
-        lat.run_lattice(20)
-        assert not pallas_stencil.step_kernel_ok(lat.graph)
-        return lat
+    orig = pallas_stencil.multistep_vmem_ok
+    pallas_stencil.multistep_vmem_ok = lambda g, *a, **kw: False
+    try:
+        def run(use_pallas):
+            lat = snn.Lattice(snn.Izhikevich())
+            lat.populate(rows, cols, gap_conductance=10.0, v=v0)
+            lat.connect_stencil(radius=1.0, keep_prob=0.9, seed=1)
+            lat.use_pallas = use_pallas
+            lat.update_grid_history = True
+            lat.run_lattice(20)
+            assert not pallas_stencil.step_kernel_ok(lat.graph)
+            return lat
 
-    a, b = run(False), run(True)
-    np.testing.assert_array_equal(np.asarray(b.state["v"]),
-                                  np.asarray(a.state["v"]))
+        a, b = run(False), run(True)
+        np.testing.assert_array_equal(np.asarray(b.state["v"]),
+                                      np.asarray(a.state["v"]))
+    finally:
+        pallas_stencil.multistep_vmem_ok = orig
 
 
 def test_multistep_vmem_estimate_covers_temporaries():
