@@ -209,13 +209,15 @@ class Lattice:
 
     def set_dt(self, dt):
         """`Lattice::set_dt` (neuron/mod.rs:649-652)."""
-        self.state["dt"] = jnp.full_like(self.state["dt"], dt)
+        from ..utils.transfer import full_like
+        self.state["dt"] = full_like(self.state["dt"], dt)
         self.plasticity.set_dt(dt)
 
     def reset_timing(self):
         """`impl_reset_timing!` (neuron/mod.rs:405-420)."""
         self.internal_clock = 0
-        self.state["last_firing_time"] = jnp.full_like(
+        from ..utils.transfer import full_like
+        self.state["last_firing_time"] = full_like(
             self.state["last_firing_time"], NEVER)
 
     def reset_history(self):
@@ -233,6 +235,8 @@ class Lattice:
         if iterations == 0 or (not self.electrical_synapse
                                and not self.chemical_synapse):
             return
+        from ..utils.transfer import ensure_device_state
+        self.state = ensure_device_state(self.state)  # lazy-populate ship
         remaining = iterations
         while remaining > 0:
             chunk = min(remaining, self.history_chunk) \

@@ -97,11 +97,13 @@ class SpikeTrainLattice:
         if "chance_of_firing" in self.state:
             scalar = dt / self.state["dt"]
             self.state["chance_of_firing"] = self.state["chance_of_firing"] * scalar
-        self.state["dt"] = jnp.full_like(self.state["dt"], dt)
+        from ..utils.transfer import full_like
+        self.state["dt"] = full_like(self.state["dt"], dt)
 
     def reset_timing(self):
         self.internal_clock = 0
-        self.state["last_firing_time"] = jnp.full_like(
+        from ..utils.transfer import full_like
+        self.state["last_firing_time"] = full_like(
             self.state["last_firing_time"], NEVER)
 
     def reset_history(self):
@@ -109,6 +111,8 @@ class SpikeTrainLattice:
 
     def run_lattice(self, iterations):
         """Standalone run (`RunSpikeTrainLattice`, neuron/mod.rs:1419-1428)."""
+        from ..utils.transfer import ensure_device_state
+        self.state = ensure_device_state(self.state)  # lazy-populate ship
         remaining = iterations
         while remaining > 0:
             chunk = min(remaining, self.history_chunk) \
@@ -666,6 +670,7 @@ class LatticeNetwork:
             return
         if not self.electrical_synapse and not self.chemical_synapse:
             return
+        self._ship_states()
         if self.structured and self._structured_supported():
             from .structured import run_structured
             any_history = any(l.update_grid_history or l.update_graph_history
@@ -691,6 +696,14 @@ class LatticeNetwork:
             plan = self._run_chunk(plan, chunk)
             remaining -= chunk
         self._write_back(plan)
+
+    def _ship_states(self):
+        """ONE packed transfer for every lattice still holding lazy host
+        state (utils/transfer.ship_states) — a freshly-built network pays
+        ~5 relay RTTs total instead of ~5 per lattice."""
+        from ..utils.transfer import ship_states
+        ship_states(list(self.lattices.values())
+                    + list(self.spike_train_lattices.values()))
 
     def run_lattices_pipelined(self, iterations, mesh=None, order=None):
         """Pipeline-parallel `run_lattices` for chain-topology networks:

@@ -207,12 +207,14 @@ class RewardModulatedLattice:
         return {(i // self.cols, i % self.cols) for i in flat}
 
     def set_dt(self, dt):
-        self.state["dt"] = jnp.full_like(self.state["dt"], dt)
+        from ..utils.transfer import full_like
+        self.state["dt"] = full_like(self.state["dt"], dt)
         self.reward_modulator.set_dt(dt)
 
     def reset_timing(self):
         self.internal_clock = 0
-        self.state["last_firing_time"] = jnp.full_like(
+        from ..utils.transfer import full_like
+        self.state["last_firing_time"] = full_like(
             self.state["last_firing_time"], NEVER)
 
     # -- Agent trait (neuron/mod.rs:3395-3415) ---------------------------------
@@ -241,6 +243,8 @@ class RewardModulatedLattice:
         iterations = int(rewards.shape[0])
         if iterations == 0:
             return
+        from ..utils.transfer import ensure_device_state
+        self.state = ensure_device_state(self.state)  # lazy-populate ship
         # chunk history runs like Lattice.run_lattice — an unchunked
         # update_graph_history scan would stack per-step full weight
         # arrays for the whole run on device

@@ -91,6 +91,12 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
         out.update(self.reward_modulated_lattices)
         return out
 
+    def _ship_states(self):
+        from ..utils.transfer import ship_states
+        ship_states(list(self.lattices.values())
+                    + list(self.reward_modulated_lattices.values())
+                    + list(self.spike_train_lattices.values()))
+
     def connect(self, presynaptic_id, postsynaptic_id, connecting_conditional,
                 weight_logic=None):
         """Plain connection; reward-modulated lattices are valid endpoints."""
@@ -265,6 +271,7 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             return
         rewards = jnp.broadcast_to(jnp.asarray(reward, jnp.float32),
                                    (iterations,))
+        self._ship_states()
         merged = self._neuron_lattices()
         any_hist = any(l.update_grid_history
                        or getattr(l, "update_graph_history", False)

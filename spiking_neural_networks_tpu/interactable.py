@@ -218,6 +218,8 @@ class JitEnvironment:
         from .core.lattice import _mask_any
 
         agent = self.agent
+        from .utils.transfer import ensure_device_state
+        agent.state = ensure_device_state(agent.state)  # lazy-populate ship
         hist_sig = self._hist_sig()
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
         chunk = agent.history_chunk if hist_sig is not None \
@@ -305,6 +307,8 @@ class JitEnvironment:
         from .core.lattice import _mask_any
 
         agent = self.agent
+        from .utils.transfer import ensure_device_state
+        agent.state = ensure_device_state(agent.state)  # lazy-populate ship
         hist_sig = self._hist_sig()
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
         chunk = agent.history_chunk if hist_sig is not None \

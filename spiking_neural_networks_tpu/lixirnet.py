@@ -261,10 +261,26 @@ def _pull_state(state, ndim=None):
     """ONE batched host pull of (a subset of) the state.  Per-array
     np.asarray pays a full relay round trip EACH (~40-90 ms over the axon
     tunnel) — a 45-field pull-loop cost ~6 s per trial in the Bayesian
-    pipeline; a single jax.device_get batches them."""
+    pipeline; a single jax.device_get batches them.  Lazy host-side
+    leaves (un-shipped populate state) are copied for free."""
     keys = [k for k, v in state.items() if ndim is None or np.ndim(v) == ndim]
-    vals = jax.device_get([state[k] for k in keys])
-    return {k: np.array(v) for k, v in zip(keys, vals)}
+    dev = [k for k in keys if isinstance(state[k], jax.Array)]
+    vals = jax.device_get([state[k] for k in dev]) if dev else []
+    out = {k: np.array(v) for k, v in zip(dev, vals)}
+    for k in keys:
+        if k not in out:
+            out[k] = np.array(state[k])
+    return out
+
+
+def _set_scalar(state, key, idx, value):
+    """One-element state edit, host- or device-resident."""
+    if isinstance(state[key], np.ndarray):
+        arr = state[key].copy()
+        arr[idx] = value
+        state[key] = arr
+    else:
+        state[key] = state[key].at[idx].set(value)
 
 
 def _host_insert_nt(model, host, name, **params):
@@ -338,11 +354,17 @@ class _LatticeMixin:
     def _write_back(self, arrays):
         from .utils.transfer import device_put_state
         state = dict(self._inner.state)
-        # one packed ship for all mutated leaves (a burst of unsynced
-        # per-field puts is the relay-exhaustion pattern)
-        state.update(device_put_state({
-            k: np.asarray(v, np.dtype(state[k].dtype))
-            for k, v in arrays.items()}))
+        # lazy host-side leaves are assigned in place (zero RTTs); any
+        # device-resident leaves go as one packed ship (a burst of
+        # unsynced per-field puts is the relay-exhaustion pattern)
+        dev = {}
+        for k, v in arrays.items():
+            if isinstance(state[k], np.ndarray):
+                state[k] = np.asarray(v, state[k].dtype)
+            else:
+                dev[k] = np.asarray(v, np.dtype(state[k].dtype))
+        if dev:
+            state.update(device_put_state(dev))
         self._inner.state = state
 
     def apply(self, function):
@@ -483,8 +505,10 @@ class IzhikevichNeuronLattice(_LatticeMixin):
         self._inner.populate_host(num_rows, num_cols,
                                   **_neuron_overrides(neuron))
         _install_synapses_host(model, self._inner.state, neuron)
-        from .utils.transfer import device_put_state
-        self._inner.state = device_put_state(self._inner.state)
+        # state stays HOST-SIDE until run time; the core run entry points
+        # batch-ship every lazy lattice in ONE packed transfer
+        # (utils/transfer.ship_states), so apply()/connect() between
+        # populate and run cost zero relay round trips
 
     def connect(self, connection_conditional, weight_logic=None):
         self._inner.connect(connection_conditional, weight_logic)
@@ -521,7 +545,7 @@ class IzhikevichNeuronLattice(_LatticeMixin):
         state = dict(self._inner.state)
         for attr in _IZH_SCALARS:
             key = _IZH_KEYMAP.get(attr, attr)
-            state[key] = state[key].at[idx].set(float(getattr(neuron, attr)))
+            _set_scalar(state, key, idx, float(getattr(neuron, attr)))
         self._inner.state = state
 
     @property
@@ -614,8 +638,7 @@ class RateSpikeTrainLattice(_LatticeMixin):
             host["nt$mask"][:, int(t)] = True
             host["nt$t_max"][:, int(t)] = kin.t_max
             host["nt$clearance_constant"][:, int(t)] = kin.clearance_constant
-        from .utils.transfer import device_put_state
-        self._inner.state = device_put_state(host)
+        # stays host-side; shipped lazily at run time (ship_states)
 
     def run_lattice(self, iterations):
         self._inner.run_lattice(iterations)
@@ -659,8 +682,7 @@ class RateSpikeTrainLattice(_LatticeMixin):
         for attr in self._ST_SCALARS + ("current_voltage",):
             key = _ST_KEYMAP.get(attr, attr)
             if key in state and hasattr(neuron, attr):
-                state[key] = state[key].at[idx].set(
-                    float(getattr(neuron, attr)))
+                _set_scalar(state, key, idx, float(getattr(neuron, attr)))
         self._inner.state = state
 
 
@@ -1195,11 +1217,9 @@ def _make_legacy_lattice(cls_name, model_factory, proto_cls, scalars,
                 key = self._KEYMAP.get(attr, attr)
                 if hasattr(neuron, attr) and key in known:
                     over[key] = float(getattr(neuron, attr))
-            # build + install host-side, ship ONCE (see utils.transfer)
+            # built host-side; shipped lazily at run time (ship_states)
             self._inner.populate_host(num_rows, num_cols, **over)
             installer(self._inner.model, self._inner.state, neuron)
-            from .utils.transfer import device_put_state
-            self._inner.state = device_put_state(self._inner.state)
 
         def connect(self, connection_conditional, weight_logic=None):
             self._inner.connect(connection_conditional, weight_logic)
@@ -1254,8 +1274,8 @@ def _make_legacy_lattice(cls_name, model_factory, proto_cls, scalars,
             for attr in self._SCALARS:
                 key = self._KEYMAP.get(attr, attr)
                 if key in state and hasattr(neuron, attr):
-                    state[key] = state[key].at[idx].set(
-                        float(getattr(neuron, attr)))
+                    _set_scalar(state, key, idx,
+                                float(getattr(neuron, attr)))
             self._inner.state = state
 
         @property

@@ -147,10 +147,11 @@ class NeuronModel:
     def insert_neurotransmitter(self, state, type_name, **params):
         k = self.type_index(type_name)
         state = dict(state)
-        state["nt$mask"] = state["nt$mask"].at[:, k].set(True)
+        from ..utils.transfer import set_col
+        state["nt$mask"] = set_col(state["nt$mask"], k, True)
         for p, v in params.items():
             key = f"nt${p}"
-            state[key] = state[key].at[:, k].set(v)
+            state[key] = set_col(state[key], k, v)
         return state
 
     # -- hooks ----------------------------------------------------------------

@@ -125,9 +125,10 @@ class SpikeTrainModel:
     def insert_neurotransmitter(self, state, type_name, **params):
         k = self.type_index(type_name)
         state = dict(state)
-        state["nt$mask"] = state["nt$mask"].at[:, k].set(True)
+        from ..utils.transfer import set_col
+        state["nt$mask"] = set_col(state["nt$mask"], k, True)
         for p, v in params.items():
-            state[f"nt${p}"] = state[f"nt${p}"].at[:, k].set(v)
+            state[f"nt${p}"] = set_col(state[f"nt${p}"], k, v)
         return state
 
     def effect(self, state, timestep):

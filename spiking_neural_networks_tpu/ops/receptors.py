@@ -65,14 +65,15 @@ class ReceptorSystem:
         optionally override per-receptor params."""
         k = self.type_names.index(type_name)
         state = dict(state)
-        state["rec$mask"] = state["rec$mask"].at[:, k].set(True)
+        from ..utils.transfer import set_col, full_like
+        state["rec$mask"] = set_col(state["rec$mask"], k, True)
         for p, v in params.items():
             key = f"rec${p}"
             arr = state[key]
             if arr.ndim == 2:
-                state[key] = arr.at[:, k].set(v)
+                state[key] = set_col(arr, k, v)
             else:
-                state[key] = jnp.full_like(arr, v)
+                state[key] = full_like(arr, v)
         return state
 
     def update_kinetics(self, state, t_input, t_valid):
