@@ -711,6 +711,7 @@ class LatticeNetwork:
         delivered by `ppermute` (parallel/pipeline.py)."""
         if iterations == 0:
             return
+        self._ship_states()
         from ..parallel.pipeline import run_pipelined
         run_pipelined(self, iterations, mesh=mesh, order=order)
 

@@ -274,13 +274,10 @@ def _pull_state(state, ndim=None):
 
 
 def _set_scalar(state, key, idx, value):
-    """One-element state edit, host- or device-resident."""
-    if isinstance(state[key], np.ndarray):
-        arr = state[key].copy()
-        arr[idx] = value
-        state[key] = arr
-    else:
-        state[key] = state[key].at[idx].set(value)
+    """One-element state edit, host- or device-resident
+    (utils/transfer.set_at — single home for the residency dispatch)."""
+    from .utils.transfer import set_at
+    set_at(state, key, idx, value)
 
 
 def _host_insert_nt(model, host, name, **params):

@@ -315,6 +315,7 @@ def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
     """Run a chain-topology LatticeNetwork as one SPMD pipeline over a
     ``("pp",)`` mesh (one lattice per device) and write results back to the
     network exactly as `run_lattices` would."""
+    net._ship_states()  # lazy-populate states ship before consumption
     order = _chain_order(net, order)
     lattices = [net.lattices[i] for i in order]
     S = len(lattices)
@@ -714,6 +715,7 @@ def run_pipelined_with_reward(net, reward, iterations, mesh=None,
     """Run a chain-topology RewardModulatedLatticeNetwork as one SPMD
     pipeline (one lattice per device) and write state, weights, traces and
     dopamine back exactly as `run_lattices_with_reward` would."""
+    net._ship_states()  # lazy-populate states ship before consumption
     order, all_lat = _reward_chain_order(net, order)
     lattices = [all_lat[i] for i in order]
     S = len(lattices)

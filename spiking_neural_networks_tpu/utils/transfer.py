@@ -119,6 +119,19 @@ def _is_host_leaf(v):
     return not isinstance(v, jax.Array)
 
 
+def set_at(state, key, idx, value):
+    """``state[key][idx] = value`` for host- or device-resident leaves
+    (lixirnet set_neuron paths run on lazy host states before the first
+    ship)."""
+    arr = state[key]
+    if isinstance(arr, np.ndarray):
+        out = arr.copy()
+        out[idx] = value
+        state[key] = out
+    else:
+        state[key] = arr.at[idx].set(value)
+
+
 def set_col(arr, k, v):
     """``arr[:, k] = v`` for host- or device-resident arrays (insert()
     paths run on lazy host states before the first ship)."""

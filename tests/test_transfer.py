@@ -95,8 +95,10 @@ def test_lazy_lixirnet_populate_matches_eager(monkeypatch):
         lat = ln.IzhikevichNeuronLattice(0)
         lat.populate(neuron, 3, 3)
 
+        counter = iter(range(100))
+
         def setup(n):
-            n.current_voltage = -65.0 + (id(n) % 1)  # deterministic
+            n.current_voltage = -65.0 + 0.5 * next(counter)  # per-neuron
         lat.apply(setup)
         lat.connect(lambda x, y: x != y, lambda x, y: 1.5)
         lat.update_grid_history = True
