@@ -26,11 +26,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 
-def timed_repeats(run, sync, iters, repeats=3):
+def timed_repeats(run, sync, iters, repeats=5):
     """Run `run` (post-warmup) `repeats` times in-process; return
     (best steps_or_updates/s, all values).  TPU run-to-run variance over
     the tunnel is +-25% BETWEEN sessions (CLAUDE.md); repeating in one
-    process separates real regressions from session noise."""
+    process separates real regressions from session noise.  Successive
+    repeats also RAMP upward within a session (first post-compile runs
+    measured 30-50% below steady state), so `best` needs >=5 samples —
+    run cost is ~0.1 s/row vs ~minutes of compile."""
     vals = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -106,7 +109,7 @@ def bench_izhikevich_large(rows=2048, cols=2048, iters=1024):
         lat.run_lattice(iters)
         best, vals = timed_repeats(
             lambda: lat.run_lattice(iters),
-            lambda: jax.block_until_ready(lat.state["v"]), iters, repeats=2)
+            lambda: jax.block_until_ready(lat.state["v"]), iters, repeats=4)
         ups = rows * cols * best
         log(f"izhikevich {rows}x{cols} [{label}]: best {ups:.3e} "
             f"updates/s ({1e6 / best:.1f} us/step)")
