@@ -75,6 +75,27 @@ def test_pipeline_matches_structured_electrical():
     assert total_fired > 0, "vacuous: no spikes anywhere in the chain"
 
 
+def test_pipeline_ships_lazy_host_states():
+    """run_pipelined must ship lazily-populated host states before
+    consuming them (the run-entry-point invariant; utils/transfer)."""
+    from spiking_neural_networks_tpu.utils.transfer import state_is_host
+
+    a = _chain(stages=2, seed=9)
+    b = _chain(stages=2, seed=9)
+    for k in range(2):
+        lat = b.get_lattice(k)
+        # convert to the lazy-host form lixirnet.populate now produces
+        lat.state = {key: np.asarray(v) for key, v in lat.state.items()}
+        assert state_is_host(lat.state)
+    a.run_lattices(50)
+    run_pipelined(b, 50, mesh=_mesh(2))
+    for k in range(2):
+        assert not state_is_host(b.get_lattice(k).state)
+        np.testing.assert_allclose(
+            np.asarray(a.get_lattice(k).state["v"]),
+            np.asarray(b.get_lattice(k).state["v"]), rtol=2e-5, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_pipeline_plasticity_matches_structured():
     a = _chain(stages=3, plastic=(0, 2), seed=5, stagger=True)
