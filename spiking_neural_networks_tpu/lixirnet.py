@@ -1343,3 +1343,493 @@ IzhikevichNeuron.set_ligand_gates = _LegacyNeuronBase.set_ligand_gates
 HodgkinHuxleyNetwork = IzhikevichNeuronNetwork
 LeakyIntegrateAndFireNetwork = IzhikevichNeuronNetwork
 IzhikevichNetwork = IzhikevichNeuronNetwork
+
+
+# ---------------------------------------------------------------------------
+# Legacy v0.1 tail: Destexhe ligand-gated family, per-channel ion-channel
+# pyclasses, and the Dopa* legacy names
+# (`/root/reference/interface/src/lib.rs:139-640, 1141-1211, 1561-1712,
+# 2663-3108`).  These are host-side prototype objects with working math —
+# the same role they play in the reference's legacy module, where users
+# compose/step single neurons on the host before populating lattices.
+# ---------------------------------------------------------------------------
+
+# the legacy enum has a distinct GABAb variant (interface/src/lib.rs:80-88);
+# the device receptor axis (AMPA/NMDA/GABA) has no GABAb slot, so it exists
+# as a host-only key for the Destexhe prototype containers
+IonotropicNeurotransmitterType.GABAb = 3
+
+
+class DestexheNeurotransmitter:
+    """`PyDestexheNeurotransmitter` (interface/src/lib.rs:2684-2717):
+    voltage-sigmoid release, ``t = t_max / (1 + exp(-(v - v_p) / k_p))``
+    (iterate_and_spike/mod.rs:147-159).  Constructor defaults follow the
+    legacy pyclass signature (lib.rs:2702)."""
+
+    def __init__(self, t_max=1.0, t=0.0, v_p=5.0, k_p=2.0):
+        self.t_max = t_max
+        self.t = t
+        self.v_p = v_p
+        self.k_p = k_p
+
+    def apply_t_change(self, voltage, _dt=0.0):
+        self.t = float(self.t_max
+                       / (1.0 + np.exp(-(voltage - self.v_p) / self.k_p)))
+
+    def __repr__(self):
+        return (f"DestexheNeurotransmitter {{ t_max: {self.t_max}, "
+                f"t: {self.t}, v_p: {self.v_p}, k_p: {self.k_p} }}")
+
+
+class DestexheNeurotransmitters:
+    """`PyDestexheNeurotransmitters` (interface/src/lib.rs:2721-2783):
+    container keyed by IonotropicNeurotransmitterType.  Per-type
+    constructors in the published 0.23.5 crate share the backend's
+    sigmoid defaults (t_max=1, v_p=2, k_p=5 — iterate_and_spike/mod.rs:
+    137-145; the 0.23.5 source itself is not vendored in the tree)."""
+
+    def __init__(self, neurotransmitter_types=None):
+        self.neurotransmitters = {}
+        for t in (neurotransmitter_types or ()):
+            self.neurotransmitters[int(t)] = DestexheNeurotransmitter(
+                t_max=1.0, t=0.0, v_p=2.0, k_p=5.0)
+
+    def __getitem__(self, neurotransmitter_type):
+        key = int(neurotransmitter_type)
+        if key not in self.neurotransmitters:
+            raise KeyError(f"{neurotransmitter_type!r} not found")
+        return self.neurotransmitters[key]
+
+    def set_neurotransmitter(self, neurotransmitter_type, neurotransmitter):
+        self.neurotransmitters[int(neurotransmitter_type)] = neurotransmitter
+
+    def apply_t_changes(self, voltage, dt):
+        for nt in self.neurotransmitters.values():
+            nt.apply_t_change(voltage, dt)
+
+
+class DestexheReceptor:
+    """`PyDestexheReceptor` (interface/src/lib.rs:2783-2817):
+    ``r += (alpha * T * (1 - r) - beta * r) * dt``
+    (iterate_and_spike/mod.rs:394-428; ops/kinetics.rec_destexhe)."""
+
+    def __init__(self, r=1.0, alpha=1.0, beta=1.0):
+        self.r = r
+        self.alpha = alpha
+        self.beta = beta
+
+    def apply_r_change(self, neurotransmitter_conc, dt):
+        self.r = float(self.r + (self.alpha * neurotransmitter_conc
+                                 * (1.0 - self.r) - self.beta * self.r) * dt)
+
+
+class DestexheLigandGatedChannel:
+    """`PyDestexheLigandGatedChannel` (interface/src/lib.rs:2817-2921).
+
+    Per-type (g, reversal) pairs mirror the Ionotropic receptor defaults
+    the backend keeps at HEAD (iterate_and_spike/mod.rs:1078-1318; GABAb is
+    the K+-mediated channel of the Destexhe model family); per-type
+    receptor (alpha, beta) rate constants follow the Destexhe-Mainen-
+    Sejnowski (1998) kinetics table the backend's docstring cites
+    (iterate_and_spike/mod.rs:123-125) — the published 0.23.5 crate that
+    defined ``ampa_default()`` et al. is not vendored in the tree.  The
+    NMDA variant carries the legacy B(V) magnesium block
+    ``1 / (1 + exp(-0.062 v) * mg / 3.57)`` (interface/temp_build.rs:796).
+    """
+
+    #                       g      e      alpha   beta
+    _DEFAULTS = {
+        0: (1.0, 0.0, 1.1, 0.19),        # AMPA
+        1: (0.6, 0.0, 0.072, 0.0066),    # NMDA (B(V) Mg block)
+        2: (1.2, -80.0, 5.0, 0.18),      # GABAa
+        3: (0.06, -95.0, 0.016, 0.0047),  # GABAb (K+ reversal)
+    }
+
+    def __init__(self, receptor_type):
+        t = int(receptor_type)
+        g, e, alpha, beta = self._DEFAULTS[t]
+        self.neurotransmitter_type = t
+        self.g = g
+        self.reversal = e
+        self.current = 0.0
+        self.mg = 0.33 if t == 1 else 0.0
+        self.receptor = DestexheReceptor(r=0.0, alpha=alpha, beta=beta)
+
+    def get_receptor(self):
+        return self.receptor
+
+    def set_receptor(self, receptor):
+        self.receptor = receptor
+
+    def __repr__(self):
+        return (f"DestexheLigandGatedChannel {{ g: {self.g}, "
+                f"reversal: {self.reversal}, current: {self.current} }}")
+
+
+class DestexheLigandGatedChannels:
+    """`PyDestexheLigandGatedChannels` (interface/src/lib.rs:2834-2908)."""
+
+    def __init__(self, neurotransmitter_types=None):
+        self.ligand_gates = {}
+        for t in (neurotransmitter_types or ()):
+            self.ligand_gates[int(t)] = DestexheLigandGatedChannel(int(t))
+
+    def __getitem__(self, neurotransmitter_type):
+        key = int(neurotransmitter_type)
+        if key not in self.ligand_gates:
+            raise KeyError(f"{neurotransmitter_type!r} not found")
+        return self.ligand_gates[key]
+
+    def set_ligand_gate(self, neurotransmitter_type, ligand_gate):
+        self.ligand_gates[int(neurotransmitter_type)] = ligand_gate
+
+    def update_receptor_kinetics(self, neurotransmitter_concs, dt):
+        """`LigandGatedChannels::update_receptor_kinetics`: each gate whose
+        type appears in the concentration dict advances its receptor."""
+        for t, conc in neurotransmitter_concs.items():
+            gate = self.ligand_gates.get(int(t))
+            if gate is not None:
+                gate.receptor.apply_r_change(conc, dt)
+
+
+# --- per-channel ion-channel pyclasses (interface/src/lib.rs:2923-3108) ---
+
+
+class BasicGatingVariable:
+    """`PyBasicGatingVariable` (interface/src/lib.rs:2923-2963);
+    math mirrors `BasicGatingVariable` (ion_channels/mod.rs:14-45) and the
+    vectorized `models.ion_channels.gate_update`."""
+
+    def __init__(self, alpha=0.0, beta=0.0, state=0.0):
+        self.alpha = alpha
+        self.beta = beta
+        self.state = state
+
+    def init_state(self):
+        self.state = self.alpha / (self.alpha + self.beta)
+
+    def update(self, dt):
+        self.state += dt * (self.alpha * (1.0 - self.state)
+                            - self.beta * self.state)
+
+    def __repr__(self):
+        return (f"BasicGatingVariable {{ alpha: {self.alpha}, "
+                f"beta: {self.beta}, state: {self.state} }}")
+
+
+class NaIonChannel:
+    """`PyNaIonChannel` (interface/src/lib.rs:2963-3023).  Constructor
+    defaults follow the legacy pyclass signature (g_na=120, e_na=115);
+    gate-rate equations mirror `NaIonChannel` at backend HEAD
+    (ion_channels/mod.rs:192-240; `models.ion_channels.na_channel_update`),
+    so a pyclass stepped host-side matches the device lattice exactly."""
+
+    def __init__(self, g_na=120.0, e_na=115.0, m=None, h=None, current=0.0):
+        self.g_na = g_na
+        self.e_na = e_na
+        self.m = m or BasicGatingVariable()
+        self.h = h or BasicGatingVariable()
+        self.current = current
+
+    def update_current(self, voltage, dt):
+        v = voltage
+        self.m.alpha = 0.1 * ((v + 40.0) / (1.0 - np.exp(-(v + 40.0) / 10.0)))
+        self.m.beta = 4.0 * np.exp(-(v + 65.0) / 18.0)
+        self.h.alpha = 0.07 * np.exp(-(v + 65.0) / 20.0)
+        self.h.beta = 1.0 / (np.exp(-(v + 35.0) / 10.0) + 1.0)
+        self.m.update(dt)
+        self.h.update(dt)
+        self.current = (self.m.state ** 3 * self.h.state * self.g_na
+                        * (v - self.e_na))
+
+    def get_m(self):
+        return self.m
+
+    def set_m(self, m):
+        self.m = m
+
+    def get_h(self):
+        return self.h
+
+    def set_h(self, h):
+        self.h = h
+
+    def __repr__(self):
+        return (f"NaIonChannel {{ g_na: {self.g_na}, e_na: {self.e_na}, "
+                f"current: {self.current} }}")
+
+
+class KIonChannel:
+    """`PyKIonChannel` (interface/src/lib.rs:3023-3073); rates from
+    `KIonChannel` (ion_channels/mod.rs:244-286)."""
+
+    def __init__(self, g_k=36.0, e_k=-12.0, n=None, current=0.0):
+        self.g_k = g_k
+        self.e_k = e_k
+        self.n = n or BasicGatingVariable()
+        self.current = current
+
+    def update_current(self, voltage, dt):
+        v = voltage
+        self.n.alpha = 0.01 * (v + 55.0) / (1.0 - np.exp(-(v + 55.0) / 10.0))
+        self.n.beta = 0.125 * np.exp(-(v + 65.0) / 80.0)
+        self.n.update(dt)
+        self.current = self.n.state ** 4 * self.g_k * (v - self.e_k)
+
+    def get_n(self):
+        return self.n
+
+    def set_n(self, n):
+        self.n = n
+
+    def __repr__(self):
+        return (f"KIonChannel {{ g_k: {self.g_k}, e_k: {self.e_k}, "
+                f"current: {self.current} }}")
+
+
+class KLeakChannel:
+    """`PyKLeakChannel` (interface/src/lib.rs:3073-3108); timestep-
+    independent (`KLeakChannel`, ion_channels/mod.rs:289-317)."""
+
+    def __init__(self, g_k_leak=0.3, e_k_leak=10.6, current=0.0):
+        self.g_k_leak = g_k_leak
+        self.e_k_leak = e_k_leak
+        self.current = current
+
+    def update_current(self, voltage):
+        self.current = self.g_k_leak * (voltage - self.e_k_leak)
+
+    def __repr__(self):
+        return (f"KLeakChannel {{ g_k_leak: {self.g_k_leak}, "
+                f"e_k_leak: {self.e_k_leak}, current: {self.current} }}")
+
+
+# --- legacy Dopa* surface (interface/src/lib.rs:139-640, 1141-1211,
+#     1561-1712, 2663-2683) ---
+
+
+class ApproximateReceptor:
+    """`PyApproximateReceptor` (interface/src/lib.rs:737-769): r = t
+    (iterate_and_spike/mod.rs:430-446)."""
+
+    def __init__(self, r=0.0):
+        self.r = r
+
+    def apply_r_change(self, neurotransmitter_conc, _dt=0.0):
+        self.r = float(neurotransmitter_conc)
+
+
+class DopaGluGABAApproximateNeurotransmitters:
+    """`PyDopaGluGABAApproximateNeurotransmitters`
+    (interface/src/lib.rs:139-194): container keyed by
+    DopaGluGABANeurotransmitterType holding ApproximateNeurotransmitter."""
+
+    def __init__(self, neurotransmitter_types=None):
+        self.neurotransmitters = {}
+        for t in (neurotransmitter_types or ()):
+            self.neurotransmitters[int(t)] = ApproximateNeurotransmitter()
+
+    def __getitem__(self, neurotransmitter_type):
+        key = int(neurotransmitter_type)
+        if key not in self.neurotransmitters:
+            raise KeyError(f"{neurotransmitter_type!r} not found")
+        return self.neurotransmitters[key]
+
+    def set_neurotransmitter(self, neurotransmitter_type, neurotransmitter):
+        self.neurotransmitters[int(neurotransmitter_type)] = neurotransmitter
+
+    def apply_t_changes(self, voltage, dt, is_spiking=False):
+        """`ApproximateNeurotransmitter::apply_t_change`
+        (iterate_and_spike/mod.rs:180-195): spike-gated release with
+        clearance decay, clamped to [0, t_max]."""
+        for nt in self.neurotransmitters.values():
+            t = nt.t + dt * -nt.clearance_constant * nt.t \
+                + (nt.t_max if is_spiking else 0.0)
+            nt.t = float(min(max(t, 0.0), nt.t_max))
+
+
+class DopaGluGABAReceptors(DopaGluGABA):
+    """`PyDopaGluGABAReceptors` (interface/src/lib.rs:422-524): the legacy
+    spelling of the v0.4 `DopaGluGABA` receptor set, with
+    get_receptor/set_receptor instead of insert.  Subclasses `DopaGluGABA`
+    so the lattice populate installers consume it unchanged."""
+
+    def __init__(self, inh_modifier=1.0, nmda_modifier=1.0):
+        super().__init__()
+        self.inh_modifier = inh_modifier
+        self.nmda_modifier = nmda_modifier
+        # dopamine receptor always present (DopaGluGABAReceptors::default)
+        self.receptors[int(DopaGluGABANeurotransmitterType.Dopamine)] = \
+            DopamineReceptor()
+
+    _EXPECTED = {0: GlutamateReceptor, 1: GABAReceptor, 2: DopamineReceptor}
+
+    def get_receptor(self, receptor_type):
+        key = int(DopaGluGABANeurotransmitterType(receptor_type))
+        if key not in self.receptors:
+            raise ValueError(
+                f"{DopaGluGABANeurotransmitterType(key).name} receptor "
+                f"is not set")
+        return self.receptors[key]
+
+    def set_receptor(self, receptor_type, receptor):
+        key = int(DopaGluGABANeurotransmitterType(receptor_type))
+        if not isinstance(receptor, self._EXPECTED[key]):
+            raise ValueError(
+                f"receptor type mismatch for "
+                f"{DopaGluGABANeurotransmitterType(key).name}: "
+                f"{type(receptor).__name__}")
+        self.receptors[key] = receptor
+
+    # the v0.4 installer consumes `.receptors` dicts, so the legacy class
+    # plugs into _install_synapses_host unchanged
+    def insert(self, receptor_type, receptor):
+        self.set_receptor(receptor_type, receptor)
+
+
+class DopaIzhikevichNeuron:
+    """`PyDopaIzhikevichNeuron` (interface/src/lib.rs:524-637): the legacy
+    Izhikevich prototype with DopaGluGABA receptors (w_value field name,
+    current_voltage=-65 default) and host-side stepping."""
+
+    def __init__(self, a=0.02, b=0.2, c=-55.0, d=8.0, v_th=30.0, dt=0.1,
+                 current_voltage=-65.0, w_value=30.0, gap_conductance=10.0,
+                 tau_m=1.0, c_m=100.0, synaptic_neurotransmitters=None,
+                 receptors=None):
+        self.a = a
+        self.b = b
+        self.c = c
+        self.d = d
+        self.v_th = v_th
+        self.dt = dt
+        self.current_voltage = current_voltage
+        self.w_value = w_value
+        self.gap_conductance = gap_conductance
+        self.tau_m = tau_m
+        self.c_m = c_m
+        self.is_spiking = False
+        self.last_firing_time = None
+        self.synaptic_neurotransmitters = synaptic_neurotransmitters \
+            or DopaGluGABAApproximateNeurotransmitters()
+        self.receptors = receptors or DopaGluGABAReceptors()
+
+    def iterate_and_spike(self, i):
+        """Host-side Izhikevich Euler step + spike handling
+        (integrate_and_fire/mod.rs:1251-1268)."""
+        v, w = self.current_voltage, self.w_value
+        dv = (0.04 * v * v + 5.0 * v + 140.0 - w + i) * (self.dt / self.c_m)
+        dw = (self.a * (self.b * v - w)) * (self.dt / self.tau_m)
+        self.current_voltage = v + dv
+        self.w_value = w + dw
+        self.is_spiking = self.current_voltage >= self.v_th
+        if self.is_spiking:
+            self.current_voltage = self.c
+            self.w_value += self.d
+        return self.is_spiking
+
+    def get_neurotransmitters(self):
+        return self.synaptic_neurotransmitters
+
+    def set_neurotransmitters(self, neurotransmitters):
+        self.synaptic_neurotransmitters = neurotransmitters
+
+    def get_receptors(self):
+        return self.receptors
+
+    def set_receptors(self, receptors):
+        self.receptors = receptors
+
+
+class DopaPoissonNeuron(PoissonNeuron):
+    """`PyDopaPoissonNeuron` (interface/src/lib.rs:1140-1211): Poisson
+    prototype whose neurotransmitter axis is DopaGluGABA."""
+
+    def set_synaptic_neurotransmitters(self, mapping):
+        # accept both the legacy container and plain dicts; store the
+        # plain dict form the lattice populate installers consume
+        if isinstance(mapping, DopaGluGABAApproximateNeurotransmitters):
+            mapping = mapping.neurotransmitters
+        self.synaptic_neurotransmitters = dict(mapping)
+
+
+_DOPA_IZH_SCALARS = ("current_voltage", "w_value", "a", "b", "c", "d",
+                     "v_th", "tau_m", "c_m", "dt", "gap_conductance")
+
+
+class DopaIzhikevichLattice(IzhikevichNeuronLattice):
+    """`PyDopaIzhikevichLattice` (interface/src/lib.rs:1561-1680): the
+    legacy name/shape over the same DopaGluGABA Izhikevich runtime as the
+    v0.4 `IzhikevichNeuronLattice` (w_value attribute spelling)."""
+
+    _SCALARS = _DOPA_IZH_SCALARS
+    _KEYMAP = {"current_voltage": "v", "w_value": "w"}
+
+    def populate(self, neuron, num_rows, num_cols):
+        self._prototype = copy.deepcopy(neuron)
+        over = {self._KEYMAP.get(a, a): float(getattr(neuron, a))
+                for a in self._SCALARS}
+        self._inner.populate_host(num_rows, num_cols, **over)
+        # legacy neurotransmitter container -> host state
+        nts = neuron.synaptic_neurotransmitters
+        if isinstance(nts, DopaGluGABAApproximateNeurotransmitters):
+            nts = nts.neurotransmitters
+        host = self._inner.state
+        for t, kin in nts.items():
+            name = DopaGluGABANeurotransmitterType(int(t)).name
+            _host_insert_nt(self._inner.model, host, name, t_max=kin.t_max,
+                            clearance_constant=kin.clearance_constant,
+                            t=kin.t)
+        proxy = copy.copy(neuron)
+        proxy.synaptic_neurotransmitters = {}
+        proxy.receptors = neuron.receptors
+        _install_synapses_host(self._inner.model, host, proxy)
+
+    def get_neuron(self, row, col):
+        self._check_pos(row, col)
+        idx = row * self._inner.cols + col
+        n = copy.deepcopy(self._prototype) if self._prototype \
+            else DopaIzhikevichNeuron()
+        state = self._inner.state
+        keys = [self._KEYMAP.get(a, a) for a in self._SCALARS]
+        host = jax.device_get(
+            {k: state[k] for k in keys + ["last_firing_time", "is_spiking"]})
+        for attr in self._SCALARS:
+            setattr(n, attr, float(host[self._KEYMAP.get(attr, attr)][idx]))
+        lft = int(host["last_firing_time"][idx])
+        n.last_firing_time = None if lft < 0 else lft
+        n.is_spiking = bool(host["is_spiking"][idx])
+        return n
+
+    def set_neuron(self, row, col, neuron):
+        self._check_pos(row, col)
+        idx = row * self._inner.cols + col
+        state = dict(self._inner.state)
+        for attr in self._SCALARS:
+            _set_scalar(state, self._KEYMAP.get(attr, attr), idx,
+                        float(getattr(neuron, attr)))
+        self._inner.state = state
+
+    def apply(self, function):
+        arrays = self._host_arrays()
+        for idx in range(self._inner.n):
+            function(_NeuronView(arrays, idx, self._KEYMAP))
+        self._write_back(arrays)
+
+    def apply_given_position(self, function):
+        arrays = self._host_arrays()
+        cols = self._inner.cols
+        for idx in range(self._inner.n):
+            function((idx // cols, idx % cols),
+                     _NeuronView(arrays, idx, self._KEYMAP))
+        self._write_back(arrays)
+
+
+class DopaPoissonLattice(PoissonLattice):
+    """`PyDopaPoissonLattice` (interface/src/lib.rs:1696-1848): legacy name
+    over the Poisson runtime; accepts DopaPoissonNeuron prototypes (the
+    DopaGluGABA axis has the same cardinality as Ionotropic, so the
+    per-type indices map 1:1, exactly like the v0.4 PoissonLattice)."""
+
+
+# the network wrapper is model-agnostic (see legacy aliases above)
+DopaIzhikevichNetwork = IzhikevichNeuronNetwork
