@@ -78,11 +78,18 @@ class GABAReceptor:
 
 
 class DopamineReceptor:
-    def __init__(self, r_d1=None, r_d2=None, s_d1=0.0, s_d2=0.0):
+    def __init__(self, r_d1=None, r_d2=None, s_d1=0.0, s_d2=0.0,
+                 d1_enabled=True, d2_enabled=True):
         self.r_d1 = r_d1 or BoundedReceptorKinetics()
         self.r_d2 = r_d2 or BoundedReceptorKinetics()
         self.s_d1 = s_d1
         self.s_d2 = s_d2
+        # legacy gating flags (interface/src/lib.rs:344-386): the v0.1
+        # DopamineReceptor enables the d1/d2 pathways explicitly; the v0.4
+        # surface gates by zero gain, so both flags default True here and
+        # a disabled pathway installs as gain 0
+        self.d1_enabled = d1_enabled
+        self.d2_enabled = d2_enabled
 
 
 class DopaGluGABA:
@@ -327,8 +334,10 @@ def _install_synapses_host(model, host, neuron):
                 host["rec$e_gaba"] = np.full((n,), r.e, np.float32)
                 host["rec$r_max"][:, 1] = r.r.r_max
             elif isinstance(r, DopamineReceptor):
-                host["rec$s_d1"] = np.full((n,), r.s_d1, np.float32)
-                host["rec$s_d2"] = np.full((n,), r.s_d2, np.float32)
+                s_d1 = r.s_d1 if getattr(r, "d1_enabled", True) else 0.0
+                s_d2 = r.s_d2 if getattr(r, "d2_enabled", True) else 0.0
+                host["rec$s_d1"] = np.full((n,), s_d1, np.float32)
+                host["rec$s_d2"] = np.full((n,), s_d2, np.float32)
                 host["rec$r_max"][:, 2] = r.r_d1.r_max
                 host["rec$r2$r_max"][:, 2] = r.r_d2.r_max
 
@@ -1750,6 +1759,10 @@ class DopaPoissonNeuron(PoissonNeuron):
         if isinstance(mapping, DopaGluGABAApproximateNeurotransmitters):
             mapping = mapping.neurotransmitters
         self.synaptic_neurotransmitters = dict(mapping)
+
+    # the legacy pyclass spells it set_neurotransmitters
+    # (interface/src/lib.rs:1188)
+    set_neurotransmitters = set_synaptic_neurotransmitters
 
 
 _DOPA_IZH_SCALARS = ("current_voltage", "w_value", "a", "b", "c", "d",
