@@ -52,3 +52,90 @@ def determine_return_to_baseline(voltages, settling_period, on_phase,
         if abs(baseline - tail.mean()) < tolerance:
             return i
     return off_phase
+
+
+def build_dopa_liquid_network(sp, cs, w, rng, w_inh=None, setup_neuron=None):
+    """Shared liquid-network builder for the TOML-grid manifold pipelines
+    (`/root/reference/interface/experiments/liquid_manifold_generation.py:
+    139-228`, `liquid_custom_manifold_generation.py:169-238`): a Dopa
+    Izhikevich excitatory liquid (optional GABA inhibitory pool) plus a
+    Dopa Poisson cue lattice, chemical synapses.
+
+    Returns (network, exc_id, inh_id, cue_id).  The reference assigns the
+    swapped gmax pair (ampa_g <- nmda_g and vice versa) — replicated
+    faithfully, as in dopamine_liquid_interaction._run_grid_point.
+    """
+    import spiking_neural_networks_tpu.lixirnet as ln
+
+    exc_n, inh_n = sp["exc_n"], sp["inh_n"]
+    e1, i1, c1 = 0, 1, 2
+
+    glu_neuro = ln.ApproximateNeurotransmitter(
+        clearance_constant=cs["glutamate_clearance"])
+    exc_nts = ln.DopaGluGABAApproximateNeurotransmitters()
+    exc_nts.set_neurotransmitter(
+        ln.DopaGluGABANeurotransmitterType.Glutamate, glu_neuro)
+    gaba_neuro = ln.ApproximateNeurotransmitter(
+        clearance_constant=cs["gabaa_clearance"])
+    inh_nts = ln.DopaGluGABAApproximateNeurotransmitters()
+    inh_nts.set_neurotransmitter(
+        ln.DopaGluGABANeurotransmitterType.GABA, gaba_neuro)
+
+    glu = ln.GlutamateReceptor()
+    glu.ampa_g = cs["nmda_g"]     # swapped in the reference — faithful
+    glu.nmda_g = cs["ampa_g"]
+    gaba = ln.GABAReceptor()
+    gaba.g = cs["gabaa_g"]
+    receptors = ln.DopaGluGABAReceptors()
+    receptors.set_receptor(ln.DopaGluGABANeurotransmitterType.Glutamate, glu)
+    receptors.set_receptor(ln.DopaGluGABANeurotransmitterType.GABA, gaba)
+
+    exc_neuron = ln.DopaIzhikevichNeuron()
+    exc_neuron.set_neurotransmitters(exc_nts)
+    exc_neuron.set_receptors(receptors)
+    poisson_neuron = ln.DopaPoissonNeuron()
+    poisson_neuron.set_neurotransmitters(exc_nts)
+
+    exc_lattice = ln.DopaIzhikevichLattice(e1)
+    exc_lattice.populate(exc_neuron, exc_n, exc_n)
+    if setup_neuron is not None:
+        exc_lattice.apply(setup_neuron)
+    p2i = exc_lattice.position_to_index
+    exc_lattice.connect(
+        lambda x, y: bool(float(w[p2i[x]][p2i[y]]) != 0),
+        lambda x, y: float(w[p2i[x]][p2i[y]]))
+    exc_lattice.update_grid_history = True
+
+    cue = ln.DopaPoissonLattice(c1)
+    cue.populate(poisson_neuron, exc_n, exc_n)
+
+    if not sp["exc_only"]:
+        inh_neuron = ln.DopaIzhikevichNeuron()
+        inh_neuron.set_neurotransmitters(inh_nts)
+        inh_neuron.set_receptors(receptors)
+        inh_lattice = ln.DopaIzhikevichLattice(i1)
+        inh_lattice.populate(inh_neuron, inh_n, inh_n)
+        if setup_neuron is not None:
+            inh_lattice.apply(setup_neuron)
+        q2i = inh_lattice.position_to_index
+        inh_lattice.connect(
+            lambda x, y: bool(float(w_inh[q2i[x]][q2i[y]]) != 0),
+            lambda x, y: float(w_inh[q2i[x]][q2i[y]]))
+        network = ln.DopaIzhikevichNetwork.generate_network(
+            [exc_lattice, inh_lattice], [cue])
+        network.connect(
+            i1, e1,
+            lambda x, y: rng.uniform(0, 1) < cs["inh_to_exc_connectivity"],
+            lambda x, y: cs["inh_to_exc_weight"])
+        network.connect(
+            e1, i1,
+            lambda x, y: rng.uniform(0, 1) < cs["exc_to_inh_connectivity"],
+            lambda x, y: cs["exc_to_inh_weight"])
+    else:
+        network = ln.DopaIzhikevichNetwork.generate_network(
+            [exc_lattice], [cue])
+
+    network.set_dt(sp["dt"])
+    network.electrical_synapse = False
+    network.chemical_synapse = True
+    return network, e1, i1, c1

@@ -277,3 +277,56 @@ def test_reward_lattice_checkpoint_roundtrip():
         lat2.run_lattice_with_reward(0.5, 100)
         np.testing.assert_array_equal(np.asarray(lat2.state["v"]), v_ref)
         np.testing.assert_array_equal(np.asarray(lat2.trace["c"]), c_ref)
+
+
+@pytest.mark.slow
+def test_fit_neuron_to_neuron_cross_family():
+    """The reference's actual fit_neuron_to_neuron use (fitting/mod.rs:411):
+    T and U are DIFFERENT model families.  Fit an Izhikevich neuron to an
+    adaptive-LIF target's spiking summaries across two drive rates and
+    assert the fitted scaled-summary distance beats tolerance."""
+    import jax
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.fitting import (
+        FittingSettings, fit_neuron_to_neuron, get_reference_summary,
+        GeneticAlgorithmParameters, scale_summary, compare_summary)
+
+    target_model = snn.AdaptiveLeakyIntegrateAndFire()
+    fit_model = snn.Izhikevich()
+    st_model = snn.RateSpikeTrain()
+    st_states = [st_model.init_state(1, rate=2.0, v_th=30.0),
+                 st_model.init_state(1, rate=5.0, v_th=30.0)]
+
+    target_state = target_model.init_state(1, gap_conductance=10.0)
+    refs = [get_reference_summary(target_model, target_state, st_model, st,
+                                  iterations=400) for st in st_states]
+    scales = [(800.0, 10.0), (800.0, 10.0)]
+
+    def converter(params):
+        return {"a": params[0], "b": params[1], "c_m": params[2],
+                "gap_conductance": 10.0}
+
+    settings = FittingSettings(
+        neuron_model=fit_model, st_model=st_model,
+        spike_train_states=st_states,
+        reference_summaries=[r[0] for r in refs],
+        scaling_factors=scales, iterations=400, converter=converter)
+    ga = GeneticAlgorithmParameters(
+        bounds=[(0.005, 0.2), (0.1, 0.3), (25.0, 150.0)], n_bits=8,
+        n_iter=12, n_pop=64, r_mut=0.08)
+    best, score, _ = fit_neuron_to_neuron(settings, ga,
+                                          key=jax.random.PRNGKey(5))
+    assert np.isfinite(score)
+    # fitted Izhikevich reproduces the ALIF target's summaries within
+    # tolerance on the scaled metric (sum over both drive conditions)
+    fit_state = fit_model.init_state(1, a=float(best[0]), b=float(best[1]),
+                                     c_m=float(best[2]),
+                                     gap_conductance=10.0)
+    total = 0.0
+    for st, ref, (ts, ps) in zip(st_states, refs, scales):
+        fit_summary = get_reference_summary(fit_model, fit_state, st_model,
+                                            st, iterations=400)
+        total += float(compare_summary(
+            scale_summary(fit_summary[0], ts, ps),
+            scale_summary(ref[0], ts, ps)))
+    assert total < 0.5, (total, np.asarray(best))

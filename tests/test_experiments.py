@@ -336,3 +336,66 @@ def test_dopamine_liquid_reference_grid_point():
     assert isinstance(out["return_to_baseline"], (int, np.integer))
     if sp["measure_snr"]:
         assert "first_snr" in out
+
+
+@pytest.mark.slow
+def test_hd_electrical_model_holds_bump():
+    """hd_attractor.py (port of interface_gpu/experiments/hd_model.py):
+    the electrical HD ring forms an activity bump."""
+    import hd_attractor as hda
+    positions = hda.main(direction=0, iterations=900)
+    assert len(positions) == 6
+    assert any(p is not None for p in positions[2:])
+
+
+@pytest.mark.slow
+def test_grid_cell_electrical_model_pins_bump():
+    """grid_cell_model.py (port of interface_gpu/experiments/
+    grid_cell_electrical_model.py): setters pin the toroidal bump."""
+    import grid_cell_model as gcm
+    center, dist = gcm.main(iterations=900, target=(5, 12))
+    assert dist <= 5.0, (center, dist)
+
+
+@pytest.mark.slow
+def test_liquid_custom_manifold_reference_grid_point():
+    """Replay one grid point of the carried input_table_test.toml (the
+    reference's liquid_custom_manifold protocol) at smoke scale."""
+    import liquid_manifold_generation as lmg
+    from pipeline_setup import parse_toml
+    with open(os.path.join(ARGS_DIR, "liquid_custom_manifold_args",
+                           "input_table_test.toml"), "rb") as f:
+        parsed = parse_toml(f)
+    lmg.fill_defaults(parsed)
+    sp = dict(parsed["simulation_parameters"])
+    sp.update(off_phase=250, on_phase=120, settling_period=80,
+              exc_n=5, inh_n=3, trials=1)
+    cs = {k: (v[0] if isinstance(v, list) else v)
+          for k, v in parsed["variables"].items()}
+    # shrink the 7x7 input table to the 5x5 smoke lattice
+    cs["input_table"] = [row[:5] for row in cs["input_table"][:5]]
+    out = lmg._run_custom_point(sp, cs, np.random.default_rng(0))
+    assert len(out["voltages"]) == 2 * 250 + 120
+    assert "first_snr" in out          # config sets measure_snr = true
+    assert "peaks" in out              # config sets peaks_on = true
+
+
+@pytest.mark.slow
+def test_liquid_manifold_digits_smoke(tmp_path):
+    """liquid_manifold_digits.py (port of the reference's plain
+    interface/experiments/liquid_manifold_generation.py) runs two digits
+    end-to-end and keys outputs by (digit, class)."""
+    import liquid_manifold_digits as lmd
+    toml = tmp_path / "smoke.toml"
+    toml.write_text(
+        '[simulation_parameters]\n'
+        'filename = "liquid_manifold_digits_smoke.json"\n'
+        'off_phase = 200\non_phase = 120\nexc_n = 5\n'
+        '[variables]\npercentage_sample = 0.02\n')
+    out = lmd.main(["prog", str(toml)], max_digits=2)
+    assert len(out) == 2
+    for key, value in out.items():
+        assert "|" in key
+        assert len(value["voltages"]) == 2 * 200 + 120
+        assert len(value["firing_rates"]) == 25
+    assert os.path.exists(_out("liquid_manifold_digits_smoke.json"))
