@@ -41,6 +41,22 @@ def _mask_any(mask):
 AUTO_UNROLL_MAX_N = 1 << 20
 
 
+def resolve_pallas(setting):
+    """Resolve a `use_pallas` setting.
+
+    None = auto (the default): the fused Mosaic kernels engage on TPU
+    wherever a `supports()` gate passes — they ARE the product fast path,
+    mirroring the reference's contract that the GPU classes are the fast
+    path (interface_gpu/lixirnet/src/lattices/mod.rs:314) — and stay off
+    on CPU, where they would run in slow interpret mode while the XLA
+    path is both faster and the golden reference.  Explicit True/False
+    overrides (tests set True to exercise the kernels in interpret mode,
+    bench.py sets False for its XLA comparison rows)."""
+    if setting is None:
+        return jax.default_backend() == "tpu"
+    return bool(setting)
+
+
 def resolve_unroll(setting, n):
     """Resolve a `scan_unroll` setting for an n-neuron step loop.
 
@@ -92,9 +108,10 @@ class Lattice:
         # neurons (53.7->48us/step at 512x512, +15-42%% on chemical/R-STDP
         # rows), 1 above (4.2M-neuron grids regress ~2x when unrolled)
         self.scan_unroll = None
-        # opt-in fused Pallas kernel for the electrical Izhikevich+stencil
-        # hot path (ops/pallas_stencil.py)
-        self.use_pallas = False
+        # fused Pallas kernels for the electrical Izhikevich+stencil /
+        # HH-chemical hot paths (ops/pallas_stencil.py, ops/pallas_hh.py).
+        # None = auto: on by default on TPU, off on CPU (resolve_pallas)
+        self.use_pallas = None
 
     # -- construction ---------------------------------------------------------
     @property
@@ -252,7 +269,8 @@ class Lattice:
         from ..ops import pallas_stencil
         # the fused kernels are single-device programs: a sharded lattice
         # (shard()) must stay on the GSPMD-partitioned XLA path
-        use_pallas = (self.use_pallas and self.mesh is None and skip_nt
+        use_pallas = (resolve_pallas(self.use_pallas)
+                      and self.mesh is None and skip_nt
                       and pallas_stencil.supports(
                           self.model, self.graph, self.electrical_synapse,
                           self.chemical_synapse, self.do_plasticity))
@@ -282,7 +300,8 @@ class Lattice:
             # per-step kernel can't lay these cols out as (rows, L, 128):
             # fall back to the XLA stencil path rather than miscompile
             use_pallas = False
-        if not use_pallas and self.use_pallas and self.mesh is None \
+        if not use_pallas and resolve_pallas(self.use_pallas) \
+                and self.mesh is None \
                 and not self._history_items() \
                 and not self.update_graph_history:
             # fused multi-step HH chemical kernel (ops/pallas_hh.py)

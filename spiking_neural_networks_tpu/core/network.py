@@ -264,10 +264,11 @@ class LatticeNetwork:
         self.internal_clock = 0
         self.history_chunk = 1024
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
-        # opt-in fused whole-network Pallas kernel for small networks
+        # fused whole-network Pallas kernel for small networks
         # (ops/pallas_reward.py; engages for electrical Izhikevich/ALIF/
-        # LIF + stencil + one-to-one classes, reward or plain)
-        self.use_pallas = False
+        # LIF + stencil + one-to-one/resample classes, reward or plain).
+        # None = auto: on by default on TPU (core.lattice.resolve_pallas)
+        self.use_pallas = None
         self.key = jax.random.PRNGKey(0)
         # bumped on any topology/weight mutation; run_structured caches its
         # compiled plan (and device-resident connection weights) against it

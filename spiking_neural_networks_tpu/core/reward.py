@@ -38,7 +38,7 @@ from ..models.base import NEVER, get_neurotransmitter_concentrations
 from ..ops.graph import (SparseGraph, connect_dense, dense_to_stencil,
                          radius_offsets, StencilGraph)
 from .history import GridVoltageHistory
-from .lattice import resolve_unroll, _freeze, _mask_any
+from .lattice import resolve_pallas, resolve_unroll, _freeze, _mask_any
 from .plasticity import RewardModulatedSTDP
 
 
@@ -94,8 +94,9 @@ class RewardModulatedLattice:
         self.history_chunk = 1024
         self.in_network = False
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
-        # opt-in fused whole-step Pallas kernel (ops/pallas_reward.py)
-        self.use_pallas = False
+        # fused whole-step Pallas kernel (ops/pallas_reward.py).
+        # None = auto: on by default on TPU (core.lattice.resolve_pallas)
+        self.use_pallas = None
 
     @property
     def n(self):
@@ -259,7 +260,7 @@ class RewardModulatedLattice:
         # _last_run_fused: observability for tests/users — whether the
         # LAST run went through the fused Pallas path or fell back to XLA
         self._last_run_fused = False
-        if self.use_pallas and not any_hist:
+        if resolve_pallas(self.use_pallas) and not any_hist:
             from ..ops import pallas_reward
             if pallas_reward.supports_lattice(self) \
                     and pallas_reward.lattice_run(self, rewards, with_reward):

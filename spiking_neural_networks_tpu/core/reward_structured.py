@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.spike_train import refractoriness_effect
-from .lattice import _freeze, _mask_any, resolve_unroll
+from .lattice import _freeze, _mask_any, resolve_pallas, resolve_unroll
 from .reward import rstdp_visit, stdp_delta_arrays
 from .structured import (classify_connection, _conn_edge_update,
                          _edge_layout, _phase_a, _phase_b)
@@ -158,7 +158,8 @@ def run_structured_reward(net, rewards, with_reward):
     graph_types = tuple(type(l.graph) for l in lattices)
 
     runner = None
-    if getattr(net, "use_pallas", False) and not hist and not st_hist \
+    if resolve_pallas(getattr(net, "use_pallas", None)) \
+            and not hist and not st_hist \
             and not ghist:
         # fused whole-network multi-step kernel (ops/pallas_reward.py);
         # None when the configuration is outside the supported class

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..models.base import get_neurotransmitter_concentrations
 from ..models.spike_train import refractoriness_effect
 from ..ops.graph import DenseGraph
-from .lattice import _freeze, _mask_any, resolve_unroll
+from .lattice import _freeze, _mask_any, resolve_pallas, resolve_unroll
 
 
 # ---------------------------------------------------------------------------
@@ -488,13 +488,14 @@ def run_structured(net, iterations):
     graph_types = tuple(type(l.graph) for l in lattices)
 
     runner = None
-    if getattr(net, "use_pallas", False) and not hist and not st_hist \
+    if resolve_pallas(getattr(net, "use_pallas", None)) and not st_hist \
             and not ghist:
         # fused whole-network multi-step kernel (ops/pallas_reward.py);
-        # None when the configuration is outside the supported class
+        # None when the configuration is outside the supported class.
+        # Lattice grid histories ride along as emitted v_pre planes.
         from ..ops import pallas_reward
         runner = pallas_reward.plain_network_runner(
-            net, plan, skip_nt and st_nt_clean, int(iterations))
+            net, plan, skip_nt and st_nt_clean, int(iterations), hist=hist)
     net._last_run_fused = runner is not None
     if runner is None:
         runner = _build_structured_runner(

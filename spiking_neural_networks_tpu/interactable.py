@@ -106,14 +106,15 @@ class JitEnvironment:
         # the whole update runs as ONE chunk=1 Pallas launch per step,
         # with the env callbacks fused around it by XLA
         fused_spec = None
-        if getattr(agent, "use_pallas", False) and skip_nt:
+        from .core.lattice import resolve_pallas
+        if resolve_pallas(getattr(agent, "use_pallas", None)) and skip_nt:
             from .ops import pallas_reward as _pr
             if _pr.supports_lattice(agent):
                 cand = _pr.NetSpec(
-                    (agent.rows, agent.cols),
                     (_pr.LatSpec("mod" if do_modulation else "plain",
                                  agent.graph.offsets,
-                                 _pr._model_kind(model)),),
+                                 _pr._model_kind(model),
+                                 (agent.rows, agent.cols)),),
                     (), (), True)
                 if _pr.supports_shapes(cand, chunk=1):
                     fused_spec = cand
@@ -133,7 +134,7 @@ class JitEnvironment:
                 fused_spec, 1, _pr._flat_inputs(
                     fused_spec, 1, lat_data, (), (), dopamine, clock,
                     jnp.reshape(reward, (1,)), (), pp_vec, rp_vec))
-            lat_new, _, _, dopamine, lat_spk, _ = _pr._unflatten(
+            lat_new, _, _, dopamine, lat_spk, _, _ = _pr._unflatten(
                 fused_spec, outs, lat_data, (), ())
             d = lat_new[0]
             s = dict(s)
@@ -215,7 +216,7 @@ class JitEnvironment:
         runners)."""
         import numpy as np
         import jax.numpy as jnp
-        from .core.lattice import _mask_any
+        from .core.lattice import _mask_any, resolve_pallas
 
         agent = self.agent
         from .utils.transfer import ensure_device_state
@@ -235,7 +236,7 @@ class JitEnvironment:
             # they key the cache too (edit_weight can change the offsets)
             key = (length, skip_nt, agent.electrical_synapse,
                    agent.chemical_synapse, agent.do_modulation, hist_sig,
-                   bool(getattr(agent, "use_pallas", False)),
+                   resolve_pallas(getattr(agent, "use_pallas", None)),
                    (agent.rows, agent.cols),
                    getattr(agent.graph, "offsets", None),
                    self.reward_function, self.update_state,

@@ -27,11 +27,17 @@ which mirrors `/root/reference/backend/src/neuron/mod.rs:5030-5290`):
    reward connections (plasticity/mod.rs:199-242, mod.rs:4742-4762);
 7. spike trains step with the pre-increment clock.
 
-Supported configuration (``supports_network`` / ``supports_lattice``):
-Izhikevich lattices on StencilGraphs (same grid shape), electrical synapses
-only, no neurotransmitters, Poisson/Rate spike trains, one-to-one
-connections, STDP plasticity + RewardModulatedSTDP modulation, no
-histories.  Anything else falls back to the XLA structured runner.
+Supported configuration (`network_runner` / `plain_network_runner` /
+`supports_lattice`): Izhikevich/ALIF/LIF lattices on StencilGraphs (mixed
+grid shapes allowed for plain networks), electrical synapses only, no
+neurotransmitters, Poisson/Rate spike trains, one-to-one and resample
+(pooling/upsampling, `core/structured.ResampleBlock` — lowered as
+HIGHEST-precision selection-matrix sandwiches, since strided slices do
+not lower in Mosaic) connections, STDP plasticity + RewardModulatedSTDP
+modulation.  Plain-network lattice grid histories (grid/average/eeg/
+spikes) ride along as per-step PRE-RESET voltage planes emitted by the
+kernel and are reconstructed outside it.  Anything else falls back to
+the XLA structured runner.
 
 Poisson randomness: the XLA path threads a `jax.random` key through the
 scan (one split per step).  Each K-step kernel launch instead reads a
@@ -91,11 +97,15 @@ class LatSpec(NamedTuple):
     kind: str                  # 'plain' | 'plastic' | 'mod'
     offsets: tuple             # stencil offsets ((dr, dc), ...)
     model: str = "izhikevich"  # MODEL_PARAM_KEYS key
+    shape: tuple = ()          # (R, C)
+    emit: bool = False         # emit per-step PRE-RESET voltage planes
+                               # (histories; izhikevich only)
 
 
 class TrainSpec(NamedTuple):
     kind: str                  # 'poisson' | 'rate'
     refractoriness: str        # 'delta_dirac' | 'exponential_decay'
+    shape: tuple = ()          # (R, C)
 
 
 class ConnSpec(NamedTuple):
@@ -107,10 +117,13 @@ class ConnSpec(NamedTuple):
     pre_plastic: bool
     post_plastic: bool
     updates: bool              # False: weights are read-only
+    op: tuple = ("one2one",)   # ("one2one",) — elementwise, same shapes —
+                               # or ("resample", R1, C1, R2, C2, fr, fc,
+                               # taps): strided/up-sampled tap planes
+                               # (core/structured.ResampleBlock.static)
 
 
 class NetSpec(NamedTuple):
-    shape: tuple               # (R, C) — all lattices and trains
     lattices: tuple            # LatSpec, ...
     trains: tuple              # TrainSpec, ...
     conns: tuple               # ConnSpec, ...
@@ -125,6 +138,57 @@ def _shift(x, dr, dc):
     if dc:
         x = jnp.roll(x, -dc, 1)
     return x
+
+
+def _sel_matrices(op):
+    """Host-side selection matrices for a resample op.
+
+    ``S_r[i, r, s] = 1`` iff ``s == f(r) + dr_i`` is in bounds, where f is
+    ``r * fr`` (pooling) or ``r // -fr`` (upsampling) — the matmul form of
+    `core/structured._resample_planes` (strided slices do not lower in
+    Mosaic; probed bit-exact with HIGHEST precision, commit 6ec4897).
+    Out-of-bounds taps produce zero rows, matching the zero padding of the
+    XLA path; the per-tap edge masks gate them out of every update.
+    Returns (S_r (n_dr, R2, R1), S_c (n_dc, C2, C1), dr order, dc order).
+    """
+    _, R1, C1, R2, C2, fr, fc, taps = op
+    drs = sorted({int(dr) for dr, _ in taps})
+    dcs = sorted({int(dc) for _, dc in taps})
+    S_r = np.zeros((len(drs), R2, R1), np.float32)
+    for i, dr in enumerate(drs):
+        for r in range(R2):
+            s = (r * fr if fr > 0 else r // -fr) + dr
+            if 0 <= s < R1:
+                S_r[i, r, s] = 1.0
+    S_c = np.zeros((len(dcs), C2, C1), np.float32)
+    for j, dc in enumerate(dcs):
+        for c in range(C2):
+            s = (c * fc if fc > 0 else c // -fc) + dc
+            if 0 <= s < C1:
+                S_c[j, c, s] = 1.0
+    return S_r, S_c, drs, dcs
+
+
+def _hi_dot(a, b):
+    """f32 matmul at HIGHEST precision: selection sandwiches must be exact
+    (default precision rounds inputs to bf16 — err ~2e-2, breaking the
+    bit-exact-vs-XLA fused-kernel contract; probe commit 6ec4897)."""
+    return jax.lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.lru_cache(maxsize=None)
+def _sel_cached(op):
+    return _sel_matrices(op)
+
+
+def _resample_tap(op, sel_r, sel_c, x, tap_index):
+    """One tap's post-aligned plane: ``S_r(dr) @ x @ S_c(dc)^T``."""
+    taps = op[7]
+    dr, dc = taps[tap_index]
+    _, _, drs, dcs = _sel_cached(op)
+    y = _hi_dot(sel_r[drs.index(int(dr))], x)       # (R2, C1)
+    return _hi_dot(y, sel_c[dcs.index(int(dc))].T)  # (R2, C2)
 
 
 def _stdp_delta(lft_pre, lft_post, a_plus, a_minus, tau_plus, tau_minus, dt):
@@ -151,8 +215,13 @@ def _rstdp_visit(w, c, dw, ct, delta, dop, exp_dc, tau_c):
 
 def _make_kernel(spec, n_steps):
     """Build the fused kernel.  Ref order must match `_flat_inputs` /
-    `_out_shapes` exactly (inputs then outputs, cursor style)."""
-    R, C = spec.shape
+    `_out_shapes` exactly (inputs then outputs, cursor style).
+
+    Mixed lattice shapes are static Python structure (each lattice/train
+    keeps its own (R_k, C_k) refs); inter-shape connections are resample
+    ops — two small HIGHEST-precision selection matmuls per tap
+    (`_resample_tap`), MXU work instead of strided slices (which do not
+    lower in Mosaic)."""
 
     def kernel(*refs):
         cur = [0]
@@ -199,15 +268,22 @@ def _make_kernel(spec, n_steps):
 
         conns = []
         for cs in spec.conns:
-            d = dict(w=take()[:, :], mask=take()[:, :])
+            if cs.op[0] == "resample":
+                d = dict(w=take()[:, :, :], mask=take()[:, :, :],
+                         sel_r=take()[:, :, :], sel_c=take()[:, :, :])
+            else:
+                d = dict(w=take()[:, :], mask=take()[:, :])
             if cs.reward:
                 d["tc"] = take()[:, :]
                 d["tdw"] = take()[:, :]
                 d["tct"] = take()[:, :]
             conns.append(d)
 
-        # remaining refs are outputs, in carry order (see _out_shapes)
+        # remaining refs are outputs, in carry order (see _out_shapes);
+        # the trailing len(emits) refs receive per-step v_pre planes
         out_refs = refs[cur[0]:]
+        emit_lats = [i for i, ls in enumerate(spec.lattices) if ls.emit]
+        emit_refs = out_refs[len(out_refs) - len(emit_lats):]
 
         pp = {k: pp_ref[i] for i, k in enumerate(PP_KEYS)}
         rp = {k: rp_ref[i] for i, k in enumerate(RP_KEYS)}
@@ -216,28 +292,47 @@ def _make_kernel(spec, n_steps):
         exp_dd = jnp.exp(-rp["dt"] / rp["tau_d"])
 
         # static per-run precomputation
-        zero = jnp.zeros((R, C), jnp.float32)
+        def zero_of(shape):
+            return jnp.zeros(shape, jnp.float32)
+
         cnts = []
         dt_cm, dt_tau = [], []
         for i, ls in enumerate(spec.lattices):
             cnt = lats[i]["in_deg"]
             for ci, cs in enumerate(spec.conns):
                 if cs.post == i:
-                    cnt = cnt + conns[ci]["mask"]
+                    m = conns[ci]["mask"]
+                    cnt = cnt + (jnp.sum(m, axis=0)
+                                 if cs.op[0] == "resample" else m)
             cnts.append(jnp.maximum(cnt, 1.0))
             dt_cm.append(lats[i]["dt"] / lats[i]["c_m"]
                          if "c_m" in MODEL_PARAM_KEYS[ls.model] else None)
             dt_tau.append(lats[i]["dt"] / lats[i]["tau_m"])
 
+        # static resample helpers: per-tap post-aligned "ones" planes (the
+        # XLA path's resampled sub_src — exactly 1 in-bounds, 0 in the zero
+        # padding), so phase A can form w*(a - sub*v) with the XLA path's
+        # exact rounding (w*a - w*v differs in the last ulp)
+        resample_subs = {}
+        for ci, cs in enumerate(spec.conns):
+            if cs.op[0] == "resample" and not cs.pre_is_st:
+                ones = jnp.ones(spec.lattices[cs.pre].shape, jnp.float32)
+                resample_subs[ci] = [
+                    _resample_tap(cs.op, conns[ci]["sel_r"],
+                                  conns[ci]["sel_c"], ones, t)
+                    for t in range(len(cs.op[7]))]
+
         lat0 = tuple(
             (lats[i]["v"], lats[i]["w"], lats[i]["lft"], lats[i]["wst"],
              (lats[i]["tc"], lats[i]["tdw"], lats[i]["tct"])
-             if ls.kind == "mod" else (), zero,
-             lats[i]["refr"] if ls.model in REFRACTORY_MODELS else zero)
+             if ls.kind == "mod" else (), zero_of(ls.shape),
+             lats[i]["refr"] if ls.model in REFRACTORY_MODELS
+             else zero_of(ls.shape))
             for i, ls in enumerate(spec.lattices))
         tr0 = tuple(
             (trains[j]["lft"],
-             trains[j]["step"] if ts.kind == "rate" else zero, zero)
+             trains[j]["step"] if ts.kind == "rate" else zero_of(ts.shape),
+             zero_of(ts.shape))
             for j, ts in enumerate(spec.trains))
         cn0 = tuple(
             (conns[ci]["w"],
@@ -273,8 +368,8 @@ def _make_kernel(spec, n_steps):
             inputs = []
             for i, ls in enumerate(spec.lattices):
                 v, w, lft, wst = lat_c[i][:4]
-                acc = zero
-                wsum = zero
+                acc = zero_of(ls.shape)
+                wsum = zero_of(ls.shape)
                 for o, (dr, dc) in enumerate(ls.offsets):
                     acc = acc + wst[o] * _shift(v, dr, dc)
                     wsum = wsum + wst[o]
@@ -284,11 +379,28 @@ def _make_kernel(spec, n_steps):
                         continue
                     cw = cn_c[ci][0]
                     cmask = conns[ci]["mask"]
-                    if cs.pre_is_st:
-                        total = total + cmask * cw * effects[cs.pre]
+                    a_src = effects[cs.pre] if cs.pre_is_st \
+                        else lat_c[cs.pre][0]
+                    if cs.op[0] == "resample":
+                        # mirror `_conn_gather`'s resample branch bitwise:
+                        # per-tap w*(a - sub*v) stacked then summed over the
+                        # tap axis (sub is the resampled ones plane for
+                        # lattice sources, zeros for spike trains — where
+                        # the product collapses exactly)
+                        contribs = []
+                        for t in range(len(cs.op[7])):
+                            a_t = _resample_tap(cs.op, conns[ci]["sel_r"],
+                                                conns[ci]["sel_c"], a_src, t)
+                            if cs.pre_is_st:
+                                contribs.append(cw[t] * a_t)
+                            else:
+                                contribs.append(
+                                    cw[t] * (a_t - resample_subs[ci][t] * v))
+                        total = total + jnp.sum(jnp.stack(contribs), axis=0)
+                    elif cs.pre_is_st:
+                        total = total + cmask * cw * a_src
                     else:
-                        v_pre = lat_c[cs.pre][0]
-                        total = total + cmask * cw * (v_pre - v)
+                        total = total + cmask * cw * (a_src - v)
                 inputs.append(lats[i]["gap_conductance"] * total / cnts[i])
 
             # ---- dopamine decays with the reward before the visits ----
@@ -304,10 +416,18 @@ def _make_kernel(spec, n_steps):
                     dv = (0.04 * v * v + 5.0 * v + 140.0 - w + inputs[i]) \
                         * dt_cm[i]
                     dw_ = (p["a"] * (p["b"] * v - w)) * dt_tau[i]
-                    v_new = v + dv
+                    v_pre = v + dv
                     w_new = w + dw_
-                    spk = v_new >= p["v_th"]
-                    v_new = jnp.where(spk, p["c"], v_new)
+                    if ls.emit:
+                        # static-index history store (k is a Python int on
+                        # the unrolled emit path); only the PRE-RESET
+                        # voltage — select-chain stores blow up XLA:CPU
+                        # compile (ops/pallas_stencil._kernel_multi)
+                        e = emit_lats.index(i)
+                        Ri = ls.shape[0]
+                        emit_refs[e][k * Ri:(k + 1) * Ri, :] = v_pre
+                    spk = v_pre >= p["v_th"]
+                    v_new = jnp.where(spk, p["c"], v_pre)
                     w_new = jnp.where(spk, w_new + p["d"], w_new)
                 else:
                     # LIF-family deltas (integrate_and_fire/mod.rs:108-1051)
@@ -339,7 +459,10 @@ def _make_kernel(spec, n_steps):
             lat_c = new_lat
 
             def trig_of(idx, is_st):
-                return zero if is_st else lat_c[idx][5]
+                # spike trains are never plastic endpoints (plan flags,
+                # core/reward_structured.py `flags`): the train branch is
+                # unreachable (pre_plastic gates every call)
+                return tr_c[idx][2] if is_st else lat_c[idx][5]
 
             def lft_of(idx, is_st):
                 return tr_c[idx][0] if is_st else lat_c[idx][2]
@@ -367,12 +490,43 @@ def _make_kernel(spec, n_steps):
                     continue
                 cw = cn_c[ci][0]
                 cmask = conns[ci]["mask"]
+                post_shape = spec.lattices[cs.post].shape
+                lft_post = lat_c[cs.post][2]
+                if cs.op[0] == "resample":
+                    # mirror `_conn_edge_update` + `_edge_layout`'s
+                    # resample branch: pre fields cast f32 then resampled
+                    # per tap (exact selection copies; padding garbage is
+                    # masked out, like the XLA path's zero pads)
+                    lft_pre = lft_of(cs.pre,
+                                     cs.pre_is_st).astype(jnp.float32)
+                    new_w = []
+                    for t in range(len(cs.op[7])):
+                        lp = _resample_tap(cs.op, conns[ci]["sel_r"],
+                                           conns[ci]["sel_c"], lft_pre, t)
+                        delta = _stdp_delta(lp, lft_post,
+                                            pp["a_plus"], pp["a_minus"],
+                                            pp["tau_plus"], pp["tau_minus"],
+                                            pp["dt"])
+                        count = jnp.full(post_shape, float(cs.static),
+                                         jnp.float32)
+                        if cs.pre_plastic:
+                            count = count + _resample_tap(
+                                cs.op, conns[ci]["sel_r"],
+                                conns[ci]["sel_c"],
+                                trig_of(cs.pre, cs.pre_is_st), t)
+                        if cs.post_plastic:
+                            count = count + lat_c[cs.post][5]
+                        new_w.append(jnp.where(cmask[t] > 0.0,
+                                               cw[t] + delta * count,
+                                               cw[t]))
+                    cn_c[ci] = (jnp.stack(new_w), cn_c[ci][1])
+                    continue
                 delta = _stdp_delta(lft_of(cs.pre, cs.pre_is_st),
-                                    lat_c[cs.post][2],
+                                    lft_post,
                                     pp["a_plus"], pp["a_minus"],
                                     pp["tau_plus"], pp["tau_minus"],
                                     pp["dt"])
-                count = jnp.full((R, C), float(cs.static), jnp.float32)
+                count = jnp.full(post_shape, float(cs.static), jnp.float32)
                 if cs.pre_plastic:
                     count = count + trig_of(cs.pre, cs.pre_is_st)
                 if cs.post_plastic:
@@ -419,7 +573,8 @@ def _make_kernel(spec, n_steps):
                                     rp["a_plus"], rp["a_minus"],
                                     rp["tau_plus"], rp["tau_minus"],
                                     rp["dt"])
-                visits = jnp.full((R, C), float(cs.static), jnp.float32)
+                visits = jnp.full(spec.lattices[cs.post].shape,
+                                  float(cs.static), jnp.float32)
                 if cs.pre_plastic:
                     visits = visits + trig_of(cs.pre, cs.pre_is_st)
                 if cs.post_plastic:
@@ -444,7 +599,8 @@ def _make_kernel(spec, n_steps):
                 t = trains[j]
                 lft_t, step_t, _ = tr_c[j]
                 if ts.kind == "poisson":
-                    u = t["uniforms"][pl.ds(k * R, R), :]
+                    Rt = ts.shape[0]
+                    u = t["uniforms"][pl.ds(k * Rt, Rt), :]
                     spk_t = u <= t["chance"]
                 else:
                     stepped = step_t + t["dt"]
@@ -457,8 +613,17 @@ def _make_kernel(spec, n_steps):
             return (tuple(tuple(x) for x in lat_c), tuple(new_tr),
                     tuple(cn_c), dop)
 
-        lat_f, tr_f, cn_f, dop_f = jax.lax.fori_loop(
-            0, n_steps, body, (lat0, tr0, cn0, dop0))
+        if emit_lats:
+            # history stores need STATIC slice indices: unroll the step
+            # loop (k becomes a Python int), matching the emit form of
+            # ops/pallas_stencil._kernel_multi
+            carry = (lat0, tr0, cn0, dop0)
+            for k in range(n_steps):
+                carry = body(k, carry)
+            lat_f, tr_f, cn_f, dop_f = carry
+        else:
+            lat_f, tr_f, cn_f, dop_f = jax.lax.fori_loop(
+                0, n_steps, body, (lat0, tr0, cn0, dop0))
 
         # ---- write outputs (order mirrors _out_shapes) ----
         oc = [0]
@@ -498,12 +663,12 @@ def _make_kernel(spec, n_steps):
     return kernel
 
 
-def _out_shapes(spec):
-    R, C = spec.shape
-    f = jax.ShapeDtypeStruct((R, C), jnp.float32)
-    i = jax.ShapeDtypeStruct((R, C), jnp.int32)
+def _out_shapes(spec, n_steps):
     out = []
     for ls in spec.lattices:
+        R, C = ls.shape
+        f = jax.ShapeDtypeStruct((R, C), jnp.float32)
+        i = jax.ShapeDtypeStruct((R, C), jnp.int32)
         n_off = len(ls.offsets)
         p = jax.ShapeDtypeStruct((n_off, R, C), jnp.float32)
         pi = jax.ShapeDtypeStruct((n_off, R, C), jnp.int32)
@@ -515,14 +680,27 @@ def _out_shapes(spec):
         if ls.kind == "mod":
             out += [p, p, pi]            # tc, tdw, tct
     for ts in spec.trains:
-        out += [i, f]                    # lft, spk
+        R, C = ts.shape
+        out += [jax.ShapeDtypeStruct((R, C), jnp.int32),
+                jax.ShapeDtypeStruct((R, C), jnp.float32)]     # lft, spk
         if ts.kind == "rate":
-            out.append(f)                # step
+            out.append(jax.ShapeDtypeStruct((R, C), jnp.float32))  # step
     for cs in spec.conns:
-        out.append(f)                    # w
+        R2, C2 = spec.lattices[cs.post].shape
+        if cs.op[0] == "resample":
+            w = jax.ShapeDtypeStruct((len(cs.op[7]), R2, C2), jnp.float32)
+        else:
+            w = jax.ShapeDtypeStruct((R2, C2), jnp.float32)
+        out.append(w)                    # w
         if cs.reward:
-            out += [f, f, i]             # tc, tdw, tct
+            out += [jax.ShapeDtypeStruct((R2, C2), jnp.float32),
+                    jax.ShapeDtypeStruct((R2, C2), jnp.float32),
+                    jax.ShapeDtypeStruct((R2, C2), jnp.int32)]  # traces
     out.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))   # dopamine
+    for ls in spec.lattices:
+        if ls.emit:                      # per-step v_pre planes
+            out.append(jax.ShapeDtypeStruct(
+                (n_steps * ls.shape[0], ls.shape[1]), jnp.float32))
     return out
 
 
@@ -531,7 +709,7 @@ def _fused_chunk(spec, n_steps, flat_inputs):
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [smem] * 5 + [vmem] * (len(flat_inputs) - 5)
-    out_shapes = _out_shapes(spec)
+    out_shapes = _out_shapes(spec, n_steps)
     return pl.pallas_call(
         _make_kernel(spec, n_steps),
         grid_spec=pl.GridSpec(grid=(1,), in_specs=in_specs,
@@ -573,6 +751,8 @@ class _ConnData(NamedTuple):
     w: jnp.ndarray
     mask: jnp.ndarray
     traces: tuple              # (tc, tdw, tct) or ()
+    sel_r: jnp.ndarray = ()    # resample selection matrices ((),) otherwise
+    sel_c: jnp.ndarray = ()
 
 
 def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
@@ -601,6 +781,8 @@ def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
             flat += [d.rate, d.step]
     for cs, d in zip(spec.conns, cn_data):
         flat += [d.w, d.mask]
+        if cs.op[0] == "resample":
+            flat += [d.sel_r, d.sel_c]
         if cs.reward:
             flat += list(d.traces)
     return flat
@@ -620,23 +802,23 @@ def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
     n_steps = rewards.shape[0]
     q = n_steps // chunk
     assert q * chunk == n_steps
-    R, C = spec.shape
 
     rew_chunks = rewards.reshape(q, chunk)
-    zero = jnp.zeros((R, C), jnp.float32)
-    lat_spk0 = tuple(zero for _ in spec.lattices)
-    tr_spk0 = tuple(zero for _ in spec.trains)
+    lat_spk0 = tuple(jnp.zeros(ls.shape, jnp.float32)
+                     for ls in spec.lattices)
+    tr_spk0 = tuple(jnp.zeros(ts.shape, jnp.float32) for ts in spec.trains)
 
     def draw(i):
         us = []
         for ts, k in zip(spec.trains, keys):
             if ts.kind == "poisson":
+                R, C = ts.shape
                 us.append(jax.random.uniform(
                     jax.random.fold_in(k, chunk_i0 + i), (chunk * R, C)))
             else:
                 # unused placeholder, minimal footprint (kernel never
                 # reads it)
-                us.append(jnp.zeros((chunk * R, 1), jnp.float32))
+                us.append(jnp.zeros((chunk * ts.shape[0], 1), jnp.float32))
         return tuple(us)
 
     def step(carry, xs):
@@ -645,16 +827,20 @@ def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
         outs = _fused_chunk(spec, chunk, _flat_inputs(
             spec, chunk, lat_data, tr_data, cn_data, dop, clock, rew_k,
             draw(i), pp_vec, rp_vec))
-        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _unflatten(
-            spec, outs, lat_data, tr_data, cn_data)
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits = \
+            _unflatten(spec, outs, lat_data, tr_data, cn_data)
         return (lat_data, tr_data, cn_data, dop, clock + chunk,
-                lat_spk, tr_spk), None
+                lat_spk, tr_spk), emits
 
-    (lat_data, tr_data, cn_data, dop, clock, lat_spk, tr_spk), _ = \
+    (lat_data, tr_data, cn_data, dop, clock, lat_spk, tr_spk), emits = \
         jax.lax.scan(step, (lat_data, tr_data, cn_data, dop, clock,
                             lat_spk0, tr_spk0),
                      (rew_chunks, jnp.arange(q, dtype=jnp.int32)))
-    return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk
+    # stacked (q, chunk*R, C) -> per-step (n_steps, R, C) planes
+    emit_shapes = [ls.shape for ls in spec.lattices if ls.emit]
+    emits = tuple(e.reshape((n_steps,) + s)
+                  for e, s in zip(emits, emit_shapes))
+    return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits
 
 
 def _unflatten(spec, outs, lat_data, tr_data, cn_data):
@@ -697,8 +883,9 @@ def _unflatten(spec, outs, lat_data, tr_data, cn_data):
             traces = (take(), take(), take())
         new_cn.append(d._replace(w=w, traces=traces))
     dop = take()[0, 0]
+    emits = tuple(outs[cur[0]:])   # per-step v_pre, emit-lattice order
     return (tuple(new_lat), tuple(new_tr), tuple(new_cn), dop,
-            tuple(lat_spk), tuple(tr_spk))
+            tuple(lat_spk), tuple(tr_spk), emits)
 
 
 def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
@@ -706,9 +893,10 @@ def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
     """Advance ``n_steps`` fused steps (traced; one jit contains the chunked
     scan AND the remainder launch — a run is a single device program).
 
-    Returns (lat_data, tr_data, cn_data, dopamine, lat_spk, tr_spk, key).
+    Returns (lat_data, tr_data, cn_data, dopamine, lat_spk, tr_spk, key,
+    emits) where ``emits`` holds one (n_steps, R, C) v_pre sequence per
+    emitting lattice (LatSpec.emit), in lattice order.
     """
-    R, C = spec.shape
     pp_vec = jnp.stack([jnp.float32(pp[k]) for k in PP_KEYS])
     rp_vec = jnp.stack([jnp.float32(rp[k]) for k in RP_KEYS])
 
@@ -725,41 +913,59 @@ def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
     clock = jnp.asarray(clock, jnp.int32)
     dop = jnp.asarray(dop, jnp.float32)
     lat_spk = tr_spk = None
+    emits = emits_rem = None
     if done:
-        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _run_fused(
-            spec, chunk, lat_data, tr_data, cn_data, dop, clock,
-            rewards[:done], keys, pp_vec, rp_vec)
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits = \
+            _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock,
+                       rewards[:done], keys, pp_vec, rp_vec)
     rem = n_steps - done
     if rem:
-        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk = _run_fused(
-            spec, rem, lat_data, tr_data, cn_data, dop, clock + done,
-            rewards[done:], keys, pp_vec, rp_vec,
-            chunk_i0=n_steps // chunk)
-    return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, key
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits_rem = \
+            _run_fused(spec, rem, lat_data, tr_data, cn_data, dop,
+                       clock + done, rewards[done:], keys, pp_vec, rp_vec,
+                       chunk_i0=n_steps // chunk)
+    if emits is None:
+        emits = emits_rem
+    elif emits_rem is not None:
+        emits = tuple(jnp.concatenate([a, b])
+                      for a, b in zip(emits, emits_rem))
+    return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, key, emits
 
 
 def estimate_vmem(spec, chunk=DEFAULT_CHUNK):
     """Rough VMEM requirement: all input planes + the uniforms chunk + a
     small multiplier for loop-carried temporaries."""
-    R, C = spec.shape
-    planes = 0
+    total = 0
     for ls in spec.lattices:
+        n = ls.shape[0] * ls.shape[1]
         n_off = len(ls.offsets)
-        planes += 5 + len(MODEL_PARAM_KEYS[ls.model]) + n_off * 2
+        planes = 5 + len(MODEL_PARAM_KEYS[ls.model]) + n_off * 2
         if ls.model in REFRACTORY_MODELS:
             planes += 2
         if ls.kind == "mod":
             planes += n_off * 3
+        if ls.emit:
+            planes += chunk          # the (chunk*R, C) v_pre output
+        total += planes * n
     for ts in spec.trains:
-        planes += 6 + chunk
+        total += (6 + chunk) * ts.shape[0] * ts.shape[1]
     for cs in spec.conns:
-        planes += 2 + (3 if cs.reward else 0)
-    return planes * R * C * 4 * 3
+        n_post = (spec.lattices[cs.post].shape[0]
+                  * spec.lattices[cs.post].shape[1])
+        if cs.op[0] == "resample":
+            # per-tap weight + mask planes + the selection matrices
+            _, R1, C1, R2, C2, _, _, taps = cs.op
+            total += 2 * len(taps) * n_post
+            total += len(taps) * (R2 * R1 + C2 * C1)
+        else:
+            total += (2 + (3 if cs.reward else 0)) * n_post
+    return total * 4 * 3
 
 
 def supports_shapes(spec, chunk=DEFAULT_CHUNK):
-    R, C = spec.shape
-    return C <= 128 and estimate_vmem(spec, chunk) < VMEM_BUDGET
+    cols = [ls.shape[1] for ls in spec.lattices] \
+        + [ts.shape[1] for ts in spec.trains]
+    return max(cols) <= 128 and estimate_vmem(spec, chunk) < VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
@@ -799,11 +1005,18 @@ def _train_data(state, R, C):
         step=g("step") if "step" in state else zero)
 
 
-def _conn_data(w, aux, R, C, trace0):
+def _conn_data(w, aux, R, C, trace0, op=("one2one",)):
     traces = ()
     if trace0 is not None:
         traces = (trace0["c"].reshape(R, C), trace0["dw"].reshape(R, C),
                   trace0["counter"].reshape(R, C))
+    if op[0] == "resample":
+        # weights/mask already live as (n_taps, R2, C2) planes
+        # (core/structured.ResampleBlock); ship the selection matrices
+        sel_r, sel_c, _, _ = _sel_cached(op)
+        return _ConnData(w=w, mask=aux["mask"].astype(jnp.float32),
+                         traces=traces, sel_r=jnp.asarray(sel_r),
+                         sel_c=jnp.asarray(sel_c))
     return _ConnData(w=w.reshape(R, C),
                      mask=aux["mask"].astype(jnp.float32).reshape(R, C),
                      traces=traces)
@@ -838,7 +1051,7 @@ def _build_fused_lattice_runner(spec):
     def impl(state, graph, trace, dopamine, key, clock, rewards, rp):
         ls = spec.lattices[0]
         lat_data = (_lat_data(state, graph, ls.kind, trace, ls.model),)
-        lat_data, _, _, dop, lat_spk, _, key = _advance(
+        lat_data, _, _, dop, lat_spk, _, key, _ = _advance(
             spec, rewards.shape[0], lat_data, (), (), dopamine, clock,
             rewards, key, rp, rp)
         d = lat_data[0]
@@ -864,9 +1077,9 @@ def lattice_run(lat, rewards, with_reward):
     """Run a standalone reward lattice with the fused kernel.  The caller
     must have checked `supports_lattice` and that no histories are on.
     Returns False (untouched) when the shape budget rejects the config."""
-    spec = NetSpec((lat.rows, lat.cols),
-                   (LatSpec("mod" if lat.do_modulation else "plain",
-                            lat.graph.offsets, _model_kind(lat.model)),),
+    spec = NetSpec((LatSpec("mod" if lat.do_modulation else "plain",
+                            lat.graph.offsets, _model_kind(lat.model),
+                            (lat.rows, lat.cols)),),
                    (), (), bool(with_reward))
     if not supports_shapes(spec):
         return False
@@ -892,10 +1105,10 @@ def _model_kind(model):
             LeakyIntegrateAndFire: "lif"}.get(type(model))
 
 
-def _train_spec(s, shape, st_model):
+def _train_spec(s, st_model):
     """TrainSpec for a spike-train lattice, or None if unsupported."""
     from ..models.spike_train import PoissonSpikeTrain, RateSpikeTrain
-    if (s.rows, s.cols) != shape or s.model != st_model:
+    if s.model != st_model:
         return None
     if type(s.model) is PoissonSpikeTrain:
         kind = "poisson"
@@ -903,7 +1116,7 @@ def _train_spec(s, shape, st_model):
         kind = "rate"
     else:
         return None
-    return TrainSpec(kind, s.model.refractoriness)
+    return TrainSpec(kind, s.model.refractoriness, (s.rows, s.cols))
 
 
 def network_runner(net, plan, lat_kind, skip_nt, with_reward):
@@ -937,8 +1150,8 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
     tr_specs = []
     for s in sts:
         # spike-train nt masks are covered by the caller's batched skip_nt
-        ts = _train_spec(s, shape, st_model)
-        if ts is None:
+        ts = _train_spec(s, st_model)
+        if ts is None or ts.shape != shape:
             return None
         tr_specs.append(ts)
     if type(net._plasticity()) is not STDP \
@@ -965,8 +1178,7 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
             st_index[entry["pre"]] if pre_is_st else lat_index[entry["pre"]],
             lat_index[entry["post"]], True, entry["static"],
             entry["pre_plastic"], entry["post_plastic"], True))
-    spec = NetSpec(shape,
-                   tuple(LatSpec(k, lat.graph.offsets, mk)
+    spec = NetSpec(tuple(LatSpec(k, lat.graph.offsets, mk, shape)
                          for k, lat, mk in zip(lat_kind, lattices,
                                                lat_models)),
                    tuple(tr_specs), tuple(conn_specs), bool(with_reward))
@@ -980,7 +1192,6 @@ def network_runner(net, plan, lat_kind, skip_nt, with_reward):
 def _build_fused_network_runner(spec, n_plain, n_reward):
     """Jitted network runner — one device program per run (marshalling,
     uniforms, chunk scan + remainder, write-back reshapes all inside)."""
-    R, C = spec.shape
 
     def impl(states, st_states, graphs, traces, conn_ws, conn_aux,
              rconn_ws, rconn_traces, rconn_aux, dopamine, key, clock,
@@ -989,14 +1200,18 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
             _lat_data(states[k], graphs[k], spec.lattices[k].kind,
                       traces[k], spec.lattices[k].model)
             for k in range(len(spec.lattices)))
-        tr_data = tuple(_train_data(st_states[k], R, C)
+        tr_data = tuple(_train_data(st_states[k], *spec.trains[k].shape)
                         for k in range(len(spec.trains)))
         cn_data = tuple(
-            _conn_data(conn_ws[ci], conn_aux[ci], R, C, None)
+            _conn_data(conn_ws[ci], conn_aux[ci],
+                       *spec.lattices[spec.conns[ci].post].shape, None,
+                       spec.conns[ci].op)
             for ci in range(n_plain)) + tuple(
-            _conn_data(rconn_ws[ci], rconn_aux[ci], R, C, rconn_traces[ci])
+            _conn_data(rconn_ws[ci], rconn_aux[ci],
+                       *spec.lattices[spec.conns[n_plain + ci].post].shape,
+                       rconn_traces[ci], spec.conns[n_plain + ci].op)
             for ci in range(n_reward))
-        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, key = _advance(
+        lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, key, _ = _advance(
             spec, rewards.shape[0], lat_data, tr_data, cn_data, dopamine,
             clock, rewards, key, pparams, rparams)
         new_states = []
@@ -1045,15 +1260,22 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
     return jax.jit(impl)
 
 
-def plain_network_runner(net, plan, skip_nt, length):
+def plain_network_runner(net, plan, skip_nt, length, hist=()):
     """Fused runner for `core.structured.run_structured` (plain
     LatticeNetwork; same call and return signature as
     `_build_structured_runner`'s runner), or None when unsupported.
 
     Supported class mirrors `network_runner` minus the reward machinery:
-    Izhikevich/ALIF/LIF lattices on same-shape StencilGraphs, electrical
-    synapses only, no neurotransmitters, Poisson/Rate trains, one-to-one
-    connections, STDP plasticity.
+    Izhikevich/ALIF/LIF lattices on StencilGraphs (MIXED grid shapes
+    allowed), electrical synapses only, no neurotransmitters, Poisson/Rate
+    trains, one-to-one and resample (pooling/upsampling, see
+    `core/structured.ResampleBlock`) connections, STDP plasticity.
+
+    ``hist`` carries `run_structured`'s lattice grid-history entries
+    ``(lat_id, kind, sig, shape)``: grid/average/eeg/spikes readouts on
+    Izhikevich lattices are reconstructed from per-step PRE-RESET voltage
+    planes emitted by the kernel (LatSpec.emit); anything else falls back
+    to the XLA runner.
     """
     from ..core.plasticity import STDP
 
@@ -1067,17 +1289,27 @@ def plain_network_runner(net, plan, skip_nt, length):
     if getattr(net, "mesh", None) is not None \
             or any(getattr(l, "mesh", None) is not None for l in lattices):
         return None                     # sharded nets stay on GSPMD/XLA
-    shape = (lattices[0].rows, lattices[0].cols)
-    if shape[1] > 128:
-        return None
-    lat_models, lat_kind = [], []
-    for lat in lattices:
-        mk = _model_kind(lat.model)
-        if mk is None or (lat.rows, lat.cols) != shape \
-                or not _stencil_ok(lat.graph, shape):
+    lat_index = {i: k for k, i in enumerate(lat_ids)}
+    st_index = {i: k for k, i in enumerate(st_ids)}
+    emit_ks = set()
+    hist_info = []
+    for (i, kind, sig, _shape) in hist:
+        if i not in lat_index or kind not in ("grid", "average", "eeg",
+                                              "spikes"):
             return None
+        emit_ks.add(lat_index[i])
+        hist_info.append((lat_index[i], i, kind, sig))
+    lat_models, lat_kind, shapes = [], [], []
+    for k, lat in enumerate(lattices):
+        mk = _model_kind(lat.model)
+        shape_l = (lat.rows, lat.cols)
+        if mk is None or not _stencil_ok(lat.graph, shape_l):
+            return None
+        if k in emit_ks and mk != "izhikevich":
+            return None     # v_pre reconstruction is izhikevich-only
         lat_models.append(mk)
         lat_kind.append("plastic" if lat.do_plasticity else "plain")
+        shapes.append(shape_l)
     if any(k == "plastic" for k in lat_kind) \
             and type(net._plasticity()) is not STDP:
         return None
@@ -1085,43 +1317,59 @@ def plain_network_runner(net, plan, skip_nt, length):
     tr_specs = []
     for s in sts:
         # spike-train nt masks are covered by the caller's batched check
-        ts = _train_spec(s, shape, st_model)
+        ts = _train_spec(s, st_model)
         if ts is None:
             return None
         tr_specs.append(ts)
-    lat_index = {i: k for k, i in enumerate(lat_ids)}
-    st_index = {i: k for k, i in enumerate(st_ids)}
     do_plast = [k == "plastic" for k in lat_kind]
     conn_specs = []
     for entry in plan["conns"]:
-        if entry["op"].kind != "one2one":
-            return None
         pre_is_st = entry["pre_is_st"]
+        pre_k = st_index[entry["pre"]] if pre_is_st \
+            else lat_index[entry["pre"]]
+        post_k = lat_index[entry["post"]]
+        pre_shape = tr_specs[pre_k].shape if pre_is_st else shapes[pre_k]
+        op_kind = entry["op"].kind
+        if op_kind == "one2one":
+            if pre_shape != shapes[post_k]:
+                return None     # flat-index identity needs aligned planes
+            op = ("one2one",)
+        elif isinstance(op_kind, tuple) and op_kind[0] == "resample":
+            # static = (R1, C1, R2, C2, fr, fc, taps); plane shapes are
+            # guaranteed by ResampleBlock's construction
+            op = op_kind
+        else:
+            return None
         # plain-network connection visits (structured runner gated_delta):
         # count = pre_spiking * pre_plastic + post_spiking * post_plastic
-        pre_plastic = (not pre_is_st) and do_plast[lat_index[entry["pre"]]]
-        post_plastic = do_plast[lat_index[entry["post"]]]
+        pre_plastic = (not pre_is_st) and do_plast[pre_k]
+        post_plastic = do_plast[post_k]
         conn_specs.append(ConnSpec(
-            pre_is_st,
-            st_index[entry["pre"]] if pre_is_st else lat_index[entry["pre"]],
-            lat_index[entry["post"]], False, 0,
-            pre_plastic, post_plastic, pre_plastic or post_plastic))
-    spec = NetSpec(shape,
-                   tuple(LatSpec(k, lat.graph.offsets, mk)
-                         for k, lat, mk in zip(lat_kind, lattices,
-                                               lat_models)),
+            pre_is_st, pre_k, post_k, False, 0,
+            pre_plastic, post_plastic, pre_plastic or post_plastic, op))
+    spec = NetSpec(tuple(LatSpec(k, lat.graph.offsets, mk, sh,
+                                 emit=ki in emit_ks)
+                         for ki, (k, lat, mk, sh) in enumerate(
+                             zip(lat_kind, lattices, lat_models, shapes))),
                    tuple(tr_specs), tuple(conn_specs), False)
     if not supports_shapes(spec):
         return None
-    return _build_fused_plain_runner(spec, int(length))
+    return _build_fused_plain_runner(spec, int(length), tuple(hist_info))
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused_plain_runner(spec, length):
+def _build_fused_plain_runner(spec, length, hist_info=()):
     """Jitted plain-network runner (signature of
-    `core.structured._build_structured_runner`'s `run`)."""
-    R, C = spec.shape
+    `core.structured._build_structured_runner`'s `run`).
+
+    ``hist_info`` entries (lat_k, lat_id, kind, sig) turn the emitted
+    per-step v_pre planes into the same ys dict the XLA runner returns:
+    spikes/post-reset v are reconstructed with the identical ops the
+    kernel used (spk = v_pre >= v_th; v = where(spk, c, v_pre)) — exact."""
+    import math as _math
+
     n_conns = len(spec.conns)
+    emit_order = [k for k, ls in enumerate(spec.lattices) if ls.emit]
 
     def impl(states, st_states, graphs, conn_ws, conn_aux, key, clock,
              pparams):
@@ -1129,16 +1377,20 @@ def _build_fused_plain_runner(spec, length):
             _lat_data(states[k], graphs[k], spec.lattices[k].kind, None,
                       spec.lattices[k].model)
             for k in range(len(spec.lattices)))
-        tr_data = tuple(_train_data(st_states[k], R, C)
+        tr_data = tuple(_train_data(st_states[k], *spec.trains[k].shape)
                         for k in range(len(spec.trains)))
-        cn_data = tuple(_conn_data(conn_ws[ci], conn_aux[ci], R, C, None)
-                        for ci in range(n_conns))
+        cn_data = tuple(
+            _conn_data(conn_ws[ci], conn_aux[ci],
+                       *spec.lattices[spec.conns[ci].post].shape, None,
+                       spec.conns[ci].op)
+            for ci in range(n_conns))
         # no reward machinery: dopamine stays 0, rp values are unused by
         # the kernel on a with_reward=False spec with no mod/reward parts
         rp = {k: jnp.float32(1.0) for k in RP_KEYS}
-        lat_data, tr_data, cn_data, _, lat_spk, tr_spk, key = _advance(
-            spec, length, lat_data, tr_data, cn_data, jnp.float32(0.0),
-            clock, jnp.zeros((length,), jnp.float32), key, pparams, rp)
+        lat_data, tr_data, cn_data, _, lat_spk, tr_spk, key, emits = \
+            _advance(spec, length, lat_data, tr_data, cn_data,
+                     jnp.float32(0.0), clock,
+                     jnp.zeros((length,), jnp.float32), key, pparams, rp)
         new_states = []
         new_graphs = list(graphs)
         for k, ls in enumerate(spec.lattices):
@@ -1165,9 +1417,33 @@ def _build_fused_plain_runner(spec, length):
             if ts.kind == "rate":
                 s["step"] = d.step.reshape(-1)
             new_st.append(s)
-        new_conn_ws = tuple(cn_data[ci].w.reshape(-1)
-                            for ci in range(n_conns))
+        # resample weights keep their (n_taps, R2, C2) plane layout
+        # (ResampleBlock.w0); one2one weights go back to flat vectors
+        new_conn_ws = tuple(
+            cn_data[ci].w if spec.conns[ci].op[0] == "resample"
+            else cn_data[ci].w.reshape(-1)
+            for ci in range(n_conns))
+        ys = {}
+        for (lat_k, lat_id, kind, sig) in hist_info:
+            v_pre = emits[emit_order.index(lat_k)]   # (length, R, C)
+            R, C = spec.lattices[lat_k].shape
+            spk = v_pre >= states[lat_k]["v_th"].reshape(R, C)[None]
+            if kind == "spikes":
+                ys[("lat", lat_id)] = spk
+                continue
+            v_post = jnp.where(spk, states[lat_k]["c"].reshape(R, C)[None],
+                               v_pre)
+            if kind == "grid":
+                ys[("lat", lat_id)] = v_post
+            elif kind == "average":
+                ys[("lat", lat_id)] = jnp.mean(v_post.reshape(length, -1),
+                                               axis=1)
+            else:                                    # eeg (history.py:58)
+                _, ref, dist, cond = sig
+                total = jnp.sum(v_post.reshape(length, -1) - ref, axis=1)
+                ys[("lat", lat_id)] = \
+                    (1.0 / (4.0 * _math.pi * cond * dist)) * total
         return (tuple(new_states), tuple(new_st), tuple(new_graphs),
-                new_conn_ws, key, {})
+                new_conn_ws, key, ys)
 
     return jax.jit(impl)
