@@ -68,14 +68,20 @@ def bench_izhikevich(rows=512, cols=512, iters=2048):
         lat.run_lattice(iters)
         jax.block_until_ready(lat.state["v"])
         log(f"warmup (compile+run) {time.perf_counter() - t0:.1f}s")
+        # headline row: 7 repeats, report the MEDIAN alongside best and
+        # keep every raw run in the detail — the tunnel's +-25-40% session
+        # variance showed up in r03 as unexplained headline swings;
+        # median-of-7 plus the xla<->pallas ratio (below, both arms ride
+        # the same session) separates session noise from real regressions
+        # (VERDICT r03 item 5)
         best, vals = timed_repeats(
             lambda: lat.run_lattice(iters),
-            lambda: jax.block_until_ready(lat.state["v"]), iters)
-        ups = rows * cols * best
-        log(f"izhikevich {rows}x{cols} [{label}]: best {ups:.3e} "
-            f"neuron-updates/s over {len(vals)} runs "
-            f"(spread {min(vals) / max(vals):.2f})")
-        return ups, [rows * cols * v for v in vals]
+            lambda: jax.block_until_ready(lat.state["v"]), iters, repeats=7)
+        med = sorted(vals)[len(vals) // 2]
+        log(f"izhikevich {rows}x{cols} [{label}]: best {rows*cols*best:.3e} "
+            f"median {rows*cols*med:.3e} neuron-updates/s over {len(vals)} "
+            f"runs (spread {min(vals) / max(vals):.2f})")
+        return rows * cols * med, [rows * cols * v for v in vals]
 
     xla_ups, xla_vals = measure(build(False), "xla")
     try:
@@ -85,9 +91,15 @@ def bench_izhikevich(rows=512, cols=512, iters=2048):
     except Exception as e:
         log("pallas path unavailable:", repr(e)[:200])
         pl_ups, pl_vals = None, []
+    detail = {"pallas_multistep": pl_vals, "xla": xla_vals}
+    if pl_ups is not None:
+        # variance-immune health stat: both arms ride the same session,
+        # so their ratio cancels the tunnel/session factor
+        detail["pallas_over_xla_ratio"] = pl_ups / xla_ups
+        log(f"izhikevich pallas/xla median ratio: {pl_ups / xla_ups:.2f}")
     if pl_ups is not None and pl_ups > xla_ups:
-        return pl_ups, {"pallas_multistep": pl_vals, "xla": xla_vals}
-    return xla_ups, {"pallas_multistep": pl_vals, "xla": xla_vals}
+        return pl_ups, detail
+    return xla_ups, detail
 
 
 def bench_izhikevich_large(rows=2048, cols=2048, iters=1024):
@@ -209,39 +221,60 @@ def bench_lif_poisson_network(rows=64, cols=64, iters=5000):
 
 def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):
     """BASELINE config 5: multi-lattice network, EEG readout, Poisson-encoded
-    STDP classifier-style wiring."""
+    STDP classifier-style wiring.  Mixed lattice shapes (64x64 exc, 32x32
+    inh) through pool/upsample resample connections: measures the XLA
+    structured runner and the fused mixed-shape network kernel
+    (ops/pallas_reward.py, which emits the EEG planes in-kernel);
+    reports the best."""
     import spiking_neural_networks_tpu as snn
     from spiking_neural_networks_tpu.core.history import EEGHistory
 
-    exc = snn.Lattice(snn.Izhikevich(), id=0)
-    exc.populate(rows, cols, gap_conductance=10.0)
-    exc.connect_stencil(radius=2.0, keep_prob=0.8, seed=5)
-    exc.do_plasticity = True
-    exc.grid_history = EEGHistory()
-    exc.update_grid_history = True
-    inh = snn.Lattice(snn.Izhikevich(), id=1)
-    inh.populate(rows // 2, cols // 2, gap_conductance=10.0)
-    inh.connect_stencil(radius=1.5, seed=6)
-    st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=2)
-    st.populate(rows, cols)
-    st.state = st.model.init_from_firing_rate(rows * cols, hertz=25.0, dt=0.1)
-    net = snn.LatticeNetwork.generate_network([exc, inh], [st])
-    net.connect(2, 0, lambda x, y: x == y, lambda x, y: 4.0)
-    net.connect_vectorized(0, 1, lambda pr, pc, qr, qc: np.where(
-        (pr // 2 == qr) & (pc // 2 == qc), 0.5, np.nan))
-    net.connect_vectorized(1, 0, lambda pr, pc, qr, qc: np.where(
-        (pr == qr // 2) & (pc == qc // 2), -0.8, np.nan))
-    net.history_chunk = iters
-    net.scan_unroll = 4  # 13.2k -> 14.8k steps/s in-process on v5e
+    def build(pallas):
+        exc = snn.Lattice(snn.Izhikevich(), id=0)
+        exc.populate(rows, cols, gap_conductance=10.0)
+        exc.connect_stencil(radius=2.0, keep_prob=0.8, seed=5)
+        exc.do_plasticity = True
+        exc.grid_history = EEGHistory()
+        exc.update_grid_history = True
+        inh = snn.Lattice(snn.Izhikevich(), id=1)
+        inh.populate(rows // 2, cols // 2, gap_conductance=10.0)
+        inh.connect_stencil(radius=1.5, seed=6)
+        st = snn.SpikeTrainLattice(snn.PoissonSpikeTrain(), id=2)
+        st.populate(rows, cols)
+        st.state = st.model.init_from_firing_rate(rows * cols, hertz=25.0,
+                                                  dt=0.1)
+        net = snn.LatticeNetwork.generate_network([exc, inh], [st])
+        net.connect(2, 0, lambda x, y: x == y, lambda x, y: 4.0)
+        net.connect_vectorized(0, 1, lambda pr, pc, qr, qc: np.where(
+            (pr // 2 == qr) & (pc // 2 == qc), 0.5, np.nan))
+        net.connect_vectorized(1, 0, lambda pr, pc, qr, qc: np.where(
+            (pr == qr // 2) & (pc == qc // 2), -0.8, np.nan))
+        net.history_chunk = iters
+        net.scan_unroll = 4  # 13.2k -> 14.8k steps/s in-process on v5e
+        net.use_pallas = pallas
+        return net, exc
 
-    net.run_lattices(iters)
-    best, vals = timed_repeats(
-        lambda: net.run_lattices(iters),
-        lambda: jax.block_until_ready(net.get_lattice(0).state["v"]), iters)
-    log(f"EEG+STDP network: best {best:.1f} steps/s "
-        f"(spread {min(vals) / max(vals):.2f}); EEG samples "
-        f"{len(exc.grid_history.history)}")
-    return best, vals
+    def measure(pallas, label):
+        net, exc = build(pallas)
+        net.run_lattices(iters)
+        best, vals = timed_repeats(
+            lambda: net.run_lattices(iters),
+            lambda: jax.block_until_ready(net.get_lattice(0).state["v"]),
+            iters)
+        log(f"EEG+STDP network [{label}]: best {best:.1f} steps/s "
+            f"(spread {min(vals) / max(vals):.2f}); fused="
+            f"{net._last_run_fused}; EEG samples "
+            f"{len(exc.grid_history.history)}")
+        return best, vals
+
+    xla_best, xla_vals = measure(False, "xla")
+    try:
+        pl_best, pl_vals = measure(True, "pallas-fused")
+    except Exception as e:
+        log("pallas EEG-network path unavailable:", repr(e)[:200])
+        pl_best, pl_vals = 0.0, []
+    return max(xla_best, pl_best), {"xla": xla_vals,
+                                    "pallas_fused": pl_vals}
 
 
 def bench_rstdp_lattice(rows=64, cols=64, iters=3000):
