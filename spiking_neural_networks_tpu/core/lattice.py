@@ -112,6 +112,9 @@ class Lattice:
         # HH-chemical hot paths (ops/pallas_stencil.py, ops/pallas_hh.py).
         # None = auto: on by default on TPU, off on CPU (resolve_pallas)
         self.use_pallas = None
+        # which backend the last _run_chunk used (observability):
+        # False | True | "hh" | ("multi", emit) | ("tiled", ...) | ("model",)
+        self._last_run_fused = False
 
     # -- construction ---------------------------------------------------------
     @property
@@ -310,6 +313,18 @@ class Lattice:
                                   self.chemical_synapse, self.do_plasticity,
                                   self.plasticity):
                 use_pallas = "hh"
+            elif skip_nt and pallas_stencil.supports_model(
+                    self.model, self.graph, self.electrical_synapse,
+                    self.chemical_synapse, self.do_plasticity) \
+                    and pallas_stencil.model_multistep_vmem_ok(
+                        self.graph, self.model):
+                # generic traced-step multi-step kernel: the model's own
+                # step() (incl. DSL-built models) IS the kernel body
+                use_pallas = ("model",)
+        # observability (mirrors the structured/reward runners): which
+        # backend this chunk ran on — False/True/"hh"/("multi", ...)/
+        # ("tiled", ...)/("model",)
+        self._last_run_fused = bool(use_pallas) and use_pallas
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
             self.chemical_synapse, self.do_plasticity, type(self.plasticity),
@@ -317,9 +332,31 @@ class Lattice:
             self.update_graph_history, (self.rows, self.cols), length, skip_nt,
             use_pallas, resolve_unroll(self.scan_unroll, self.n))
         pparams = {k: jnp.float32(v) for k, v in self.plasticity.params.items()}
-        state, graph, key, clock, ys = runner(
-            self.state, self.graph, self.key,
-            jnp.int32(self.internal_clock), pparams)
+        try:
+            state, graph, key, clock, ys = runner(
+                self.state, self.graph, self.key,
+                jnp.int32(self.internal_clock), pparams)
+        except Exception:
+            if not (isinstance(use_pallas, tuple)
+                    and use_pallas[0] == "model"):
+                raise
+            # Mosaic couldn't lower this model's traced step (an op outside
+            # the proven-lowerable surface): route this model config to the
+            # XLA path permanently and retry.  Compile failures raise before
+            # any buffer is executed/donated, so self.state is still valid.
+            pallas_stencil.block_model_kernel(self.model)
+            self._last_run_fused = False
+            runner = _build_lattice_runner(
+                self.model, type(self.graph), self.electrical_synapse,
+                self.chemical_synapse, self.do_plasticity,
+                type(self.plasticity),
+                tuple((name, h.kind, _freeze(h))
+                      for name, h in self._history_items()),
+                self.update_graph_history, (self.rows, self.cols), length,
+                skip_nt, False, resolve_unroll(self.scan_unroll, self.n))
+            state, graph, key, clock, ys = runner(
+                self.state, self.graph, self.key,
+                jnp.int32(self.internal_clock), pparams)
         self.state, self.graph, self.key = state, graph, key
         self.internal_clock += length
         for name, hist in self._history_items():
@@ -450,6 +487,32 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
             return st, graph, key, ck, ys
 
         return jax.jit(run_multi, donate_argnums=(0,))
+
+    if isinstance(use_pallas, tuple) and use_pallas[0] == "model":
+        # generic traced-step multi-step kernel (any elementwise model)
+        from ..ops import pallas_stencil
+        K = 16
+
+        def run_model(state, graph, key, clock, pparams):
+            n_outer, rem = divmod(length, K)
+
+            def step(carry, _):
+                st, ck = carry
+                st = pallas_stencil.lattice_multistep_model(
+                    model, st, graph, ck, K)
+                return (st, ck + K), ()
+
+            carry = (state, clock)
+            if n_outer:
+                carry, _ = jax.lax.scan(step, carry, None, length=n_outer)
+            st, ck = carry
+            if rem:
+                st = pallas_stencil.lattice_multistep_model(
+                    model, st, graph, ck, rem)
+                ck = ck + rem
+            return st, graph, key, ck, {}
+
+        return jax.jit(run_model, donate_argnums=(0,))
 
     if use_pallas == "hh":
         # fused multi-step HH chemical kernel: whole lattice (state +

@@ -58,6 +58,13 @@ class NeuronModel:
     FIELDS: dict = {}
     BOOL_FIELDS: dict = {}
     INT_FIELDS: dict = {}
+    # `step(s, i, skip_nt=True)` is per-neuron elementwise jnp (true for
+    # every model in the package, including DSL-generated ones), so it can
+    # trace into the generic fused Pallas kernel
+    # (ops/pallas_stencil.supports_model).  A subclass whose step depends
+    # on the flat (N,) layout (the kernel presents fields as (rows, cols)
+    # planes) must set this False.
+    ELEMENTWISE_STEP = True
 
     def __init__(self, nt_kinetics="approximate", rec_kinetics="approximate",
                  receptors=None):

@@ -577,3 +577,213 @@ def multistep_tiled_config(graph):
             if vmem < 95 * 1024 * 1024:
                 return tile_r, halo, n_steps
     return None
+
+
+# ---------------------------------------------------------------------------
+# Generic-model multi-step kernel: the model's own `step()` traced into the
+# kernel body.
+#
+# The reference DSL generates a GPU kernel for every model it compiles
+# (nb_macro/src/lib.rs:469 `generate_gpu_kernel`); the TPU-native analog is
+# that a NeuronModel's `step(s, i, skip_nt=True)` is pure elementwise jnp —
+# including the DSL interpreter (dsl/builder.py run_statements/eval_expr) —
+# so it traces straight into a Pallas body.  This kernel therefore covers
+# EVERY elementwise model (the whole IF family, DSL-built neurons, peak-
+# detection models), not just the hand-specialized Izhikevich above, and is
+# bit-exact vs the SAME model's XLA path in interpret mode (the meaningful
+# contract: a DSL Izhikevich is deliberately NOT bit-identical to the
+# handwritten one — `(expr/c_m)*dt` vs `expr*(dt/c_m)` association, see
+# tests/test_dsl.py:38 — so substituting the specialized kernel would
+# silently change a DSL model's trajectory).
+#
+# Same VMEM-residency scheme as `fused_izhikevich_multistep`: grid=(1,),
+# whole lattice + weights resident for n_steps per launch.  Unchanged
+# fields (params) are read once outside the step loop; only fields the
+# step actually writes (discovered by jaxpr forwarding analysis in
+# `_model_kernel_fields`) ride the fori_loop carry.  No history emission:
+# lattices with histories stay on the XLA path (per-step stores of
+# select-chain values are the XLA:CPU compile blowup documented on
+# `_kernel_multi`).
+# ---------------------------------------------------------------------------
+
+# models whose kernel compile failed at runtime (config_key set); checked
+# by supports_model so one failure falls back to XLA permanently instead of
+# retrying every chunk
+_MODEL_KERNEL_BLOCKLIST = set()
+
+
+@functools.lru_cache(maxsize=None)
+def _model_kernel_fields(model):
+    """((field, dtype), ...) the kernel ships + the subset `step` writes.
+
+    Returns (fields, carry_keys) or None when the step cannot be traced
+    over plane-shaped field dicts.  carry_keys is found by tracing one
+    step and checking which outputs are forwarded invars in the jaxpr —
+    forwarded fields are loop constants the kernel reads once."""
+    fields = tuple((k, jnp.float32) for k in model.FIELDS) \
+        + tuple((k, jnp.bool_) for k in model.BOOL_FIELDS) \
+        + tuple((k, jnp.int32) for k in model.INT_FIELDS) \
+        + (("is_spiking", jnp.bool_),)
+
+    def f(s, i):
+        s2, _ = model.step(dict(s), i, skip_nt=True)
+        return tuple(s2[k] for k, _ in fields)
+
+    try:
+        dummy = {k: jax.ShapeDtypeStruct((2, 2), dt) for k, dt in fields}
+        jaxpr = jax.make_jaxpr(f)(
+            dummy, jax.ShapeDtypeStruct((2, 2), jnp.float32)).jaxpr
+    except Exception:
+        return None
+    invars = set(map(id, jaxpr.invars))
+    carry = tuple(k for (k, _), ov in zip(fields, jaxpr.outvars)
+                  if id(ov) not in invars)
+    if "is_spiking" not in carry:
+        # degenerate spike detection (constant-folded) — keep the generic
+        # runner's spike/lft bookkeeping well-defined by carrying it anyway
+        carry = carry + ("is_spiking",)
+    return fields, carry
+
+
+def supports_model(model, graph, electrical, chemical, do_plasticity):
+    """Whether the generic traced-step multi-step kernel applies."""
+    from ..models.base import NeuronModel
+    from .graph import StencilGraph
+    if not (isinstance(model, NeuronModel)
+            and getattr(model, "ELEMENTWISE_STEP", False)
+            and isinstance(graph, StencilGraph)
+            and electrical and not chemical and not do_plasticity):
+        return False
+    if not {"v", "dt", "gap_conductance"} <= set(model.FIELDS):
+        return False
+    try:
+        if model.config_key() in _MODEL_KERNEL_BLOCKLIST:
+            return False
+    except Exception:
+        return False
+    return _model_kernel_fields(model) is not None
+
+
+def block_model_kernel(model):
+    """Permanently route this model config to the XLA path (called after a
+    runtime Mosaic compile failure of the generic kernel)."""
+    _MODEL_KERNEL_BLOCKLIST.add(model.config_key())
+
+
+def model_multistep_vmem_ok(graph, model, n_steps=16):
+    """VMEM feasibility for the generic kernel: weights + one plane per
+    field + carry temporaries, x2 for Mosaic roll/select temporaries (the
+    same measured factor `multistep_vmem_ok` applies)."""
+    fk = _model_kernel_fields(model)
+    if fk is None:
+        return False
+    fields, carry = fk
+    n_off = graph.weights.shape[0]
+    n = graph.shape[0] * graph.shape[1]
+    total = 4 * n * (n_off + len(fields) + len(carry) + 6) * 2
+    return total < 90 * 1024 * 1024
+
+
+def _kernel_multi_model(model, fields, carry_keys, offsets, n_off, n_steps,
+                        clock_ref, lft_ref, wst_ref, ind_ref, *refs):
+    """n_steps of `model.step` with the whole lattice VMEM-resident.
+
+    Bool planes ship as f32 0/1 (bool stores are avoided like the
+    specialized kernels do) and convert exactly at the boundary; the
+    electrical input uses the identical accumulation order as
+    `_kernel_multi` (offset-order chained FMAs, wsum = sum of planes),
+    which the multistep tests prove bit-exact vs
+    StencilGraph.gather_electrical."""
+    dtypes = dict(fields)
+    in_refs = refs[:len(fields)]
+    out_refs = refs[len(fields):]
+    env0 = {}
+    for (k, dt), r in zip(fields, in_refs):
+        val = r[:, :]
+        env0[k] = (val > 0.5) if dt == jnp.bool_ else val
+    wst = [wst_ref[o, :, :] for o in range(n_off)]
+    wsum = sum(wst)
+    cnt = jnp.maximum(ind_ref[:, :], 1.0)
+    clock0 = clock_ref[0]
+
+    def body(k, carry):
+        env = dict(env0)
+        env.update(zip(carry_keys, carry[:-1]))
+        lft = carry[-1]
+        v = env["v"]
+        acc = jnp.zeros_like(v)
+        for o, (dr, dc) in enumerate(offsets):
+            shifted = v
+            if dr:
+                shifted = jnp.roll(shifted, -dr, 0)
+            if dc:
+                shifted = jnp.roll(shifted, -dc, 1)
+            acc = acc + wst[o] * shifted
+        i_syn = env["gap_conductance"] * (acc - v * wsum) / cnt
+        s2, spikes = model.step(env, i_syn, skip_nt=True)
+        lft = jnp.where(spikes, clock0 + k, lft)
+        return tuple(s2[k] for k in carry_keys) + (lft,)
+
+    carry0 = tuple(env0[k] for k in carry_keys) + (lft_ref[:, :],)
+    carry = jax.lax.fori_loop(0, n_steps, body, carry0, unroll=True)
+    for r, k, val in zip(out_refs, carry_keys, carry[:-1]):
+        r[:, :] = val.astype(jnp.float32) if dtypes[k] == jnp.bool_ else val
+    out_refs[len(carry_keys)][:, :] = carry[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("model", "offsets", "n_steps"))
+def fused_model_multistep(lft, wstencil, in_deg, field_vals, clock,
+                          model=None, offsets=(), n_steps=1):
+    """Run ``n_steps`` of ``model.step`` in ONE kernel launch.
+
+    ``field_vals`` is a tuple of (rows, cols) planes in
+    `_model_kernel_fields` order (bool fields already encoded f32).
+    Returns (per-carry-field planes..., last_firing_time)."""
+    rows, cols = lft.shape
+    fields, carry_keys = _model_kernel_fields(model)
+    dtypes = dict(fields)
+    n_off = len(offsets)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_multi_model, model, fields,
+                               carry_keys, tuple(offsets), n_off,
+                               int(n_steps))
+    out_shape = [jax.ShapeDtypeStruct(
+        (rows, cols),
+        jnp.float32 if dtypes[k] == jnp.bool_ else dtypes[k])
+        for k in carry_keys]
+    out_shape += [jax.ShapeDtypeStruct((rows, cols), jnp.int32)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[full] * (3 + len(fields)),
+            out_specs=[full] * len(out_shape)),
+        out_shape=out_shape,
+        compiler_params=_compiler_params(),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray([clock], jnp.int32), lft, wstencil, in_deg, *field_vals)
+
+
+def lattice_multistep_model(model, state, graph, clock, n_steps):
+    """Advance ``n_steps`` steps of any elementwise model with the generic
+    multi-step kernel (mirrors `lattice_multistep` for Izhikevich).
+    Semantics match core.lattice.lattice_step with skip_nt=True: electrical
+    stencil gather -> model.step -> last_firing_time update."""
+    rows, cols = graph.shape
+    fields, carry_keys = _model_kernel_fields(model)
+    dtypes = dict(fields)
+    vals = []
+    for k, dt in fields:
+        arr = state[k].reshape(rows, cols)
+        vals.append(arr.astype(jnp.float32) if dt == jnp.bool_ else arr)
+    out = fused_model_multistep(
+        state["last_firing_time"].reshape(rows, cols), graph.weights,
+        graph.in_deg, tuple(vals), clock, model=model,
+        offsets=graph.offsets, n_steps=n_steps)
+    new_state = dict(state)
+    for k, val in zip(carry_keys, out[:-1]):
+        flat = val.reshape(-1)
+        new_state[k] = flat > 0.0 if dtypes[k] == jnp.bool_ else flat
+    new_state["last_firing_time"] = out[-1].reshape(-1)
+    return new_state
