@@ -1348,10 +1348,48 @@ IzhikevichNeuron.set_neurotransmitters = \
     _LegacyNeuronBase.set_neurotransmitters
 IzhikevichNeuron.set_ligand_gates = _LegacyNeuronBase.set_ligand_gates
 
-# the network wrapper is model-agnostic: legacy networks are aliases
-HodgkinHuxleyNetwork = IzhikevichNeuronNetwork
-LeakyIntegrateAndFireNetwork = IzhikevichNeuronNetwork
-IzhikevichNetwork = IzhikevichNeuronNetwork
+# The network wrapper is model-agnostic, but the reference's generated
+# network classes are TYPE-LOCKED to one neuron family (impl_network! in
+# interface/src/lib.rs monomorphizes per model): adding an HH lattice to
+# an IzhikevichNetwork is a compile error there, so the legacy names here
+# reject mismatched lattice families at add time instead of silently
+# accepting them.
+def _typed_legacy_network(cls_name, model_cls_path, doc):
+    class TypedLegacyNetwork(IzhikevichNeuronNetwork):
+        def _model_cls(self):
+            import importlib
+            mod_name, attr = model_cls_path.rsplit(".", 1)
+            return getattr(importlib.import_module(mod_name, __package__),
+                           attr)
+
+        def add_lattice(self, lattice):
+            model_cls = self._model_cls()
+            if not isinstance(lattice._inner.model, model_cls):
+                raise TypeError(
+                    f"{type(self).__name__} accepts only lattices of "
+                    f"{model_cls.__name__} neurons, got "
+                    f"{type(lattice._inner.model).__name__} (the reference's "
+                    "generated network classes are monomorphic per model)")
+            super().add_lattice(lattice)
+
+    TypedLegacyNetwork.__name__ = cls_name
+    TypedLegacyNetwork.__qualname__ = cls_name
+    TypedLegacyNetwork.__doc__ = doc
+    return TypedLegacyNetwork
+
+
+HodgkinHuxleyNetwork = _typed_legacy_network(
+    "HodgkinHuxleyNetwork", ".models.hodgkin_huxley.HodgkinHuxley",
+    "Legacy `HodgkinHuxleyNetwork` (interface/src/lib.rs): type-locked to "
+    "HodgkinHuxley lattices.")
+LeakyIntegrateAndFireNetwork = _typed_legacy_network(
+    "LeakyIntegrateAndFireNetwork",
+    ".models.integrate_and_fire.LeakyIntegrateAndFire",
+    "Legacy LIF network: type-locked to LeakyIntegrateAndFire lattices.")
+IzhikevichNetwork = _typed_legacy_network(
+    "IzhikevichNetwork", ".models.integrate_and_fire.Izhikevich",
+    "Legacy `IzhikevichNetwork` (Ionotropic receptors, interface/src/"
+    "lib.rs): type-locked to Izhikevich lattices.")
 
 
 # ---------------------------------------------------------------------------

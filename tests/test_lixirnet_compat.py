@@ -959,3 +959,35 @@ def test_legacy_dopa_lattice_and_network_match_v04_surface():
     again = lat.get_neuron(1, 2)
     assert abs(again.w_value - 11.0) < 1e-6
     assert abs(again.current_voltage + 30.0) < 1e-6
+
+
+def test_legacy_network_classes_are_type_locked():
+    """The reference's impl_network! monomorphizes one network class per
+    neuron model (interface/src/lib.rs): adding an HH lattice to an
+    IzhikevichNetwork is a compile error there, a TypeError here."""
+    hh = ln.HodgkinHuxleyLattice(0)
+    hh.populate(ln.HodgkinHuxleyNeuron(), 2, 2)
+    izh = ln.IzhikevichLattice(1)
+    izh.populate(ln.IzhikevichNeuron(), 2, 2)
+    lif = ln.LeakyIntegrateAndFireLattice(2)
+    lif.populate(ln.LeakyIntegrateAndFireNeuron(), 2, 2)
+
+    net = ln.HodgkinHuxleyNetwork()
+    net.add_lattice(hh)
+    assert net.get_lattice(0) is hh
+    with pytest.raises(TypeError, match="HodgkinHuxley"):
+        net.add_lattice(izh)
+
+    with pytest.raises(TypeError):
+        ln.IzhikevichNetwork.generate_network([hh], [])
+    with pytest.raises(TypeError):
+        ln.LeakyIntegrateAndFireNetwork.generate_network([izh], [])
+
+    ok = ln.LeakyIntegrateAndFireNetwork.generate_network([lif], [])
+    assert ok.get_lattice(2) is lif
+    # spike-train lattices stay model-agnostic (the reference pairs each
+    # network with one spike-train type, but any train satisfies it)
+    cue = ln.PoissonLattice(3)
+    cue.populate(ln.PoissonNeuron(chance_of_firing=0.0), 2, 2)
+    ok.add_spike_train_lattice(cue)
+    assert ok.get_spike_train_lattice(3) is cue
