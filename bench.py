@@ -362,13 +362,29 @@ def bench_reward_network(n_side=32, iters=3000):
     return max(xla_best, pl_best), vals
 
 
-def bench_closed_loop(iters=1500):
+def bench_closed_loop(iters=6400):
     """Fused on-device RL loop (interactable.JitEnvironment): reward ->
     R-STDP agent update -> env state -> cue encoding, one lax.scan.
-    use_pallas additionally collapses the agent update into one chunk=1
-    Pallas launch per step; reports the best of both."""
+    use_pallas additionally fuses the WHOLE loop — env callbacks traced
+    into K=16-step kernel launches (the callbacks are shape-polymorphic,
+    so the flat/(R, C) equivalence gate engages it); reports the best of
+    both.  iters amortizes the ~130 ms fixed dispatch+pull cost of one
+    episode call over the tunnel (CLAUDE.md)."""
     import spiking_neural_networks_tpu as snn
     from spiking_neural_networks_tpu.interactable import JitEnvironment
+
+    def encoder(e, s):
+        # clamp the first 6 neurons high (row-major), written shape-
+        # polymorphically so it traces on flat (N,) state (XLA scan) and
+        # on (R, C) planes (in-kernel env) identically
+        v = s["v"]
+        if v.ndim == 1:
+            fi = jax.lax.iota(jnp.int32, v.shape[0])
+        else:
+            r = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            fi = r * v.shape[1] + c
+        return {**s, "v": jnp.where(fi < 6, jnp.float32(31.0), v)}
 
     def build(pallas):
         lat = snn.RewardModulatedLattice(snn.Izhikevich())
@@ -380,7 +396,7 @@ def bench_closed_loop(iters=1500):
         lat.use_pallas = pallas
         env = JitEnvironment(
             lat, {"rate": jnp.float32(0.0)},
-            lambda e, s: {**s, "v": s["v"].at[:6].set(31.0)},
+            encoder,
             lambda e, s: jnp.clip(0.08 - e["rate"], -0.05, 0.05),
             lambda e, s: {"rate": 0.9 * e["rate"]
                           + 0.1 * s["is_spiking"].astype(jnp.float32).mean()})
@@ -393,12 +409,13 @@ def bench_closed_loop(iters=1500):
             lambda: env.run_with_reward(iters),
             lambda: jax.block_until_ready(lat.state["v"]), iters)
         log(f"closed-loop RL (JitEnvironment) [{label}]: best {best:.1f} "
-            f"steps/s (spread {min(vals) / max(vals):.2f})")
+            f"steps/s (spread {min(vals) / max(vals):.2f}) "
+            f"env_fused={env.last_build_env_fused}")
         return best, vals
 
     xla_best, xla_vals = measure(False, "xla")
     try:
-        pl_best, pl_vals = measure(True, "pallas-fused-step")
+        pl_best, pl_vals = measure(True, "pallas-env-fused")
     except Exception as e:
         log("pallas closed-loop path unavailable:", repr(e)[:200])
         pl_best, pl_vals = 0.0, []

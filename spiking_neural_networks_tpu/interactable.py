@@ -84,6 +84,11 @@ class JitEnvironment:
         # whether the most recent _build produced the fused Pallas agent
         # step (observability for tests/users)
         self.last_build_fused = False
+        # whether the most recent _build fused the ENTIRE closed loop —
+        # env callbacks included — into K-step kernel launches
+        self.last_build_env_fused = False
+        # callback flat/(R, C) equivalence verdicts, keyed by callbacks
+        self._grid_ok_cache = {}
 
     def _build(self, iterations, skip_nt, hist_sig):
         import functools
@@ -106,6 +111,7 @@ class JitEnvironment:
         # the whole update runs as ONE chunk=1 Pallas launch per step,
         # with the env callbacks fused around it by XLA
         fused_spec = None
+        env_fused = False
         from .core.lattice import resolve_pallas
         if resolve_pallas(getattr(agent, "use_pallas", None)) and skip_nt:
             from .ops import pallas_reward as _pr
@@ -116,9 +122,70 @@ class JitEnvironment:
                                  _pr._model_kind(model),
                                  (agent.rows, agent.cols)),),
                     (), (), True)
-                if _pr.supports_shapes(cand, chunk=1):
+                # whole-loop fusion: env callbacks traced INTO K=16-step
+                # kernel launches (the chunk=1 launch-per-step form pays
+                # ~14 us/step of launch+carry cost; measured r4) — only
+                # when the callbacks prove shape-polymorphic and
+                # view-restricted (_grid_callbacks_ok)
+                if (hist_sig is None and _pr.supports_shapes(cand)
+                        and self._grid_callbacks_ok()):
+                    fused_spec = cand
+                    env_fused = True
+                elif _pr.supports_shapes(cand, chunk=1):
                     fused_spec = cand
         self.last_build_fused = fused_spec is not None
+        self.last_build_env_fused = env_fused
+
+        if env_fused:
+            from .ops import pallas_reward as _pr
+            kind = "mod" if do_modulation else "plain"
+            mk = _pr._model_kind(model)
+            offsets = agent.graph.offsets
+            R, C = agent.rows, agent.cols
+
+            def run_env(state, graph, trace, dopamine, clock, env, pparams):
+                leaves, treedef = jax.tree_util.tree_flatten(env)
+                es = _pr.EnvSpec(self.reward_function, self.update_state,
+                                 self.state_encoder, treedef, len(leaves))
+                spec = _pr.NetSpec(
+                    (_pr.LatSpec(kind, offsets, mk, (R, C)),), (), (), True)
+                pp_vec = jnp.stack([jnp.float32(pparams.get(k, 0.0))
+                                    for k in _pr.PP_KEYS])
+                rp_vec = jnp.stack([jnp.float32(pparams[k])
+                                    for k in _pr.RP_KEYS])
+                lat_data = (_pr._lat_data(state, graph, kind, trace, mk),)
+                spk0 = (state["is_spiking"].astype(jnp.float32)
+                        .reshape(R, C),)
+                env_vec = (jnp.stack([jnp.float32(x) for x in leaves])
+                           if leaves else jnp.zeros((0,), jnp.float32))
+                # launch size: semantically transparent (launch boundaries
+                # don't change the math); small on CPU, where the unrolled
+                # interpret-mode body compiles superlinearly in K
+                lat_data, spk, dop, env_vec, rewards = _pr._env_advance(
+                    spec, es, iterations, lat_data, spk0, dopamine, clock,
+                    env_vec, pp_vec, rp_vec,
+                    chunk=(4 if jax.default_backend() == "cpu"
+                           else _pr.DEFAULT_CHUNK))
+                d = lat_data[0]
+                s = dict(state)
+                s["v"] = d.v.reshape(-1)
+                if "w" in s:
+                    s["w"] = d.w.reshape(-1)
+                s["last_firing_time"] = d.lft.reshape(-1)
+                s["is_spiking"] = spk[0].reshape(-1) > 0.0
+                if mk in _pr.REFRACTORY_MODELS:
+                    s["refractory_count"] = d.refr.reshape(-1)
+                out_graph, out_trace = graph, trace
+                if kind == "mod":
+                    out_graph = graph.replace_weights(d.wst)
+                    out_trace = dict(c=d.traces[0], dw=d.traces[1],
+                                     counter=d.traces[2])
+                env_out = jax.tree_util.tree_unflatten(
+                    treedef, [env_vec[i] for i in range(len(leaves))])
+                return ((s, out_graph, out_trace, dop, clock + iterations,
+                         env_out), {"reward": rewards})
+
+            return jax.jit(run_env, donate_argnums=(0, 1, 2, 5))
 
         def fused_step(rparams, carry, _):
             from .ops import pallas_reward as _pr
@@ -180,6 +247,114 @@ class JitEnvironment:
 
         return jax.jit(run, donate_argnums=(0, 1, 2, 5))
 
+    def _grid_callbacks_ok(self):
+        """Gate for the whole-loop in-kernel env fusion: verify the three
+        callbacks are shape-polymorphic — calling them on flat (N,) state
+        fields and on (R, C) planes of the SAME data gives the same
+        numbers — read only the in-kernel view keys (v / w /
+        last_firing_time / is_spiking / refractory_count), write only
+        v / w / refractory_count, and that the env tree is f32 scalars.
+        One jitted numeric probe per (callbacks, shape, env-structure)
+        key; any mismatch or exception (KeyError on a non-view key,
+        structure change, ...) routes the loop to the per-step paths."""
+        import jax
+
+        agent = self.agent
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        key = (self.reward_function, self.update_state, self.state_encoder,
+               (agent.rows, agent.cols), treedef,
+               tuple(jax.numpy.shape(x) for x in leaves))
+        hit = self._grid_ok_cache.get(key)
+        if hit is None:
+            try:
+                hit = self._probe_grid_callbacks(leaves, treedef)
+            except Exception:
+                hit = False
+            self._grid_ok_cache[key] = hit
+        return hit
+
+    def _probe_grid_callbacks(self, env_leaves, treedef):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from .models.base import NEVER
+        from .ops.pallas_reward import REFRACTORY_MODELS, _model_kind
+
+        for x in env_leaves:
+            if jnp.shape(x) != () or not jnp.issubdtype(
+                    jnp.result_type(x), jnp.floating):
+                return False
+        agent = self.agent
+        R, C = agent.rows, agent.cols
+        N = R * C
+        kind = _model_kind(agent.model)
+        view_keys = ["v", "w", "last_firing_time", "is_spiking"]
+        if kind in REFRACTORY_MODELS:
+            view_keys.append("refractory_count")
+        writable = ("v", "w", "refractory_count")
+
+        def draw(seed):
+            rng = np.random.default_rng(seed)
+            flat = {
+                "v": rng.uniform(-70, 30, N).astype(np.float32),
+                "w": rng.uniform(-10, 10, N).astype(np.float32),
+                "last_firing_time": np.where(
+                    rng.random(N) < 0.3, NEVER,
+                    rng.integers(0, 50, N)).astype(np.int32),
+                "is_spiking": rng.random(N) < 0.2,
+            }
+            if "refractory_count" in view_keys:
+                flat["refractory_count"] = rng.integers(
+                    0, 5, N).astype(np.float32)
+            env = jax.tree_util.tree_unflatten(
+                treedef, [np.float32(rng.uniform(-1, 1))
+                          for _ in env_leaves])
+            return env, flat
+
+        def probe(env, flat):
+            s2d = {k: v.reshape(R, C) for k, v in flat.items()}
+            r1 = self.reward_function(env, flat)
+            r2 = self.reward_function(env, s2d)
+            e1 = self.update_state(env, flat)
+            e2 = self.update_state(env, s2d)
+            n1 = dict(self.state_encoder(e1, flat))
+            n2 = dict(self.state_encoder(e2, s2d))
+            return r1, r2, e1, e2, n1, n2
+
+        jp = jax.jit(probe)
+        for seed in (11, 23):
+            env, flat = draw(seed)
+            r1, r2, e1, e2, n1, n2 = jp(env, flat)
+            if jnp.shape(r1) != () or jnp.shape(r2) != ():
+                return False
+            if not np.allclose(r1, r2, rtol=1e-5, atol=1e-6):
+                return False
+            if (jax.tree_util.tree_structure(e1) != treedef
+                    or jax.tree_util.tree_structure(e2) != treedef):
+                return False
+            for a, b in zip(jax.tree_util.tree_leaves(e1),
+                            jax.tree_util.tree_leaves(e2)):
+                if jnp.shape(a) != () or jnp.shape(b) != ():
+                    return False
+                if not np.allclose(a, b, rtol=1e-5, atol=1e-6):
+                    return False
+            if set(n1) != set(flat) or set(n2) != set(flat):
+                return False
+            for k in flat:
+                a, b = np.asarray(n1[k]), np.asarray(n2[k])
+                if a.shape != (N,) or b.shape != (R, C):
+                    return False
+                if k in writable:
+                    if not np.allclose(a, b.reshape(-1),
+                                       rtol=1e-5, atol=1e-6):
+                        return False
+                elif not (np.array_equal(a, flat[k])
+                          and np.array_equal(b.reshape(-1), flat[k])):
+                    # lft / is_spiking must pass through unmodified (the
+                    # kernel derives them from the step, not the encoder)
+                    return False
+        return True
+
     def _cache(self, key, runner):
         """Insert into the bounded runner cache (FIFO eviction)."""
         if len(self._runners) >= self._runners_max:
@@ -215,6 +390,7 @@ class JitEnvironment:
         ``agent.update_grid_history`` is set (chunked like the lattice
         runners)."""
         import numpy as np
+        import jax
         import jax.numpy as jnp
         from .core.lattice import _mask_any, resolve_pallas
 
@@ -240,7 +416,9 @@ class JitEnvironment:
                    (agent.rows, agent.cols),
                    getattr(agent.graph, "offsets", None),
                    self.reward_function, self.update_state,
-                   self.state_encoder)
+                   self.state_encoder,
+                   # env structure selects / shapes the in-kernel env path
+                   jax.tree_util.tree_structure(self.state))
             runner = self._runners.get(key)
             if runner is None:
                 runner = self._cache(key, self._build(
@@ -253,12 +431,19 @@ class JitEnvironment:
                 self.state, pparams)
             s, graph, trace, dopamine, clock, env = carry
             agent.state, agent.graph, agent.trace = s, graph, trace
-            agent.dopamine = float(dopamine)
-            agent.internal_clock = int(clock)
             self.state = env
-            rewards_all.append(np.asarray(ys["reward"]))
+            # ONE batched host pull: each separate float()/int()/asarray
+            # pays a full relay round trip (~40-90 ms over the tunnel),
+            # which dominates wall time for short episodes
+            pulls = [dopamine, clock, ys["reward"]]
             if hist_sig is not None:
-                agent.grid_history.extend(ys["grid"])
+                pulls.append(ys["grid"])
+            got = jax.device_get(pulls)
+            agent.dopamine = float(got[0])
+            agent.internal_clock = int(got[1])
+            rewards_all.append(np.asarray(got[2]))
+            if hist_sig is not None:
+                agent.grid_history.extend(got[3])
             remaining -= length
         if not rewards_all:
             return np.zeros((0,), np.float32)
@@ -304,6 +489,7 @@ class JitEnvironment:
         """Unsupervised fused loop: agent step -> state update -> encoder
         per step, one device program; agent is a plain :class:`Lattice`.
         Grid/EEG histories are recorded when set (chunked)."""
+        import jax
         import jax.numpy as jnp
         from .core.lattice import _mask_any
 
@@ -331,8 +517,10 @@ class JitEnvironment:
                 agent.state, agent.graph, jnp.int32(agent.internal_clock),
                 self.state, pparams)
             agent.state, agent.graph = s, graph
-            agent.internal_clock = int(clock)
             self.state = env
+            pulls = [clock] + ([ys["grid"]] if hist_sig is not None else [])
+            got = jax.device_get(pulls)
+            agent.internal_clock = int(got[0])
             if hist_sig is not None:
-                agent.grid_history.extend(ys["grid"])
+                agent.grid_history.extend(got[1])
             remaining -= length

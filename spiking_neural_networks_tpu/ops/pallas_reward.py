@@ -130,6 +130,29 @@ class NetSpec(NamedTuple):
     with_reward: bool
 
 
+class EnvSpec(NamedTuple):
+    """In-kernel closed-loop environment (interactable.JitEnvironment).
+
+    The reference's `Environment::run_with_reward` loop
+    (interactable/mod.rs:33-46) fused INTO the multi-step kernel: the env
+    state is a pytree of f32 scalars carried through the step loop, and the
+    three callbacks are traced into the kernel body against a restricted
+    (R, C)-shaped view of the lattice state (keys ``v``, ``w``,
+    ``last_firing_time``, ``is_spiking``, ``refractory_count``).  The
+    chunk=1 launch-per-step form pays ~14 us of launch+carry cost per env
+    step (measured r4); fusing K=16 env steps per launch amortizes it.
+
+    Callbacks must be pure jnp and shape-polymorphic (the XLA path calls
+    them on flat (N,) fields; `interactable._grid_callbacks_ok` verifies
+    flat/(R, C) numeric agreement before this path engages).
+    """
+    reward_fn: object          # (env, sview) -> f32 scalar
+    update_fn: object          # (env, sview) -> env
+    encode_fn: object          # (env, sview) -> sview (v/w/refr writes)
+    treedef: object            # env pytree structure (f32 scalar leaves)
+    n_leaves: int
+
+
 def _shift(x, dr, dc):
     """out[r, c] = x[r + dr, c + dc]; wrap-around is killed by zero border
     weights / the edge masks (StencilGraph.build masks off-grid slots)."""
@@ -213,7 +236,7 @@ def _rstdp_visit(w, c, dw, ct, delta, dop, exp_dc, tau_c):
     return w, c, dw, ct
 
 
-def _make_kernel(spec, n_steps):
+def _make_kernel(spec, n_steps, env=None):
     """Build the fused kernel.  Ref order must match `_flat_inputs` /
     `_out_shapes` exactly (inputs then outputs, cursor style).
 
@@ -221,7 +244,17 @@ def _make_kernel(spec, n_steps):
     keeps its own (R_k, C_k) refs); inter-shape connections are resample
     ops — two small HIGHEST-precision selection matmuls per tap
     (`_resample_tap`), MXU work instead of strided slices (which do not
-    lower in Mosaic)."""
+    lower in Mosaic).
+
+    With ``env`` (an :class:`EnvSpec`), the per-step reward is computed
+    IN-KERNEL by the traced callbacks instead of read from the
+    precomputed ``rewards`` SMEM vector, the env scalars ride the loop
+    carry, and the per-step rewards are emitted as an output plane.  The
+    env form requires a single lattice and no trains/conns
+    (interactable.JitEnvironment's agent contract)."""
+    if env is not None:
+        assert len(spec.lattices) == 1 and not spec.trains \
+            and not spec.conns and spec.with_reward
 
     def kernel(*refs):
         cur = [0]
@@ -235,12 +268,17 @@ def _make_kernel(spec, n_steps):
         pp_ref = take()                     # (5,)  f32 SMEM
         rp_ref = take()                     # (7,)  f32 SMEM
         dop_ref = take()                    # (1,)  f32 SMEM
-        rew_ref = take()                    # (n_steps,) f32 SMEM
+        if env is None:
+            rew_ref = take()                # (n_steps,) f32 SMEM
+        else:
+            env_ref = take()                # (n_leaves,) f32 SMEM
 
         lats = []
         for ls in spec.lattices:
             d = dict(v=take()[:, :], w=take()[:, :], lft=take()[:, :],
                      wst=take()[:, :, :], in_deg=take()[:, :])
+            if env is not None:
+                d["spk0"] = take()[:, :]    # prev-step spike plane (f32)
             if ls.model in REFRACTORY_MODELS:
                 d["refr"] = take()[:, :]
             if ls.kind in ("plastic", "mod"):
@@ -280,10 +318,17 @@ def _make_kernel(spec, n_steps):
             conns.append(d)
 
         # remaining refs are outputs, in carry order (see _out_shapes);
-        # the trailing len(emits) refs receive per-step v_pre planes
+        # the trailing len(emits) refs receive per-step v_pre planes,
+        # preceded (env form) by the per-step reward plane + env scalars
         out_refs = refs[cur[0]:]
         emit_lats = [i for i, ls in enumerate(spec.lattices) if ls.emit]
         emit_refs = out_refs[len(out_refs) - len(emit_lats):]
+        if env is not None:
+            n_tail = len(emit_lats)
+            env_out_refs = out_refs[len(out_refs) - n_tail - env.n_leaves:
+                                    len(out_refs) - n_tail]
+            rew_out_ref = out_refs[len(out_refs) - n_tail
+                                   - env.n_leaves - 1]
 
         pp = {k: pp_ref[i] for i, k in enumerate(PP_KEYS)}
         rp = {k: rp_ref[i] for i, k in enumerate(RP_KEYS)}
@@ -325,7 +370,8 @@ def _make_kernel(spec, n_steps):
         lat0 = tuple(
             (lats[i]["v"], lats[i]["w"], lats[i]["lft"], lats[i]["wst"],
              (lats[i]["tc"], lats[i]["tdw"], lats[i]["tct"])
-             if ls.kind == "mod" else (), zero_of(ls.shape),
+             if ls.kind == "mod" else (),
+             lats[i]["spk0"] if env is not None else zero_of(ls.shape),
              lats[i]["refr"] if ls.model in REFRACTORY_MODELS
              else zero_of(ls.shape))
             for i, ls in enumerate(spec.lattices))
@@ -340,9 +386,26 @@ def _make_kernel(spec, n_steps):
              if cs.reward else ())
             for ci, cs in enumerate(spec.conns))
         dop0 = dop_ref[0]
+        env0 = tuple(env_ref[i] for i in range(env.n_leaves)) \
+            if env is not None else ()
+
+        def sview_of(i, lat_entry):
+            """Restricted state view handed to the traced env callbacks —
+            same keys/semantics as the flat state dict the XLA path's
+            callbacks see, shaped (R, C)."""
+            v, w, lft, _, _, spk, refr = lat_entry
+            d = {"v": v, "w": w, "last_firing_time": lft,
+                 "is_spiking": spk > 0.0}
+            if spec.lattices[i].model in REFRACTORY_MODELS:
+                d["refractory_count"] = refr
+            return d
 
         def body(k, carry):
-            lat_c, tr_c, cn_c, dop = carry
+            if env is not None:
+                lat_c, tr_c, cn_c, dop, env_t = carry
+                env_tree = jax.tree_util.tree_unflatten(env.treedef, env_t)
+            else:
+                lat_c, tr_c, cn_c, dop = carry
             lat_c = list(lat_c)
             tr_c = list(tr_c)
             cn_c = list(cn_c)
@@ -405,7 +468,19 @@ def _make_kernel(spec, n_steps):
 
             # ---- dopamine decays with the reward before the visits ----
             if spec.with_reward:
-                dop = dop * exp_dd + rp["tau_d"] * rew_ref[k]
+                if env is not None:
+                    # reward from the traced callback on the PREVIOUS
+                    # step's state (interactable.JitEnvironment step order:
+                    # reward -> agent update -> env update -> encode); k is
+                    # a Python int (the env form unrolls), so the reward
+                    # store is a static row write
+                    reward = jnp.asarray(
+                        env.reward_fn(env_tree, sview_of(0, lat_c[0])),
+                        jnp.float32)
+                    rew_out_ref[k:k + 1, :] = jnp.full((1, 128), reward)
+                else:
+                    reward = rew_ref[k]
+                dop = dop * exp_dd + rp["tau_d"] * reward
 
             # ---- phase B: neuron-model step, deferred firing times ----
             new_lat = []
@@ -610,10 +685,37 @@ def _make_kernel(spec, n_steps):
                 lft_t = jnp.where(spk_t, step_clock, lft_t)
                 new_tr.append((lft_t, step_t, spk_t.astype(jnp.float32)))
 
+            if env is not None:
+                # env state update + cue encoding on the POST-update state
+                # (XLA fused_step order); the encoder may write v / w /
+                # refractory_count — other keys are rejected by the
+                # engagement check (interactable._grid_callbacks_ok)
+                sview = sview_of(0, lat_c[0])
+                env_tree = env.update_fn(env_tree, sview)
+                enc = dict(env.encode_fn(env_tree, sview))
+                lat_c[0] = list(lat_c[0])
+                lat_c[0][0] = jnp.asarray(enc["v"], jnp.float32)
+                if "w" in enc:
+                    lat_c[0][1] = jnp.asarray(enc["w"], jnp.float32)
+                if "refractory_count" in enc \
+                        and spec.lattices[0].model in REFRACTORY_MODELS:
+                    lat_c[0][6] = jnp.asarray(enc["refractory_count"],
+                                              jnp.float32)
+                env_t = tuple(jnp.asarray(x, jnp.float32) for x in
+                              jax.tree_util.tree_leaves(env_tree))
+                return (tuple(tuple(x) for x in lat_c), tuple(new_tr),
+                        tuple(cn_c), dop, env_t)
             return (tuple(tuple(x) for x in lat_c), tuple(new_tr),
                     tuple(cn_c), dop)
 
-        if emit_lats:
+        env_f = ()
+        if env is not None:
+            # per-step reward stores need STATIC slice indices: unroll
+            carry = (lat0, tr0, cn0, dop0, env0)
+            for k in range(n_steps):
+                carry = body(k, carry)
+            lat_f, tr_f, cn_f, dop_f, env_f = carry
+        elif emit_lats:
             # history stores need STATIC slice indices: unroll the step
             # loop (k becomes a Python int), matching the emit form of
             # ops/pallas_stencil._kernel_multi
@@ -659,11 +761,15 @@ def _make_kernel(spec, n_steps):
                 put(cn_f[ci][1][1])
                 put(cn_f[ci][1][2])
         put(jnp.full((8, 128), dop_f, jnp.float32))
+        if env is not None:
+            oc[0] += 1                    # rewards plane (stored per-step)
+            for x in env_f:
+                put(jnp.full((8, 128), x, jnp.float32))
 
     return kernel
 
 
-def _out_shapes(spec, n_steps):
+def _out_shapes(spec, n_steps, env=None):
     out = []
     for ls in spec.lattices:
         R, C = ls.shape
@@ -697,6 +803,9 @@ def _out_shapes(spec, n_steps):
                     jax.ShapeDtypeStruct((R2, C2), jnp.float32),
                     jax.ShapeDtypeStruct((R2, C2), jnp.int32)]  # traces
     out.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))   # dopamine
+    if env is not None:
+        out.append(jax.ShapeDtypeStruct((n_steps, 128), jnp.float32))
+        out += [jax.ShapeDtypeStruct((8, 128), jnp.float32)] * env.n_leaves
     for ls in spec.lattices:
         if ls.emit:                      # per-step v_pre planes
             out.append(jax.ShapeDtypeStruct(
@@ -704,14 +813,14 @@ def _out_shapes(spec, n_steps):
     return out
 
 
-def _fused_chunk(spec, n_steps, flat_inputs):
+def _fused_chunk(spec, n_steps, flat_inputs, env=None):
     """One kernel launch advancing ``n_steps`` steps."""
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [smem] * 5 + [vmem] * (len(flat_inputs) - 5)
-    out_shapes = _out_shapes(spec, n_steps)
+    out_shapes = _out_shapes(spec, n_steps, env)
     return pl.pallas_call(
-        _make_kernel(spec, n_steps),
+        _make_kernel(spec, n_steps, env),
         grid_spec=pl.GridSpec(grid=(1,), in_specs=in_specs,
                               out_specs=[vmem] * len(out_shapes)),
         out_shape=out_shapes,
@@ -756,16 +865,22 @@ class _ConnData(NamedTuple):
 
 
 def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
-                 rewards, uniforms, pp_vec, rp_vec):
-    """Flatten in the exact cursor order `_make_kernel` reads."""
+                 rewards, uniforms, pp_vec, rp_vec, env_vec=None, spk0=()):
+    """Flatten in the exact cursor order `_make_kernel` reads.  With
+    ``env_vec`` (the flattened f32 env scalars), it replaces the
+    precomputed rewards SMEM slot and ``spk0`` carries the previous
+    step's spike planes (one per lattice)."""
     flat = [jnp.asarray(clock, jnp.int32).reshape(1), pp_vec, rp_vec,
             jnp.asarray(dop, jnp.float32).reshape(1),
-            jnp.asarray(rewards, jnp.float32).reshape(n_steps)]
-    for ls, d in zip(spec.lattices, lat_data):
+            env_vec if env_vec is not None
+            else jnp.asarray(rewards, jnp.float32).reshape(n_steps)]
+    for li, (ls, d) in enumerate(zip(spec.lattices, lat_data)):
         flat += [d.v, d.w, d.lft, d.wst]
         # in_deg derives from the (static) f32 mask planes, matching
         # StencilGraph's mask.sum(axis=0) construction
         flat.append(jnp.sum(d.mask, axis=0))
+        if env_vec is not None:
+            flat.append(spk0[li])
         if ls.model in REFRACTORY_MODELS:
             flat.append(d.refr)
         if ls.kind in ("plastic", "mod"):
@@ -843,7 +958,7 @@ def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
     return lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits
 
 
-def _unflatten(spec, outs, lat_data, tr_data, cn_data):
+def _unflatten(spec, outs, lat_data, tr_data, cn_data, env=None):
     """Rebuild the data tuples from kernel outputs (mirrors _out_shapes)."""
     cur = [0]
 
@@ -883,6 +998,13 @@ def _unflatten(spec, outs, lat_data, tr_data, cn_data):
             traces = (take(), take(), take())
         new_cn.append(d._replace(w=w, traces=traces))
     dop = take()[0, 0]
+    if env is not None:
+        rewards = take()[:, 0]                        # (n_steps,)
+        env_vec = (jnp.stack([take()[0, 0] for _ in range(env.n_leaves)])
+                   if env.n_leaves else jnp.zeros((0,), jnp.float32))
+        emits = tuple(outs[cur[0]:])
+        return (tuple(new_lat), tuple(new_tr), tuple(new_cn), dop,
+                tuple(lat_spk), tuple(tr_spk), emits, rewards, env_vec)
     emits = tuple(outs[cur[0]:])   # per-step v_pre, emit-lattice order
     return (tuple(new_lat), tuple(new_tr), tuple(new_cn), dop,
             tuple(lat_spk), tuple(tr_spk), emits)
@@ -1094,6 +1216,50 @@ def lattice_run(lat, rewards, with_reward):
     lat.dopamine = float(dop)
     lat.internal_clock += n_steps
     return True
+
+
+def _env_advance(spec, env, n_steps, lat_data, spk0, dop, clock, env_vec,
+                 pp_vec, rp_vec, chunk=DEFAULT_CHUNK):
+    """Advance ``n_steps`` closed-loop env steps (traced): a scan of
+    K-step in-kernel-env launches plus one remainder launch, all inside
+    the caller's jit.  The previous step's spike planes and the flattened
+    env scalars ride the scan carry between launches.
+
+    Returns (lat_data, spk, dopamine, env_vec, rewards(n_steps,))."""
+    chunk = max(1, min(chunk, n_steps))
+    q = n_steps // chunk
+
+    def launch(n, lat_data, spk, dop, clock, env_vec):
+        # SMEM refs must be non-empty: leafless env trees feed a dummy
+        ev = env_vec if env.n_leaves else jnp.zeros((1,), jnp.float32)
+        outs = _fused_chunk(spec, n, _flat_inputs(
+            spec, n, lat_data, (), (), dop, clock, None, (),
+            pp_vec, rp_vec, env_vec=ev, spk0=spk), env=env)
+        lat_data, _, _, dop, lat_spk, _, _, rewards, env_vec = \
+            _unflatten(spec, outs, lat_data, (), (), env=env)
+        return lat_data, lat_spk, dop, env_vec, rewards
+
+    clock = jnp.asarray(clock, jnp.int32)
+    dop = jnp.asarray(dop, jnp.float32)
+    rewards_all = []
+    if q:
+        def step(carry, _):
+            lat_data, spk, dop, clock, env_vec = carry
+            lat_data, spk, dop, env_vec, rewards = launch(
+                chunk, lat_data, spk, dop, clock, env_vec)
+            return (lat_data, spk, dop, clock + chunk, env_vec), rewards
+
+        (lat_data, spk0, dop, clock, env_vec), rews = jax.lax.scan(
+            step, (lat_data, spk0, dop, clock, env_vec), None, length=q)
+        rewards_all.append(rews.reshape(q * chunk))
+    rem = n_steps - q * chunk
+    if rem:
+        lat_data, spk0, dop, env_vec, rewards = launch(
+            rem, lat_data, spk0, dop, clock, env_vec)
+        rewards_all.append(rewards)
+    rewards = rewards_all[0] if len(rewards_all) == 1 \
+        else jnp.concatenate(rewards_all)
+    return lat_data, spk0, dop, env_vec, rewards
 
 
 def _model_kind(model):

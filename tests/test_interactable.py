@@ -2,6 +2,7 @@
 fused on-device JitEnvironment must produce the same trajectory."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import spiking_neural_networks_tpu as snn
@@ -258,3 +259,95 @@ def test_jit_environment_fused_agent_step():
                                float(env_a.state["rate"]),
                                rtol=1e-5, atol=1e-6)
     assert abs(a.dopamine - b.dopamine) <= 1e-4 * max(1.0, abs(a.dopamine))
+
+
+def _poly_callbacks(cue=6, target=TARGET):
+    """Shape-polymorphic callbacks: trace identically on flat (N,) state
+    fields (XLA scan) and (R, C) planes (in-kernel env fusion)."""
+    def reward_fn(env, s):
+        return jnp.float32(target) - env["rate"]
+
+    def update_fn(env, s):
+        spiking = s["is_spiking"].astype(jnp.float32).mean()
+        return {"rate": jnp.float32(0.9) * env["rate"]
+                + jnp.float32(0.1) * spiking}
+
+    def encoder_fn(env, s):
+        v = s["v"]
+        if v.ndim == 1:
+            fi = jax.lax.iota(jnp.int32, v.shape[0])
+        else:
+            r = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            fi = r * v.shape[1] + c
+        return {**s, "v": jnp.where(fi < cue, jnp.float32(40.0), v)}
+
+    return encoder_fn, reward_fn, update_fn
+
+
+def test_jit_environment_env_fused_whole_loop():
+    """Shape-polymorphic callbacks engage the whole-loop in-kernel env
+    fusion (env scalars + callbacks inside K-step kernel launches); the
+    trajectory must match the XLA per-step scan, including across launch
+    boundaries (11 steps = 2 full CPU launches + remainder)."""
+    steps = 11
+
+    def run(use_pallas):
+        agent = _agent()
+        agent.use_pallas = use_pallas
+        enc, rew, upd = _poly_callbacks()
+        env = JitEnvironment(agent, {"rate": jnp.float32(0.0)},
+                             enc, rew, upd)
+        rewards = env.run_with_reward(steps)
+        return agent, env, rewards
+
+    a, env_a, rew_a = run(False)
+    assert not env_a.last_build_env_fused
+    b, env_b, rew_b = run(True)
+    assert env_b.last_build_env_fused and env_b.last_build_fused
+    np.testing.assert_allclose(rew_b, rew_a, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.state["v"]),
+                               np.asarray(a.state["v"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(b.state["last_firing_time"]),
+        np.asarray(a.state["last_firing_time"]))
+    np.testing.assert_array_equal(np.asarray(b.state["is_spiking"]),
+                                  np.asarray(a.state["is_spiking"]))
+    np.testing.assert_allclose(np.asarray(b.graph.weights),
+                               np.asarray(a.graph.weights),
+                               rtol=1e-5, atol=1e-5)
+    for k in ("c", "dw", "counter"):
+        np.testing.assert_allclose(np.asarray(b.trace[k]),
+                                   np.asarray(a.trace[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(float(env_b.state["rate"]),
+                               float(env_a.state["rate"]),
+                               rtol=1e-5, atol=1e-6)
+    assert abs(a.dopamine - b.dopamine) <= 1e-4 * max(1.0, abs(a.dopamine))
+    assert b.internal_clock == steps
+    # non-vacuous: the cue made the lattice spike
+    assert (np.asarray(b.state["last_firing_time"]) >= 0).any()
+
+
+def test_jit_environment_env_fused_gate_rejects():
+    """The flat/(R, C) equivalence gate must reject callbacks whose flat
+    indexing changes meaning on planes (``.at[:6]`` sets 6 rows on an
+    (8, 8) grid) and callbacks reading keys outside the in-kernel view —
+    both fall back to the per-step fused path, not silently diverge."""
+    def run(encoder, reward=None):
+        agent = _agent()
+        agent.use_pallas = True
+        _, rew, upd = _poly_callbacks()
+        env = JitEnvironment(agent, {"rate": jnp.float32(0.0)},
+                             encoder, reward or rew, upd)
+        env.run_with_reward(3)
+        return env
+
+    enc_flat = lambda e, s: {**s, "v": s["v"].at[:6].set(40.0)}
+    env = run(enc_flat)
+    assert env.last_build_fused and not env.last_build_env_fused
+
+    enc_poly, _, _ = _poly_callbacks()
+    env = run(enc_poly, reward=lambda e, s: s["nt$t"].sum() * 0.0 + 0.1)
+    assert not env.last_build_env_fused
