@@ -313,8 +313,11 @@ class JitEnvironment:
 
         def probe(env, flat):
             s2d = {k: v.reshape(R, C) for k, v in flat.items()}
-            r1 = self.reward_function(env, flat)
-            r2 = self.reward_function(env, s2d)
+            if self.reward_function is None:       # unsupervised loop
+                r1 = r2 = jnp.float32(0.0)
+            else:
+                r1 = self.reward_function(env, flat)
+                r2 = self.reward_function(env, s2d)
             e1 = self.update_state(env, flat)
             e2 = self.update_state(env, s2d)
             n1 = dict(self.state_encoder(e1, flat))
@@ -454,6 +457,7 @@ class JitEnvironment:
     def _build_unsupervised(self, iterations, skip_nt, hist_sig):
         import functools
         import jax
+        import jax.numpy as jnp
         from .core.lattice import lattice_step, resolve_unroll
 
         agent = self.agent
@@ -464,6 +468,69 @@ class JitEnvironment:
         plasticity = agent.plasticity
         unroll = resolve_unroll(agent.scan_unroll, agent.n)
         readout, shape = self._readout(hist_sig)
+
+        # whole-loop fusion, unsupervised form: no reward/dopamine, the
+        # encoder/update callbacks traced into K-step kernel launches
+        env_fused = False
+        from .core.lattice import resolve_pallas
+        if (resolve_pallas(getattr(agent, "use_pallas", None)) and skip_nt
+                and hist_sig is None):
+            from .ops import pallas_reward as _pr
+            if _pr.supports_plain_lattice(agent):
+                kind = "plastic" if do_plasticity else "plain"
+                cand = _pr.NetSpec(
+                    (_pr.LatSpec(kind, agent.graph.offsets,
+                                 _pr._model_kind(model),
+                                 (agent.rows, agent.cols)),), (), (), False)
+                if _pr.supports_shapes(cand) and self._grid_callbacks_ok():
+                    env_fused = True
+        self.last_build_fused = env_fused
+        self.last_build_env_fused = env_fused
+
+        if env_fused:
+            from .ops import pallas_reward as _pr
+            mk = _pr._model_kind(model)
+            offsets = agent.graph.offsets
+            R, C = agent.rows, agent.cols
+
+            def run_env(state, graph, clock, env, pparams):
+                leaves, treedef = jax.tree_util.tree_flatten(env)
+                es = _pr.EnvSpec(None, self.update_state,
+                                 self.state_encoder, treedef, len(leaves))
+                spec = _pr.NetSpec(
+                    (_pr.LatSpec(kind, offsets, mk, (R, C)),), (), (),
+                    False)
+                pp_vec = jnp.stack([jnp.float32(pparams.get(k, 0.0))
+                                    for k in _pr.PP_KEYS])
+                # rp is unused without reward/modulation; ones keep the
+                # (dead) exp(-dt/tau) constants finite
+                rp_vec = jnp.ones((len(_pr.RP_KEYS),), jnp.float32)
+                lat_data = (_pr._lat_data(state, graph, kind, None, mk),)
+                spk0 = (state["is_spiking"].astype(jnp.float32)
+                        .reshape(R, C),)
+                env_vec = (jnp.stack([jnp.float32(x) for x in leaves])
+                           if leaves else jnp.zeros((0,), jnp.float32))
+                lat_data, spk, _, env_vec, _ = _pr._env_advance(
+                    spec, es, iterations, lat_data, spk0,
+                    jnp.float32(0.0), clock, env_vec, pp_vec, rp_vec,
+                    chunk=(4 if jax.default_backend() == "cpu"
+                           else _pr.DEFAULT_CHUNK))
+                d = lat_data[0]
+                s = dict(state)
+                s["v"] = d.v.reshape(-1)
+                if "w" in s:
+                    s["w"] = d.w.reshape(-1)
+                s["last_firing_time"] = d.lft.reshape(-1)
+                s["is_spiking"] = spk[0].reshape(-1) > 0.0
+                if mk in _pr.REFRACTORY_MODELS:
+                    s["refractory_count"] = d.refr.reshape(-1)
+                out_graph = graph.replace_weights(d.wst) \
+                    if kind == "plastic" else graph
+                env_out = jax.tree_util.tree_unflatten(
+                    treedef, [env_vec[i] for i in range(len(leaves))])
+                return (s, out_graph, clock + iterations, env_out), {}
+
+            return jax.jit(run_env, donate_argnums=(0, 1, 3))
 
         def one_step(pparams, carry, _):
             s, graph, clock, env = carry
@@ -491,7 +558,7 @@ class JitEnvironment:
         Grid/EEG histories are recorded when set (chunked)."""
         import jax
         import jax.numpy as jnp
-        from .core.lattice import _mask_any
+        from .core.lattice import _mask_any, resolve_pallas
 
         agent = self.agent
         from .utils.transfer import ensure_device_state
@@ -506,7 +573,10 @@ class JitEnvironment:
             key = ("unsup", length, skip_nt, agent.electrical_synapse,
                    agent.chemical_synapse, bool(agent.do_plasticity),
                    hist_sig, (agent.rows, agent.cols),
-                   self.update_state, self.state_encoder)
+                   resolve_pallas(getattr(agent, "use_pallas", None)),
+                   getattr(agent.graph, "offsets", None),
+                   self.update_state, self.state_encoder,
+                   jax.tree_util.tree_structure(self.state))
             runner = self._runners.get(key)
             if runner is None:
                 runner = self._cache(key, self._build_unsupervised(

@@ -254,7 +254,11 @@ def _make_kernel(spec, n_steps, env=None):
     (interactable.JitEnvironment's agent contract)."""
     if env is not None:
         assert len(spec.lattices) == 1 and not spec.trains \
-            and not spec.conns and spec.with_reward
+            and not spec.conns
+        # reward_fn present iff the loop is reward-modulated; the
+        # unsupervised Environment::run form (interactable/mod.rs:48-59)
+        # has no reward and emits no reward plane
+        assert (env.reward_fn is not None) == spec.with_reward
 
     def kernel(*refs):
         cur = [0]
@@ -327,8 +331,9 @@ def _make_kernel(spec, n_steps, env=None):
             n_tail = len(emit_lats)
             env_out_refs = out_refs[len(out_refs) - n_tail - env.n_leaves:
                                     len(out_refs) - n_tail]
-            rew_out_ref = out_refs[len(out_refs) - n_tail
-                                   - env.n_leaves - 1]
+            if spec.with_reward:
+                rew_out_ref = out_refs[len(out_refs) - n_tail
+                                       - env.n_leaves - 1]
 
         pp = {k: pp_ref[i] for i, k in enumerate(PP_KEYS)}
         rp = {k: rp_ref[i] for i, k in enumerate(RP_KEYS)}
@@ -762,7 +767,8 @@ def _make_kernel(spec, n_steps, env=None):
                 put(cn_f[ci][1][2])
         put(jnp.full((8, 128), dop_f, jnp.float32))
         if env is not None:
-            oc[0] += 1                    # rewards plane (stored per-step)
+            if spec.with_reward:
+                oc[0] += 1                # rewards plane (stored per-step)
             for x in env_f:
                 put(jnp.full((8, 128), x, jnp.float32))
 
@@ -804,7 +810,8 @@ def _out_shapes(spec, n_steps, env=None):
                     jax.ShapeDtypeStruct((R2, C2), jnp.int32)]  # traces
     out.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))   # dopamine
     if env is not None:
-        out.append(jax.ShapeDtypeStruct((n_steps, 128), jnp.float32))
+        if spec.with_reward:
+            out.append(jax.ShapeDtypeStruct((n_steps, 128), jnp.float32))
         out += [jax.ShapeDtypeStruct((8, 128), jnp.float32)] * env.n_leaves
     for ls in spec.lattices:
         if ls.emit:                      # per-step v_pre planes
@@ -999,7 +1006,7 @@ def _unflatten(spec, outs, lat_data, tr_data, cn_data, env=None):
         new_cn.append(d._replace(w=w, traces=traces))
     dop = take()[0, 0]
     if env is not None:
-        rewards = take()[:, 0]                        # (n_steps,)
+        rewards = take()[:, 0] if spec.with_reward else None
         env_vec = (jnp.stack([take()[0, 0] for _ in range(env.n_leaves)])
                    if env.n_leaves else jnp.zeros((0,), jnp.float32))
         emits = tuple(outs[cur[0]:])
@@ -1149,6 +1156,20 @@ def _stencil_ok(graph, shape):
     return isinstance(graph, StencilGraph) and tuple(graph.shape) == shape
 
 
+def supports_plain_lattice(lat):
+    """Fused-path predicate for a standalone plain Lattice agent (the
+    unsupervised JitEnvironment.run loop)."""
+    from ..core.plasticity import STDP
+    from ..core.lattice import _mask_any
+    return (_model_kind(lat.model) is not None
+            and lat.electrical_synapse and not lat.chemical_synapse
+            and getattr(lat, "mesh", None) is None   # sharded: GSPMD/XLA
+            and _stencil_ok(lat.graph, (lat.rows, lat.cols))
+            and lat.cols <= 128
+            and (not lat.do_plasticity or type(lat.plasticity) is STDP)
+            and not bool(_mask_any(lat.state["nt$mask"])))
+
+
 def supports_lattice(lat):
     """Fused-path predicate for a standalone RewardModulatedLattice."""
     from ..core.plasticity import RewardModulatedSTDP
@@ -1247,16 +1268,21 @@ def _env_advance(spec, env, n_steps, lat_data, spk0, dop, clock, env_vec,
             lat_data, spk, dop, clock, env_vec = carry
             lat_data, spk, dop, env_vec, rewards = launch(
                 chunk, lat_data, spk, dop, clock, env_vec)
-            return (lat_data, spk, dop, clock + chunk, env_vec), rewards
+            return ((lat_data, spk, dop, clock + chunk, env_vec),
+                    () if rewards is None else rewards)
 
         (lat_data, spk0, dop, clock, env_vec), rews = jax.lax.scan(
             step, (lat_data, spk0, dop, clock, env_vec), None, length=q)
-        rewards_all.append(rews.reshape(q * chunk))
+        if spec.with_reward:
+            rewards_all.append(rews.reshape(q * chunk))
     rem = n_steps - q * chunk
     if rem:
         lat_data, spk0, dop, env_vec, rewards = launch(
             rem, lat_data, spk0, dop, clock, env_vec)
-        rewards_all.append(rewards)
+        if spec.with_reward:
+            rewards_all.append(rewards)
+    if not spec.with_reward:
+        return lat_data, spk0, dop, env_vec, None
     rewards = rewards_all[0] if len(rewards_all) == 1 \
         else jnp.concatenate(rewards_all)
     return lat_data, spk0, dop, env_vec, rewards

@@ -351,3 +351,47 @@ def test_jit_environment_env_fused_gate_rejects():
     enc_poly, _, _ = _poly_callbacks()
     env = run(enc_poly, reward=lambda e, s: s["nt$t"].sum() * 0.0 + 0.1)
     assert not env.last_build_env_fused
+
+
+def test_jit_environment_unsupervised_env_fused():
+    """Whole-loop fusion of the unsupervised run() (plain STDP lattice,
+    no reward/dopamine): shape-polymorphic callbacks engage the in-kernel
+    env form; trajectory matches the XLA per-step scan."""
+    def run(use_pallas):
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(8, 8, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=4)
+        lat.do_plasticity = True
+        v0 = np.random.default_rng(1).uniform(-65.0, 30.0, 64) \
+            .astype(np.float32)
+        v0[:5] = 40.0
+        lft = np.full(64, -1, np.int32)
+        lft[::2] = 3
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0),
+                             "last_firing_time": jnp.asarray(lft)})
+        lat.use_pallas = use_pallas
+        enc, _, upd = _poly_callbacks(cue=5)
+        env = JitEnvironment(lat, {"rate": jnp.float32(0.0)},
+                             enc, None, upd)
+        env.run(11)
+        return lat, env
+
+    a, env_a = run(False)
+    assert not env_a.last_build_env_fused
+    b, env_b = run(True)
+    assert env_b.last_build_env_fused
+    np.testing.assert_allclose(np.asarray(b.state["v"]),
+                               np.asarray(a.state["v"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(b.state["last_firing_time"]),
+        np.asarray(a.state["last_firing_time"]))
+    np.testing.assert_allclose(np.asarray(b.graph.weights),
+                               np.asarray(a.graph.weights),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(env_b.state["rate"]),
+                               float(env_a.state["rate"]),
+                               rtol=1e-5, atol=1e-6)
+    assert b.internal_clock == 11
+    # non-vacuous: the cue made the lattice spike
+    assert (np.asarray(b.state["last_firing_time"]) >= 0).any()
