@@ -11,6 +11,15 @@ WHOLE episode — reward computation, R-STDP agent update, state update, cue
 encoding — into one `lax.scan` device program (the host-loop `Environment`
 pays a device dispatch per step: ~90 ms over a remote TPU link).
 
+On TPU there is a further tier: with a stencil-connected agent, f32-scalar
+env state, and SHAPE-POLYMORPHIC callbacks (same numbers on flat (N,) and
+(R, C) fields — e.g. masks from `broadcasted_iota`, not flat `.at[:6]`),
+the loop fuses INTO K=16-step Mosaic kernel launches (~3.5 µs/step vs
+~10 µs for the XLA scan at 10×10).  This example keeps the more general
+form — dense connectivity and a PRNGKey env leaf — which stays on the
+`lax.scan` tier; see `tests/test_interactable.py::
+test_jit_environment_env_fused_whole_loop` for the fused-tier contract.
+
 Run: python examples/agent_environment.py
 """
 
