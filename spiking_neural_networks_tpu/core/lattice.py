@@ -123,27 +123,27 @@ class Lattice:
 
     def populate(self, rows, cols, **overrides):
         """`Lattice::populate` (neuron/mod.rs:1105-1126): (re)build the cell
-        grid from the base model; state fields can be overridden per neuron."""
+        grid from the base model; state fields can be overridden per neuron.
+
+        The fresh state stays as HOST NumPy arrays until the first run entry
+        point ships it in one batched transfer (utils/transfer
+        .ensure_device_state) — eager per-lattice shipping paid ~55 ms of
+        relay round trips per lattice over the TPU tunnel.  All host-visible
+        mutators (apply / set_dt / reset_timing / insert) are residency-
+        agnostic, so the deferral is invisible to callers."""
         if self.in_network and (rows, cols) != (self.rows, self.cols):
             raise GraphError(
                 "dimensions must match when lattice is in a network")
         self.rows, self.cols = rows, cols
-        self.state = self.model.init_state(rows * cols, **overrides)
+        from ..utils.transfer import host_state_view
+        self.state = host_state_view(
+            self.model.init_state_host(rows * cols, **overrides))
         # zero-edge default graph; `connect` replaces it (a dense default
         # would allocate (N, N) -- 274 GB at 512x512)
         self.graph = SparseGraph.empty(self.n)
 
-    def populate_host(self, rows, cols, **overrides):
-        """`populate` leaving the fresh state as HOST NumPy arrays, for
-        callers that mutate construction-time state host-side and ship
-        once via device_put_state (lixirnet.populate — each extra ship
-        costs relay round trips)."""
-        if self.in_network and (rows, cols) != (self.rows, self.cols):
-            raise GraphError(
-                "dimensions must match when lattice is in a network")
-        self.rows, self.cols = rows, cols
-        self.state = self.model.init_state_host(rows * cols, **overrides)
-        self.graph = SparseGraph.empty(self.n)
+    # retained name from when host-side init was opt-in (lixirnet callers)
+    populate_host = populate
 
     def connect(self, connecting_conditional, weight_logic=None):
         """`Lattice::connect` (neuron/mod.rs:1134-1157). O(N^2) host-side;

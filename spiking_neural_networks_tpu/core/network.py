@@ -64,18 +64,16 @@ class SpikeTrainLattice:
         return self.rows * self.cols
 
     def populate(self, rows, cols, **overrides):
+        """Host-lazy like `Lattice.populate`: state stays NumPy until a run
+        entry point ships it (one batched transfer per run call)."""
         if self.in_network and (rows, cols) != (self.rows, self.cols):
             raise ValueError("dimensions must match when lattice is in a network")
         self.rows, self.cols = rows, cols
-        self.state = self.model.init_state(rows * cols, **overrides)
+        from ..utils.transfer import host_state_view
+        self.state = host_state_view(
+            self.model.init_state_host(rows * cols, **overrides))
 
-    def populate_host(self, rows, cols, **overrides):
-        """`populate` leaving the state as HOST arrays (see
-        core.lattice.Lattice.populate_host)."""
-        if self.in_network and (rows, cols) != (self.rows, self.cols):
-            raise ValueError("dimensions must match when lattice is in a network")
-        self.rows, self.cols = rows, cols
-        self.state = self.model.init_state_host(rows * cols, **overrides)
+    populate_host = populate
 
     def apply(self, fn):
         self.state = dict(fn(dict(self.state)))

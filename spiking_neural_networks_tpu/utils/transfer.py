@@ -119,6 +119,69 @@ def _is_host_leaf(v):
     return not isinstance(v, jax.Array)
 
 
+class HostArray(np.ndarray):
+    """NumPy array carrying the JAX ``.at[idx].set/add/...`` functional
+    update API, so lazy host state leaves (core ``populate`` defers the
+    device ship to the first run entry point) are drop-in for user
+    callbacks written against device arrays — e.g.
+    ``lat.apply(lambda s: {**s, "v": s["v"].at[i].set(30.0)})``.
+    All updates copy (functional semantics, like jax.Array.at)."""
+
+    @property
+    def at(self):
+        return _HostAt(self)
+
+
+class _HostAt:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def __getitem__(self, idx):
+        return _HostAtIndex(self._arr, idx)
+
+
+class _HostAtIndex:
+    def __init__(self, arr, idx):
+        self._arr, self._idx = arr, idx
+
+    def _updated(self, op, value):
+        out = self._arr.copy()
+        out[self._idx] = op(out[self._idx], value)
+        return out
+
+    def get(self):
+        return self._arr[self._idx]
+
+    def set(self, value):
+        return self._updated(lambda _, v: v, value)
+
+    def add(self, value):
+        return self._updated(lambda a, v: a + v, value)
+
+    def multiply(self, value):
+        return self._updated(lambda a, v: a * v, value)
+
+    mul = multiply
+
+    def divide(self, value):
+        return self._updated(lambda a, v: a / v, value)
+
+    div = divide
+
+    def min(self, value):
+        return self._updated(np.minimum, value)
+
+    def max(self, value):
+        return self._updated(np.maximum, value)
+
+
+def host_state_view(state):
+    """Wrap every host NumPy leaf of ``state`` as a HostArray (zero-copy
+    view) so the lazy host state exposes the ``.at`` update API."""
+    return {k: v.view(HostArray) if isinstance(v, np.ndarray) else v
+            for k, v in state.items()}
+
+
 def set_at(state, key, idx, value):
     """``state[key][idx] = value`` for host- or device-resident leaves
     (lixirnet set_neuron paths run on lazy host states before the first

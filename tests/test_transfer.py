@@ -176,3 +176,39 @@ def test_packed_fallback_on_failure(monkeypatch):
     for host, dev in zip(states, out):
         for k in host:
             np.testing.assert_array_equal(np.asarray(dev[k]), host[k])
+
+
+def test_core_populate_is_lazy_with_at_api():
+    """Core `populate` defers the device ship (round-4 lazy populate) and
+    the host leaves still expose the JAX `.at[...]` update API via
+    HostArray, so apply-callbacks written against device arrays work
+    unchanged on an unshipped state."""
+    from spiking_neural_networks_tpu.core.lattice import Lattice
+    from spiking_neural_networks_tpu.core.network import SpikeTrainLattice
+    from spiking_neural_networks_tpu.core.reward import (
+        RewardModulatedLattice)
+    from spiking_neural_networks_tpu.models.integrate_and_fire import (
+        Izhikevich)
+    from spiking_neural_networks_tpu.models.spike_train import (
+        PoissonSpikeTrain)
+    from spiking_neural_networks_tpu.utils.transfer import state_is_host
+
+    lat = Lattice(Izhikevich())
+    lat.populate(3, 3, v=-64.0)
+    assert state_is_host(lat.state)
+    lat.apply(lambda s: {**s, "v": s["v"].at[2].set(30.0)})
+    assert state_is_host(lat.state)  # .at update stayed host-side
+    assert float(np.asarray(lat.state["v"])[2]) == 30.0
+    lat.apply(lambda s: {**s, "v": s["v"].at[0].add(1.0).at[0].max(-60.0)})
+    assert float(np.asarray(lat.state["v"])[0]) == -60.0
+
+    st = SpikeTrainLattice(PoissonSpikeTrain())
+    st.populate(2, 2)
+    assert state_is_host(st.state)
+
+    rw = RewardModulatedLattice(Izhikevich())
+    rw.populate(2, 2)
+    assert state_is_host(rw.state)
+    rw.connect(lambda a, b: a != b, lambda a, b: 0.5)
+    rw.run_lattice(3)
+    assert not state_is_host(rw.state)
