@@ -92,7 +92,8 @@ def run_trial(w, w_ie, patterns, pattern_index, exc_n, inh_n, rng,
 
 
 def main(exc_n=7, inh_n=3, num_patterns=3, trials=3, iterations=800,
-         filename="attractor_manifold_output.json"):
+         filename="attractor_manifold_output.json", distortion=0.1,
+         firing_data_filename=None):
     rng = np.random.default_rng(0)
     num = exc_n * exc_n
     patterns = generate_patterns(num, 0.5, num_patterns, 10.0, rng=rng)
@@ -100,14 +101,24 @@ def main(exc_n=7, inh_n=3, num_patterns=3, trials=3, iterations=800,
     w_ie = weights_ie(inh_n, 0.5, patterns, num_patterns)
 
     # state per trajectory: mean voltage trace per neuron over the
-    # second half (settled attractor), one row per (pattern, trial)
+    # second half (settled attractor), one row per (pattern, trial).
+    # firing_data mirrors the reference generation pipeline's JSON
+    # (attractor_manifold_generation.py:270-293): per-trial spike counts
+    # keyed "trial: T, pattern: P, distortion: D" — the input format of
+    # experiments/attractor_manifold_plot.py.
     rows, labels = [], []
+    firing_data = {}
     for p in range(num_patterns):
         for t in range(trials):
             traj = run_trial(w, w_ie, patterns, p, exc_n, inh_n, rng,
-                             iterations=iterations)
+                             iterations=iterations, distortion=distortion)
             rows.append(traj[iterations // 2:].mean(axis=0))
             labels.append(p)
+            settled = traj[iterations // 2:]
+            spikes = ((settled[1:] >= 29.9) & (settled[:-1] < 29.9)).sum(0)
+            firing_data[f"trial: {t}, pattern: {p}, "
+                        f"distortion: {distortion}"] = {
+                "firing_rates": [int(s) for s in spikes]}
     X = np.stack(rows)
     labels = np.array(labels)
 
@@ -132,6 +143,11 @@ def main(exc_n=7, inh_n=3, num_patterns=3, trials=3, iterations=800,
                    "explained_variance": (s[:2] ** 2 / (s ** 2).sum()).tolist(),
                    "patterns": [[int(x) for x in pat] for pat in patterns]},
                   f)
+    if firing_data_filename is not None:
+        firing_data["patterns"] = [[int(x) for x in pat]
+                                   for pat in patterns]
+        with open(output_path(firing_data_filename), "w") as f:
+            json.dump(firing_data, f, indent=4)
     return within, between
 
 

@@ -399,3 +399,61 @@ def test_liquid_manifold_digits_smoke(tmp_path):
         assert len(value["voltages"]) == 2 * 200 + 120
         assert len(value["firing_rates"]) == 25
     assert os.path.exists(_out("liquid_manifold_digits_smoke.json"))
+
+
+@pytest.mark.slow
+def test_attractor_manifold_plot_pipeline(tmp_path):
+    """attractor_manifold.py emits the reference's firing-data JSON format
+    and attractor_manifold_plot.py (port of the reference's offline
+    interface/experiments/attractor_manifold_plot.py) renders both the
+    all-data and bounded manifold plots from it."""
+    import attractor_manifold as am
+    import attractor_manifold_plot as amp
+
+    firing = tmp_path / "firing.json"
+    am.main(exc_n=5, inh_n=2, num_patterns=2, trials=2, iterations=300,
+            filename=str(tmp_path / "manifold.json"),
+            firing_data_filename=str(firing))
+    data = json.loads(firing.read_text())
+    assert "patterns" in data and len(data) == 2 * 2 + 1
+    key = next(k for k in data if k != "patterns")
+    assert amp.KEY_RE.search(key)
+    assert len(data[key]["firing_rates"]) == 25
+
+    toml = tmp_path / "plot_args.toml"
+    toml.write_text(
+        '[plot_args]\n'
+        f'firing_data = "{firing}"\n'
+        'colors = ["red", "blue"]\n'
+        'plot_all_data = true\n'
+        'plot_high_accuracy_only_bounded_data = true\n'
+        'bounding_percent = 5.0\n'
+        f'save_all_data_plot = "{tmp_path / "all.png"}"\n'
+        f'save_bounded_plot = "{tmp_path / "bounded.png"}"\n'
+        '[reducer_args]\n'
+        f'reducer_all_data = "{tmp_path / "reducer.pkl"}"\n')
+    amp.main(str(toml), show=False)
+    assert (tmp_path / "all.png").exists()
+    assert (tmp_path / "reducer.pkl").exists()
+
+    # the persisted reducer reprojects new points into the same space
+    import pickle
+    with open(tmp_path / "reducer.pkl", "rb") as f:
+        reducer = pickle.load(f)
+    rates = np.stack([np.asarray(v["firing_rates"], np.float64)
+                      for k, v in data.items() if k != "patterns"])
+    emb = reducer.transform(amp.standardize(rates))
+    assert emb.shape == (4, 3)
+
+
+@pytest.mark.slow
+def test_hd_electrochemical_plain_smoke():
+    """hd_electrochemical_model.py (plain variant, no dopamine) runs and
+    produces ring peaks + a center-of-mass path."""
+    import hd_electrochemical_model as hde
+    import hd_electrochemical_model_dopaminergic as hdd
+    out = hde.main(iterations=300, out_file="hd_plain_test.json")
+    assert len(out["peaks"]) == hdd.N
+    assert sum(len(p) for p in out["peaks"]) > 0
+    assert len(out["thetas"]) == 3
+    assert os.path.exists(_out("hd_plain_test.json"))
