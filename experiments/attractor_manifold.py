@@ -22,7 +22,8 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 from pipeline_setup import (
     output_path, get_weights, weights_ie, generate_patterns,
                             generate_setup_neuron,
-                            get_spike_train_setup_function)
+                            get_spike_train_setup_function,
+                            find_peaks_above_threshold)
 
 import spiking_neural_networks_tpu.lixirnet as ln
 
@@ -114,8 +115,13 @@ def main(exc_n=7, inh_n=3, num_patterns=3, trials=3, iterations=800,
                              iterations=iterations, distortion=distortion)
             rows.append(traj[iterations // 2:].mean(axis=0))
             labels.append(p)
+            # reference semantics (attractor_manifold_generation.py:267):
+            # voltage peaks above threshold 20 — a plain rising-edge count
+            # at ~v_th misses chemical-drive spikes whose recorded peak
+            # sits below the threshold
             settled = traj[iterations // 2:]
-            spikes = ((settled[1:] >= 29.9) & (settled[:-1] < 29.9)).sum(0)
+            spikes = [len(find_peaks_above_threshold(settled[:, i], 20))
+                      for i in range(settled.shape[1])]
             firing_data[f"trial: {t}, pattern: {p}, "
                         f"distortion: {distortion}"] = {
                 "firing_rates": [int(s) for s in spikes]}

@@ -43,8 +43,16 @@ def determine_return_to_baseline(voltages, settling_period, on_phase,
                                  off_phase, tolerance):
     """Steps after the disturbance ends until the running-mean voltage
     re-enters ``tolerance`` of the pre-disturbance baseline
-    (lsm_setup.py:36-44)."""
-    baseline = np.array(voltages[settling_period:off_phase]).mean()
+    (lsm_setup.py:36-44).
+
+    Reference quirk, replicated faithfully: the reference IGNORES its
+    ``settling_period`` argument and hardcodes the baseline window start
+    at 1000 (`/root/reference/interface/experiments/lsm_setup.py:37`) —
+    its configs all run with off_phase > 1000, so reference TOMLs replay
+    identically here.  Below that scale (smoke runs) a hardcoded 1000
+    would produce an empty window, so the parameter is honored there."""
+    start = 1000 if off_phase > 1000 else settling_period
+    baseline = np.array(voltages[start:off_phase]).mean()
     for i in range(off_phase):
         tail = np.array(voltages[off_phase + on_phase + i:])
         if tail.size == 0:

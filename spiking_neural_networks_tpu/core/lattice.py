@@ -340,6 +340,13 @@ class Lattice:
             if not (isinstance(use_pallas, tuple)
                     and use_pallas[0] == "model"):
                 raise
+            if self.model.config_key() in pallas_stencil._MODEL_KERNEL_RAN:
+                # this model's kernel has EXECUTED before, so the failure
+                # is a runtime error (e.g. a transient relay hiccup), not
+                # a Mosaic lowering failure: donated buffers may already
+                # be invalidated, so retrying with self.state is unsafe,
+                # and blocklisting would permanently punish a transient.
+                raise
             # Mosaic couldn't lower this model's traced step (an op outside
             # the proven-lowerable surface): route this model config to the
             # XLA path permanently and retry.  Compile failures raise before
@@ -357,6 +364,10 @@ class Lattice:
             state, graph, key, clock, ys = runner(
                 self.state, self.graph, self.key,
                 jnp.int32(self.internal_clock), pparams)
+        else:
+            if isinstance(use_pallas, tuple) and use_pallas[0] == "model":
+                pallas_stencil._MODEL_KERNEL_RAN.add(
+                    self.model.config_key())
         self.state, self.graph, self.key = state, graph, key
         self.internal_clock += length
         for name, hist in self._history_items():

@@ -137,53 +137,14 @@ class JitEnvironment:
         self.last_build_env_fused = env_fused
 
         if env_fused:
-            from .ops import pallas_reward as _pr
-            kind = "mod" if do_modulation else "plain"
-            mk = _pr._model_kind(model)
-            offsets = agent.graph.offsets
-            R, C = agent.rows, agent.cols
+            core = self._env_fused_core(
+                iterations, "mod" if do_modulation else "plain", agent,
+                with_reward=True)
 
             def run_env(state, graph, trace, dopamine, clock, env, pparams):
-                leaves, treedef = jax.tree_util.tree_flatten(env)
-                es = _pr.EnvSpec(self.reward_function, self.update_state,
-                                 self.state_encoder, treedef, len(leaves))
-                spec = _pr.NetSpec(
-                    (_pr.LatSpec(kind, offsets, mk, (R, C)),), (), (), True)
-                pp_vec = jnp.stack([jnp.float32(pparams.get(k, 0.0))
-                                    for k in _pr.PP_KEYS])
-                rp_vec = jnp.stack([jnp.float32(pparams[k])
-                                    for k in _pr.RP_KEYS])
-                lat_data = (_pr._lat_data(state, graph, kind, trace, mk),)
-                spk0 = (state["is_spiking"].astype(jnp.float32)
-                        .reshape(R, C),)
-                env_vec = (jnp.stack([jnp.float32(x) for x in leaves])
-                           if leaves else jnp.zeros((0,), jnp.float32))
-                # launch size: semantically transparent (launch boundaries
-                # don't change the math); small on CPU, where the unrolled
-                # interpret-mode body compiles superlinearly in K
-                lat_data, spk, dop, env_vec, rewards = _pr._env_advance(
-                    spec, es, iterations, lat_data, spk0, dopamine, clock,
-                    env_vec, pp_vec, rp_vec,
-                    chunk=(4 if jax.default_backend() == "cpu"
-                           else _pr.DEFAULT_CHUNK))
-                d = lat_data[0]
-                s = dict(state)
-                s["v"] = d.v.reshape(-1)
-                if "w" in s:
-                    s["w"] = d.w.reshape(-1)
-                s["last_firing_time"] = d.lft.reshape(-1)
-                s["is_spiking"] = spk[0].reshape(-1) > 0.0
-                if mk in _pr.REFRACTORY_MODELS:
-                    s["refractory_count"] = d.refr.reshape(-1)
-                out_graph, out_trace = graph, trace
-                if kind == "mod":
-                    out_graph = graph.replace_weights(d.wst)
-                    out_trace = dict(c=d.traces[0], dw=d.traces[1],
-                                     counter=d.traces[2])
-                env_out = jax.tree_util.tree_unflatten(
-                    treedef, [env_vec[i] for i in range(len(leaves))])
-                return ((s, out_graph, out_trace, dop, clock + iterations,
-                         env_out), {"reward": rewards})
+                s, g, tr, dop, ck, env_out, rewards = core(
+                    state, graph, trace, dopamine, clock, env, pparams)
+                return (s, g, tr, dop, ck, env_out), {"reward": rewards}
 
             return jax.jit(run_env, donate_argnums=(0, 1, 2, 5))
 
@@ -247,6 +208,76 @@ class JitEnvironment:
 
         return jax.jit(run, donate_argnums=(0, 1, 2, 5))
 
+    def _env_fused_core(self, iterations, kind, agent, with_reward):
+        """Shared whole-loop env-fusion body for the supervised (_build)
+        and unsupervised (_build_unsupervised) runners: builds the
+        NetSpec/EnvSpec, ships the lattice planes into
+        pallas_reward._env_advance (env callbacks traced into K-step
+        kernel launches), and writes the final planes back into the flat
+        state dict.  The two callers differ only in reward/trace/dopamine
+        handling, which is selected by ``kind`` / ``with_reward`` here so
+        a write-back fix cannot silently apply to one loop form only."""
+        import jax
+        import jax.numpy as jnp
+        from .ops import pallas_reward as _pr
+
+        reward_fn = self.reward_function if with_reward else None
+        mk = _pr._model_kind(agent.model)
+        offsets = agent.graph.offsets
+        R, C = agent.rows, agent.cols
+
+        def core(state, graph, trace, dopamine, clock, env, pparams):
+            leaves, treedef = jax.tree_util.tree_flatten(env)
+            es = _pr.EnvSpec(reward_fn, self.update_state,
+                             self.state_encoder, treedef, len(leaves))
+            spec = _pr.NetSpec(
+                (_pr.LatSpec(kind, offsets, mk, (R, C)),), (), (),
+                with_reward)
+            pp_vec = jnp.stack([jnp.float32(pparams.get(k, 0.0))
+                                for k in _pr.PP_KEYS])
+            if with_reward:
+                rp_vec = jnp.stack([jnp.float32(pparams[k])
+                                    for k in _pr.RP_KEYS])
+            else:
+                # rp is unused without reward/modulation; ones keep the
+                # (dead) exp(-dt/tau) constants finite
+                rp_vec = jnp.ones((len(_pr.RP_KEYS),), jnp.float32)
+            lat_data = (_pr._lat_data(state, graph, kind, trace, mk),)
+            spk0 = (state["is_spiking"].astype(jnp.float32)
+                    .reshape(R, C),)
+            env_vec = (jnp.stack([jnp.float32(x) for x in leaves])
+                       if leaves else jnp.zeros((0,), jnp.float32))
+            # launch size: semantically transparent (launch boundaries
+            # don't change the math); small on CPU, where the unrolled
+            # interpret-mode body compiles superlinearly in K
+            lat_data, spk, dop, env_vec, rewards = _pr._env_advance(
+                spec, es, iterations, lat_data, spk0, dopamine, clock,
+                env_vec, pp_vec, rp_vec,
+                chunk=(4 if jax.default_backend() == "cpu"
+                       else _pr.DEFAULT_CHUNK))
+            d = lat_data[0]
+            s = dict(state)
+            s["v"] = d.v.reshape(-1)
+            if "w" in s:
+                s["w"] = d.w.reshape(-1)
+            s["last_firing_time"] = d.lft.reshape(-1)
+            s["is_spiking"] = spk[0].reshape(-1) > 0.0
+            if mk in _pr.REFRACTORY_MODELS:
+                s["refractory_count"] = d.refr.reshape(-1)
+            out_graph, out_trace = graph, trace
+            if kind == "mod":
+                out_graph = graph.replace_weights(d.wst)
+                out_trace = dict(c=d.traces[0], dw=d.traces[1],
+                                 counter=d.traces[2])
+            elif kind == "plastic":
+                out_graph = graph.replace_weights(d.wst)
+            env_out = jax.tree_util.tree_unflatten(
+                treedef, [env_vec[i] for i in range(len(leaves))])
+            return (s, out_graph, out_trace, dop, clock + iterations,
+                    env_out, rewards)
+
+        return core
+
     def _grid_callbacks_ok(self):
         """Gate for the whole-loop in-kernel env fusion: verify the three
         callbacks are shape-polymorphic — calling them on flat (N,) state
@@ -278,7 +309,8 @@ class JitEnvironment:
         import jax
         import jax.numpy as jnp
         from .models.base import NEVER
-        from .ops.pallas_reward import REFRACTORY_MODELS, _model_kind
+        from .ops.pallas_reward import (REFRACTORY_MODELS, W_MODELS,
+                                        _model_kind)
 
         for x in env_leaves:
             if jnp.shape(x) != () or not jnp.issubdtype(
@@ -288,21 +320,30 @@ class JitEnvironment:
         R, C = agent.rows, agent.cols
         N = R * C
         kind = _model_kind(agent.model)
-        view_keys = ["v", "w", "last_firing_time", "is_spiking"]
+        # the probe view must mirror the kernel's sview_of EXACTLY: a
+        # field the model doesn't carry (LIF has no "w") must be absent,
+        # so a callback reading it fails the probe and the loop falls
+        # back to the per-step tiers (where it raises the same KeyError)
+        # instead of silently reading the kernel's dummy zero plane
+        view_keys = ["v", "last_firing_time", "is_spiking"]
+        if kind in W_MODELS:
+            view_keys.append("w")
         if kind in REFRACTORY_MODELS:
             view_keys.append("refractory_count")
-        writable = ("v", "w", "refractory_count")
+        writable = tuple(k for k in ("v", "w", "refractory_count")
+                         if k in view_keys)
 
         def draw(seed):
             rng = np.random.default_rng(seed)
             flat = {
                 "v": rng.uniform(-70, 30, N).astype(np.float32),
-                "w": rng.uniform(-10, 10, N).astype(np.float32),
                 "last_firing_time": np.where(
                     rng.random(N) < 0.3, NEVER,
                     rng.integers(0, 50, N)).astype(np.int32),
                 "is_spiking": rng.random(N) < 0.2,
             }
+            if "w" in view_keys:
+                flat["w"] = rng.uniform(-10, 10, N).astype(np.float32)
             if "refractory_count" in view_keys:
                 flat["refractory_count"] = rng.integers(
                     0, 5, N).astype(np.float32)
@@ -488,47 +529,14 @@ class JitEnvironment:
         self.last_build_env_fused = env_fused
 
         if env_fused:
-            from .ops import pallas_reward as _pr
-            mk = _pr._model_kind(model)
-            offsets = agent.graph.offsets
-            R, C = agent.rows, agent.cols
+            core = self._env_fused_core(iterations, kind, agent,
+                                        with_reward=False)
 
             def run_env(state, graph, clock, env, pparams):
-                leaves, treedef = jax.tree_util.tree_flatten(env)
-                es = _pr.EnvSpec(None, self.update_state,
-                                 self.state_encoder, treedef, len(leaves))
-                spec = _pr.NetSpec(
-                    (_pr.LatSpec(kind, offsets, mk, (R, C)),), (), (),
-                    False)
-                pp_vec = jnp.stack([jnp.float32(pparams.get(k, 0.0))
-                                    for k in _pr.PP_KEYS])
-                # rp is unused without reward/modulation; ones keep the
-                # (dead) exp(-dt/tau) constants finite
-                rp_vec = jnp.ones((len(_pr.RP_KEYS),), jnp.float32)
-                lat_data = (_pr._lat_data(state, graph, kind, None, mk),)
-                spk0 = (state["is_spiking"].astype(jnp.float32)
-                        .reshape(R, C),)
-                env_vec = (jnp.stack([jnp.float32(x) for x in leaves])
-                           if leaves else jnp.zeros((0,), jnp.float32))
-                lat_data, spk, _, env_vec, _ = _pr._env_advance(
-                    spec, es, iterations, lat_data, spk0,
-                    jnp.float32(0.0), clock, env_vec, pp_vec, rp_vec,
-                    chunk=(4 if jax.default_backend() == "cpu"
-                           else _pr.DEFAULT_CHUNK))
-                d = lat_data[0]
-                s = dict(state)
-                s["v"] = d.v.reshape(-1)
-                if "w" in s:
-                    s["w"] = d.w.reshape(-1)
-                s["last_firing_time"] = d.lft.reshape(-1)
-                s["is_spiking"] = spk[0].reshape(-1) > 0.0
-                if mk in _pr.REFRACTORY_MODELS:
-                    s["refractory_count"] = d.refr.reshape(-1)
-                out_graph = graph.replace_weights(d.wst) \
-                    if kind == "plastic" else graph
-                env_out = jax.tree_util.tree_unflatten(
-                    treedef, [env_vec[i] for i in range(len(leaves))])
-                return (s, out_graph, clock + iterations, env_out), {}
+                s, g, _, _, ck, env_out, _ = core(
+                    state, graph, None, jnp.float32(0.0), clock, env,
+                    pparams)
+                return (s, g, ck, env_out), {}
 
             return jax.jit(run_env, donate_argnums=(0, 1, 3))
 

@@ -199,16 +199,20 @@ class PresetSpikeTrain(SpikeTrainModel):
     FIELDS = dict(internal_clock=0.0)
     INT_FIELDS = dict(counter=0)
 
-    def init_state(self, n, firing_times=None, **overrides):
-        s = super().init_state(n, **overrides)
+    def init_state_host(self, n, firing_times=None, **overrides):
+        # overridden at the HOST layer (not init_state) so the lazy
+        # populate path (core populate -> init_state_host) also gets the
+        # firing-times fields; the base init_state ships whatever this
+        # returns
+        s = super().init_state_host(n, **overrides)
         if firing_times is None:
             firing_times = [[0.0]]
         import numpy as np
         ft = np.asarray(firing_times, np.float32)
         if ft.ndim == 1:
             ft = np.broadcast_to(ft[None, :], (n, ft.shape[0]))
-        s["firing_times"] = jnp.asarray(ft)
-        s["firing_times_len"] = jnp.full((n,), ft.shape[1], jnp.int32)
+        s["firing_times"] = ft.copy()
+        s["firing_times_len"] = np.full((n,), ft.shape[1], np.int32)
         return s
 
     def step(self, s, key, clock):

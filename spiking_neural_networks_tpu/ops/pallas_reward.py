@@ -84,6 +84,10 @@ MODEL_PARAM_KEYS = {
 }
 # models whose spike handler carries a refractory_count plane
 REFRACTORY_MODELS = ("alif", "lif")
+# models whose state carries an adaptation variable "w" (LIF does not;
+# the kernel's internal w slot is a dummy zero plane there and must not
+# leak into env-callback views)
+W_MODELS = ("izhikevich", "alif")
 PP_KEYS = ("a_plus", "a_minus", "tau_plus", "tau_minus", "dt")
 RP_KEYS = ("a_plus", "a_minus", "tau_plus", "tau_minus", "dt",
            "tau_c", "tau_d")
@@ -397,10 +401,15 @@ def _make_kernel(spec, n_steps, env=None):
         def sview_of(i, lat_entry):
             """Restricted state view handed to the traced env callbacks —
             same keys/semantics as the flat state dict the XLA path's
-            callbacks see, shaped (R, C)."""
+            callbacks see, shaped (R, C).  "w" is only exposed for model
+            kinds that actually carry it (LIF has none — exposing the
+            kernel's dummy zero plane would hand a w-reading callback
+            zeros where every other tier raises KeyError)."""
             v, w, lft, _, _, spk, refr = lat_entry
-            d = {"v": v, "w": w, "last_firing_time": lft,
+            d = {"v": v, "last_firing_time": lft,
                  "is_spiking": spk > 0.0}
+            if spec.lattices[i].model in W_MODELS:
+                d["w"] = w
             if spec.lattices[i].model in REFRACTORY_MODELS:
                 d["refractory_count"] = refr
             return d

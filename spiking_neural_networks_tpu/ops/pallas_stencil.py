@@ -610,6 +610,11 @@ def multistep_tiled_config(graph):
 # by supports_model so one failure falls back to XLA permanently instead of
 # retrying every chunk
 _MODEL_KERNEL_BLOCKLIST = set()
+# models whose kernel has EXECUTED successfully at least once: a later
+# failure for these is a runtime error (donated buffers may be invalid,
+# retrying with the same state is unsafe) and must propagate, not
+# blocklist (core.lattice._run_chunk)
+_MODEL_KERNEL_RAN = set()
 
 
 @functools.lru_cache(maxsize=None)
@@ -635,9 +640,14 @@ def _model_kernel_fields(model):
             dummy, jax.ShapeDtypeStruct((2, 2), jnp.float32)).jaxpr
     except Exception:
         return None
-    invars = set(map(id, jaxpr.invars))
+    # a field is loop-constant ONLY if its output forwards its OWN invar
+    # (positional: dict args flatten in sorted-key order, then the input
+    # current).  Testing membership against ALL invars misclassifies a
+    # cross-field copy (s2["x"] = s["y"]) as constant: "x" would be read
+    # once before the loop and frozen while the XLA path updates it.
+    invar_by_name = dict(zip(sorted(k for k, _ in fields), jaxpr.invars))
     carry = tuple(k for (k, _), ov in zip(fields, jaxpr.outvars)
-                  if id(ov) not in invars)
+                  if ov is not invar_by_name[k])
     if "is_spiking" not in carry:
         # degenerate spike detection (constant-folded) — keep the generic
         # runner's spike/lft bookkeeping well-defined by carrying it anyway

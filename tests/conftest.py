@@ -26,8 +26,12 @@ except Exception:
 # Persistent compile cache: XLA:CPU compile time dominates the suite on the
 # 1-core CI host; warm reruns skip it entirely.  (.jax_cache/ is gitignored.)
 try:
-    _cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache", "tests")
+    # override the dir when running a second pytest process concurrently:
+    # two processes sharing one cache can corrupt an entry mid-write
+    # (observed as a segfault in compilation_cache.get_executable_and_time)
+    _cache = os.environ.get("SNN_TPU_TEST_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache", "tests")
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 except Exception:

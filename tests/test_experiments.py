@@ -419,6 +419,10 @@ def test_attractor_manifold_plot_pipeline(tmp_path):
     key = next(k for k in data if k != "patterns")
     assert amp.KEY_RE.search(key)
     assert len(data[key]["firing_rates"]) == 25
+    # peak-based counting (reference semantics) must see real spikes —
+    # a v_th rising-edge count degenerates to ~0 on the chemical path
+    assert sum(sum(v["firing_rates"]) for k, v in data.items()
+               if k != "patterns") > 0
 
     toml = tmp_path / "plot_args.toml"
     toml.write_text(

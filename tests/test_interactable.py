@@ -395,3 +395,34 @@ def test_jit_environment_unsupervised_env_fused():
     assert b.internal_clock == 11
     # non-vacuous: the cue made the lattice spike
     assert (np.asarray(b.state["last_firing_time"]) >= 0).any()
+
+
+def test_jit_environment_lif_w_callback_not_env_fused():
+    """A LIF agent has no "w" state: the in-kernel view must not expose
+    the kernel's dummy zero w-plane, so a w-reading callback fails the
+    engagement probe and the loop stays on the per-step tiers (where the
+    read raises the same KeyError it would anywhere else)."""
+    def make(reward_fn):
+        lat = snn.RewardModulatedLattice(snn.LeakyIntegrateAndFire())
+        lat.populate(8, 8, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.9, seed=2)
+        v0 = np.random.default_rng(0).uniform(-60.0, -20.0, 64)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        lat.use_pallas = True
+        enc, rew, upd = _poly_callbacks()
+        return JitEnvironment(lat, {"rate": jnp.float32(0.0)},
+                              enc, reward_fn or rew, upd)
+
+    # sane callbacks: LIF engages the whole-loop fusion
+    env = make(None)
+    env.run_with_reward(3)
+    assert env.last_build_env_fused
+
+    # w-reading reward: the probe rejects env fusion, and the per-step
+    # tier then raises the SAME KeyError the XLA path would — instead of
+    # the kernel silently feeding the callback a dummy zero w-plane
+    import pytest
+    env = make(lambda e, s: s["w"].mean())
+    with pytest.raises(KeyError):
+        env.run_with_reward(3)
+    assert not env.last_build_env_fused

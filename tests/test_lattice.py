@@ -594,3 +594,16 @@ def test_pallas_multistep_emits_histories():
         np.testing.assert_allclose(np.asarray(b.state["v"]),
                                    np.asarray(a.state["v"]),
                                    rtol=1e-6, atol=1e-5)
+
+
+def test_preset_spike_train_lazy_populate():
+    """populate(firing_times=...) goes through init_state_host (lazy core
+    populate) and must still install the preset firing-time fields."""
+    model = snn.PresetSpikeTrain()
+    st = snn.SpikeTrainLattice(model, id=0)
+    st.populate(1, 1, firing_times=[2.0, 1.0])
+    assert "firing_times" in st.state and "firing_times_len" in st.state
+    st.update_grid_history = True
+    st.run_lattice(50)
+    hist = np.stack(st.grid_history.history)
+    assert hist.max() == 30.0  # it fired at least once

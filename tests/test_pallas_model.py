@@ -180,3 +180,35 @@ def test_compile_failure_blocklists_and_falls_back(monkeypatch):
         _assert_match(a, b)
     finally:
         pallas_stencil._MODEL_KERNEL_BLOCKLIST.discard(model.config_key())
+
+
+DSL_ALIAS = """
+[neuron]
+    type: KernelAlias
+    vars: w = 30, prev_v = 0, a = 0.02, b = 0.2, c = -55, d = 8, v_th = 30, tau_m = 1, c_m = 100
+    on_spike:
+        v = c
+        w += d
+    spike_detection: v >= v_th
+    on_iteration:
+        prev_v = v
+        dw/dt = (a * (b * v - w)) / tau_m
+        dv/dt = (0.04 * v * v + 5 * v + 140 - w + i) / c_m
+[end]
+"""
+
+
+def test_cross_field_copy_rides_carry():
+    """A step that copies one field into another (prev_v = v) must carry
+    the copied field: its outvar IS another field's invar, and testing
+    membership against ALL invars (rather than the field's own) froze it
+    at its initial value inside the kernel."""
+    cls = neuron_builder(DSL_ALIAS)["KernelAlias"]
+    fields, carry = pallas_stencil._model_kernel_fields(cls())
+    assert "prev_v" in carry
+    a = _run(cls(), False, 120)
+    b = _run(cls(), True, 120)
+    assert b._last_run_fused == ("model",)
+    _assert_match(a, b, extra=("w", "prev_v"))
+    # prev_v actually evolved (kernel didn't freeze the initial 0s)
+    assert float(np.abs(np.asarray(b.state["prev_v"])).max()) > 1.0
