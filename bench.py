@@ -43,6 +43,24 @@ def timed_repeats(run, sync, iters, repeats=5):
     return max(vals), vals
 
 
+def median(vals):
+    return sorted(vals)[len(vals) // 2] if vals else 0.0
+
+
+def row_result(xla_vals, pl_vals, key="pallas_fused"):
+    """Uniform per-row report (VERDICT r04 item 5): the row value is the
+    winning arm's MEDIAN (not best — medians damp the within-session ramp),
+    and the detail carries every raw run plus the variance-immune
+    pallas/xla median ratio (both arms ride the same session, so the
+    tunnel/session factor cancels in the ratio)."""
+    xm, pm = median(xla_vals), median(pl_vals)
+    detail = {"xla": xla_vals, key: pl_vals,
+              "median": {"xla": xm, key: pm}}
+    if xm and pm:
+        detail["ratio"] = pm / xm
+    return max(xm, pm), detail
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -90,16 +108,11 @@ def bench_izhikevich(rows=512, cols=512, iters=2048):
         pl_ups, pl_vals = measure(build(True), "pallas-multistep")
     except Exception as e:
         log("pallas path unavailable:", repr(e)[:200])
-        pl_ups, pl_vals = None, []
-    detail = {"pallas_multistep": pl_vals, "xla": xla_vals}
-    if pl_ups is not None:
-        # variance-immune health stat: both arms ride the same session,
-        # so their ratio cancels the tunnel/session factor
-        detail["pallas_over_xla_ratio"] = pl_ups / xla_ups
-        log(f"izhikevich pallas/xla median ratio: {pl_ups / xla_ups:.2f}")
-    if pl_ups is not None and pl_ups > xla_ups:
-        return pl_ups, detail
-    return xla_ups, detail
+        pl_vals = []
+    val, detail = row_result(xla_vals, pl_vals, "pallas_multistep")
+    if detail.get("ratio"):
+        log(f"izhikevich pallas/xla median ratio: {detail['ratio']:.2f}")
+    return val, detail
 
 
 def bench_izhikevich_large(rows=2048, cols=2048, iters=1024):
@@ -132,8 +145,8 @@ def bench_izhikevich_large(rows=2048, cols=2048, iters=1024):
         pl_ups, pl_vals = measure(build(True), "pallas-tiled")
     except Exception as e:
         log("pallas tiled path unavailable:", repr(e)[:200])
-        pl_ups, pl_vals = 0.0, []
-    return max(xla_ups, pl_ups), {"xla": xla_vals, "pallas_tiled": pl_vals}
+        pl_vals = []
+    return row_result(xla_vals, pl_vals, "pallas_tiled")
 
 
 def bench_hh_stdp(rows=128, cols=128, iters=2000):
@@ -174,9 +187,8 @@ def bench_hh_stdp(rows=128, cols=128, iters=2000):
         pl_best, pl_vals = measure(build(True), "pallas-multistep")
     except Exception as e:
         log("pallas HH path unavailable:", repr(e)[:200])
-        pl_best, pl_vals = 0.0, []
-    return max(xla_best, pl_best), {"xla": xla_vals,
-                                    "pallas_multistep": pl_vals}
+        pl_vals = []
+    return row_result(xla_vals, pl_vals, "pallas_multistep")
 
 
 def bench_lif_poisson_network(rows=64, cols=64, iters=5000):
@@ -214,9 +226,8 @@ def bench_lif_poisson_network(rows=64, cols=64, iters=5000):
         pl_best, pl_vals = measure(build(True), "pallas-fused")
     except Exception as e:
         log("pallas plain-network path unavailable:", repr(e)[:200])
-        pl_best, pl_vals = 0.0, []
-    return max(xla_best, pl_best), {"xla": xla_vals,
-                                    "pallas_fused": pl_vals}
+        pl_vals = []
+    return row_result(xla_vals, pl_vals)
 
 
 def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):
@@ -272,9 +283,8 @@ def bench_network_eeg_stdp(rows=64, cols=64, iters=5000):
         pl_best, pl_vals = measure(True, "pallas-fused")
     except Exception as e:
         log("pallas EEG-network path unavailable:", repr(e)[:200])
-        pl_best, pl_vals = 0.0, []
-    return max(xla_best, pl_best), {"xla": xla_vals,
-                                    "pallas_fused": pl_vals}
+        pl_vals = []
+    return row_result(xla_vals, pl_vals)
 
 
 def bench_rstdp_lattice(rows=64, cols=64, iters=3000):
@@ -307,9 +317,8 @@ def bench_rstdp_lattice(rows=64, cols=64, iters=3000):
         pl_best, pl_vals = measure(build(True), "pallas-fused")
     except Exception as e:
         log("pallas reward path unavailable:", repr(e)[:200])
-        pl_best, pl_vals = 0.0, []
-    vals = {"xla": xla_vals, "pallas_fused": pl_vals}
-    return max(xla_best, pl_best), vals
+        pl_vals = []
+    return row_result(xla_vals, pl_vals)
 
 
 def bench_reward_network(n_side=32, iters=3000):
@@ -357,9 +366,8 @@ def bench_reward_network(n_side=32, iters=3000):
         pl_best, pl_vals = measure("pallas-fused")
     except Exception as e:
         log("pallas reward-network path unavailable:", repr(e)[:200])
-        pl_best, pl_vals = 0.0, []
-    vals = {"xla": xla_vals, "pallas_fused": pl_vals}
-    return max(xla_best, pl_best), vals
+        pl_vals = []
+    return row_result(xla_vals, pl_vals)
 
 
 def bench_closed_loop(iters=6400):
@@ -418,10 +426,110 @@ def bench_closed_loop(iters=6400):
         pl_best, pl_vals = measure(True, "pallas-env-fused")
     except Exception as e:
         log("pallas closed-loop path unavailable:", repr(e)[:200])
-        pl_best, pl_vals = 0.0, []
-    return max(xla_best, pl_best), {"xla": xla_vals,
-                                    "pallas_fused": pl_vals}
+        pl_vals = []
+    return row_result(xla_vals, pl_vals)
 
+
+
+def bench_chemical_network(rows=64, cols=64, iters=3000):
+    """CHEMICAL (DopaGluGABA-class) network — the reference's flagship
+    science workload (Bayesian/schizophrenia/dopamine pipelines,
+    interface_gpu/lixirnet/src/lib.rs:22-79; GPU chemical runtime
+    gpu_lattices/mod.rs:2585+): two Izhikevich lattices with DopaGluGABA
+    receptors and bounded kinetics, glutamate release 0 -> 1, a Poisson
+    glutamate drive.  Measures the XLA structured runner vs the fused
+    chemical network kernel (ops/pallas_reward.py round-5)."""
+    import spiking_neural_networks_tpu as snn
+    from spiking_neural_networks_tpu.ops.receptors import DopaGluGABAReceptors
+
+    def mk_model():
+        return snn.Izhikevich(nt_kinetics="bounded", rec_kinetics="bounded",
+                              receptors=DopaGluGABAReceptors("bounded"))
+
+    def build(pallas):
+        rng = np.random.default_rng(7)
+        n = rows * cols
+        lats = []
+        for lid in range(2):
+            model = mk_model()
+            lat = snn.Lattice(model, id=lid)
+            lat.populate(rows, cols, gap_conductance=10.0)
+            lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=3 + lid)
+            s = model.insert_receptor(lat.state, "Glutamate")
+            s = model.insert_receptor(s, "GABA")
+            s = model.insert_neurotransmitter(s, "Glutamate")
+            s = dict(s)
+            s["v"] = jnp.asarray(rng.uniform(-70, -40, n), jnp.float32)
+            lat.state = s
+            lats.append(lat)
+        st = snn.SpikeTrainLattice(
+            snn.PoissonSpikeTrain(nt_kinetics="bounded"), id=2)
+        st.populate(rows, cols)
+        st.state = st.model.init_from_firing_rate(n, hertz=50.0, dt=0.1)
+        st.state = st.model.insert_neurotransmitter(st.state, "AMPA")
+        net = snn.LatticeNetwork.generate_network(lats, [st])
+        net.connect(2, 0, lambda x, y: x == y, lambda x, y: 3.0)
+        net.connect(0, 1, lambda x, y: x == y, lambda x, y: 1.5)
+        net.electrical_synapse = False
+        net.chemical_synapse = True
+        net.use_pallas = pallas
+        return net
+
+    def measure(net, label):
+        net.run_lattices(iters)
+        jax.block_until_ready(net.get_lattice(0).state["v"])
+        best, vals = timed_repeats(
+            lambda: net.run_lattices(iters),
+            lambda: jax.block_until_ready(net.get_lattice(0).state["v"]),
+            iters)
+        log(f"chemical network {rows}x{cols} [{label}]: best {best:.1f} "
+            f"steps/s (spread {min(vals) / max(vals):.2f}); "
+            f"fused={net._last_run_fused}")
+        return best, vals
+
+    xla_best, xla_vals = measure(build(False), "xla")
+    try:
+        pl_best, pl_vals = measure(build(True), "pallas-fused")
+    except Exception as e:
+        log("pallas chemical path unavailable:", repr(e)[:200])
+        pl_vals = []
+    return row_result(xla_vals, pl_vals)
+
+
+def bench_stdp_lattice(rows=64, cols=64, iters=3000):
+    """Standalone plain Lattice with STDP (BASELINE's 'STDP exc/inh
+    lattice' config): XLA vs the fused single-lattice STDP path."""
+    import spiking_neural_networks_tpu as snn
+
+    def build(pallas):
+        rng = np.random.default_rng(9)
+        lat = snn.Lattice(snn.Izhikevich(), id=0)
+        lat.populate(rows, cols, gap_conductance=10.0)
+        lat.connect_stencil(radius=2.0, keep_prob=0.8, seed=5)
+        lat.do_plasticity = True
+        lat.apply(lambda s: {**s, "v": jnp.asarray(
+            rng.uniform(-65, 25, rows * cols), jnp.float32)})
+        lat.scan_unroll = 4
+        lat.use_pallas = pallas
+        return lat
+
+    def measure(lat, label):
+        lat.run_lattice(iters)
+        best, vals = timed_repeats(
+            lambda: lat.run_lattice(iters),
+            lambda: jax.block_until_ready(lat.state["v"]), iters)
+        log(f"STDP lattice {rows}x{cols} [{label}]: best {best:.1f} "
+            f"steps/s (spread {min(vals) / max(vals):.2f}); "
+            f"fused={getattr(lat, '_last_run_fused', None)}")
+        return best, vals
+
+    xla_best, xla_vals = measure(build(False), "xla")
+    try:
+        pl_best, pl_vals = measure(build(True), "pallas-fused")
+    except Exception as e:
+        log("pallas STDP-lattice path unavailable:", repr(e)[:200])
+        pl_vals = []
+    return row_result(xla_vals, pl_vals)
 
 
 def bench_experiment_trial():
@@ -474,12 +582,20 @@ def main():
                      ("hh_stdp_steps_per_sec_128x128", bench_hh_stdp),
                      ("alif_poisson_network_steps_per_sec_64x64",
                       bench_lif_poisson_network),
+                     ("chemical_network_steps_per_sec_64x64",
+                      bench_chemical_network),
                      ("eeg_stdp_network_steps_per_sec_64x64",
                       bench_network_eeg_stdp),
                      ("rstdp_lattice_steps_per_sec_64x64",
                       bench_rstdp_lattice),
+                     ("stdp_lattice_steps_per_sec_64x64",
+                      bench_stdp_lattice),
                      ("reward_network_steps_per_sec_32x32",
                       bench_reward_network),
+                     ("reward_network_steps_per_sec_32x32_12800iters",
+                      lambda: bench_reward_network(iters=12800)),
+                     ("reward_network_steps_per_sec_128x128",
+                      lambda: bench_reward_network(n_side=128)),
                      ("closed_loop_rl_steps_per_sec", bench_closed_loop),
                      ("bayesian_experiment_trial_seconds",
                       bench_experiment_trial)]:
@@ -495,7 +611,25 @@ def main():
         "vs_baseline": ups / 1e9,
         "extra": extra,
     }
+    # Full detail blob first, compact summary LAST: the driver's artifact
+    # keeps only the final ~2000 chars of stdout, and all four prior rounds'
+    # BENCH_r*.json lost the headline to that truncation (VERDICT r04 item 4).
+    # The last line alone must carry every row's median and pallas/xla ratio.
     print(json.dumps(result), flush=True)
+    summary = {"headline_512x512_median_updates_per_sec": round(ups),
+               "vs_baseline": round(ups / 1e9, 3),
+               "headline_ratio": round(up_runs.get("ratio", 0.0), 2)}
+    for name in list(extra):
+        if name.endswith("_runs") or extra[name] is None:
+            continue
+        runs = extra.get(name + "_runs")
+        row = {"v": round(extra[name], 1)}
+        if isinstance(runs, dict) and runs.get("ratio"):
+            row["ratio"] = round(runs["ratio"], 2)
+        summary[name] = row
+    print(json.dumps({"metric": result["metric"], "value": ups,
+                      "unit": "updates/s", "vs_baseline": ups / 1e9,
+                      "summary": summary}), flush=True)
 
 
 if __name__ == "__main__":

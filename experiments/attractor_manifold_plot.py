@@ -11,6 +11,10 @@ firing vector best-correlates with the cued pattern
 (pipeline_setup.correlation_acc, the reference's accuracy test).
 
 Differences from the reference, by design:
+- the bounded-data filter compares each trial's OWN mean firing rate
+  against the upper bound; the reference (line 150) compares the stale
+  loop-leaked ``current_pattern`` variable instead — a bug that changes
+  which trials its bounded plot keeps, deliberately not replicated;
 - the reducer is UMAP when the `umap` package is importable, else a PCA
   (top-3 principal axes) — this image has no umap/plotly/seaborn;
 - the matplotlib backend saves figures headlessly (`plt.show` only when a

@@ -321,9 +321,19 @@ class Lattice:
                 # generic traced-step multi-step kernel: the model's own
                 # step() (incl. DSL-built models) IS the kernel body
                 use_pallas = ("model",)
+        if not use_pallas and resolve_pallas(self.use_pallas) \
+                and self.mesh is None and skip_nt and self.do_plasticity \
+                and not self.update_graph_history:
+            # plain Lattice + STDP: the reward kernel family's 'plastic'
+            # lattice class fuses intra-stencil STDP (VERDICT r04 task 6);
+            # grid histories ride along as emitted v_pre planes
+            from ..ops import pallas_reward
+            pspec = pallas_reward.plain_stdp_lattice_spec(self)
+            if pspec is not None:
+                use_pallas = ("stdp", pspec)
         # observability (mirrors the structured/reward runners): which
         # backend this chunk ran on — False/True/"hh"/("multi", ...)/
-        # ("tiled", ...)/("model",)
+        # ("tiled", ...)/("model",)/("stdp", spec)
         self._last_run_fused = bool(use_pallas) and use_pallas
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
@@ -498,6 +508,50 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
             return st, graph, key, ck, ys
 
         return jax.jit(run_multi, donate_argnums=(0,))
+
+    if isinstance(use_pallas, tuple) and use_pallas[0] == "stdp":
+        # plain STDP lattice through the reward kernel family's 'plastic'
+        # class (ops/pallas_reward.py): the whole chunk — stencil gather,
+        # model step, STDP visits, optional history emission — is one
+        # fused multi-step kernel per 16 steps
+        from ..ops import pallas_reward as _pr
+        spec = use_pallas[1]
+        ls0 = spec.lattices[0]
+
+        def run_stdp(state, graph, key, clock, pparams):
+            lat_data = (_pr._lat_data(spec, 0, state, graph, None),)
+            rp = {k: jnp.float32(1.0) for k in _pr.RP_KEYS}
+            lat_data, _, _, _, lat_spk, _, key, emits = _pr._advance(
+                spec, length, lat_data, (), (), jnp.float32(0.0), clock,
+                jnp.zeros((length,), jnp.float32), key, pparams, rp)
+            d = lat_data[0]
+            s = dict(state)
+            s["v"] = d.v.reshape(-1)
+            if "w" in s:
+                s["w"] = d.w.reshape(-1)
+            s["last_firing_time"] = d.lft.reshape(-1)
+            s["is_spiking"] = lat_spk[0].reshape(-1) > 0.0
+            if ls0.model in _pr.REFRACTORY_MODELS:
+                s["refractory_count"] = d.refr.reshape(-1)
+            out_graph = graph.replace_weights(d.wst)
+            ys = {}
+            if ls0.emit:
+                # reconstruct post-reset v / spikes from the emitted
+                # PRE-RESET planes with the kernel's own ops — exact
+                # (see _build_fused_plain_runner)
+                R, C = shape
+                v_pre = emits[0]                       # (length, R, C)
+                spk = v_pre >= state["v_th"].reshape(R, C)[None]
+                v_post = jnp.where(spk,
+                                   state["c"].reshape(R, C)[None], v_pre)
+                fields = {"v": v_post.reshape(length, -1),
+                          "is_spiking": spk.reshape(length, -1)}
+                for name, h in readouts:
+                    ys[name] = jax.vmap(
+                        lambda f: h.readout(f, shape))(fields)
+            return s, out_graph, key, clock + length, ys
+
+        return jax.jit(run_stdp, donate_argnums=(0,))
 
     if isinstance(use_pallas, tuple) and use_pallas[0] == "model":
         # generic traced-step multi-step kernel (any elementwise model)

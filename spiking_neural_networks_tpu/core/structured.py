@@ -495,7 +495,8 @@ def run_structured(net, iterations):
         # Lattice grid histories ride along as emitted v_pre planes.
         from ..ops import pallas_reward
         runner = pallas_reward.plain_network_runner(
-            net, plan, skip_nt and st_nt_clean, int(iterations), hist=hist)
+            net, plan, skip_nt and st_nt_clean, int(iterations), hist=hist,
+            st_nt=tuple(bool(f) for f in nt_flags[len(lattices):]))
     net._last_run_fused = runner is not None
     if runner is None:
         runner = _build_structured_runner(

@@ -157,7 +157,7 @@ class JitEnvironment:
                                 for k in _pr.PP_KEYS])
             rp_vec = jnp.stack([jnp.float32(rparams[k])
                                 for k in _pr.RP_KEYS])
-            lat_data = (_pr._lat_data(s, graph, ls.kind, trace, ls.model),)
+            lat_data = (_pr._lat_data(fused_spec, 0, s, graph, trace),)
             outs = _pr._fused_chunk(
                 fused_spec, 1, _pr._flat_inputs(
                     fused_spec, 1, lat_data, (), (), dopamine, clock,
@@ -242,7 +242,7 @@ class JitEnvironment:
                 # rp is unused without reward/modulation; ones keep the
                 # (dead) exp(-dt/tau) constants finite
                 rp_vec = jnp.ones((len(_pr.RP_KEYS),), jnp.float32)
-            lat_data = (_pr._lat_data(state, graph, kind, trace, mk),)
+            lat_data = (_pr._lat_data(spec, 0, state, graph, trace),)
             spk0 = (state["is_spiking"].astype(jnp.float32)
                     .reshape(R, C),)
             env_vec = (jnp.stack([jnp.float32(x) for x in leaves])

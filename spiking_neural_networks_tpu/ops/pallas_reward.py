@@ -101,15 +101,19 @@ class LatSpec(NamedTuple):
     kind: str                  # 'plain' | 'plastic' | 'mod'
     offsets: tuple             # stencil offsets ((dr, dc), ...)
     model: str = "izhikevich"  # MODEL_PARAM_KEYS key
-    shape: tuple = ()          # (R, C)
+    shape: tuple = ()          # (R, C) kernel plane layout; flat-layout
+                               # lattices (dense/none intra) use (1, N)
     emit: bool = False         # emit per-step PRE-RESET voltage planes
                                # (histories; izhikevich only)
+    graph: str = "stencil"     # 'stencil' | 'dense' | 'none'
 
 
 class TrainSpec(NamedTuple):
     kind: str                  # 'poisson' | 'rate'
     refractoriness: str        # 'delta_dirac' | 'exponential_decay'
     shape: tuple = ()          # (R, C)
+    nt: str = ""               # '' or the train's nt-kinetics kind (the
+                               # train releases neurotransmitters)
 
 
 class ConnSpec(NamedTuple):
@@ -132,6 +136,50 @@ class NetSpec(NamedTuple):
     trains: tuple              # TrainSpec, ...
     conns: tuple               # ConnSpec, ...
     with_reward: bool
+    electrical: bool = True    # electrical_synapse (gap-junction phase A)
+    chem: tuple = ()           # () or (family, rec_kind, nt_kind):
+                               # chemical_synapse networks — per-type NT
+                               # planes + receptor kinetics in-body
+                               # (reference GPU chemical network runtime,
+                               # gpu_lattices/mod.rs:2585+)
+
+
+# chemical families: static (K=3)-type receptor systems (ops/receptors.py)
+CHEM_FAMILIES = ("ionotropic", "dopaglugaba")
+NT_KINDS = ("approximate", "bounded", "discrete", "exponential_decay",
+            "destexhe")
+REC_KINDS = ("approximate", "bounded", "destexhe", "exponential_decay")
+# DopaGluGABA per-neuron (R, C) current/modulation parameter planes
+# (ops/receptors.py DopaGluGABAReceptors.init_fields)
+DOPA_PLANES = ("rec$g_ampa", "rec$g_nmda", "rec$e_ampa", "rec$e_nmda",
+               "rec$mg", "rec$g_gaba", "rec$e_gaba", "rec$s_d1", "rec$s_d2")
+
+
+def _nt_param_keys(nt_kind):
+    """(N, K) neurotransmitter-kinetics parameter state keys, take order
+    (ops/kinetics.NT_PARAM_DEFAULTS)."""
+    return {"approximate": ("nt$t_max", "nt$clearance_constant"),
+            "bounded": ("nt$t_max", "nt$clearance_constant"),
+            "discrete": ("nt$t_max",),
+            "exponential_decay": ("nt$t_max", "nt$decay_constant"),
+            "destexhe": ("nt$t_max", "nt$v_p", "nt$k_p")}[nt_kind]
+
+
+def _rec_kin_keys(rec_kind):
+    """Receptor-kinetics parameter SHORT names (ops/kinetics
+    .REC_PARAM_DEFAULTS keys minus the 'rec$' prefix); DopaGluGABA's
+    secondary gating slot stores them under 'rec$r2$<name>'."""
+    return {"approximate": (), "bounded": ("r_max",),
+            "destexhe": ("alpha", "beta"),
+            "exponential_decay": ("r_max", "decay_constant")}[rec_kind]
+
+
+def _needs_mask(spec, ls):
+    """Whether the kernel takes the lattice's intra edge-mask planes:
+    plasticity gating, dense-graph masking, or the chemical per-type
+    in-degree counts (StencilGraph.gather_chemical's `em`)."""
+    return ls.kind in ("plastic", "mod") or ls.graph == "dense" \
+        or (bool(spec.chem) and ls.graph == "stencil")
 
 
 class EnvSpec(NamedTuple):
@@ -240,6 +288,50 @@ def _rstdp_visit(w, c, dw, ct, delta, dop, exp_dc, tau_c):
     return w, c, dw, ct
 
 
+def _shift3(x, dr, dc):
+    """`_shift` on the last two axes of a (K, R, C) type-plane stack."""
+    if dr:
+        x = jnp.roll(x, -dr, axis=-2)
+    if dc:
+        x = jnp.roll(x, -dc, axis=-1)
+    return x
+
+
+def _rec_kinetics_update(rec_kind, r, t_in, kin, dt):
+    """REC_KINETICS[rec_kind] on (K, R, C) planes (ops/kinetics.py:118-145,
+    statement for statement; masks are 0/1 so op order is rounding-free)."""
+    if rec_kind == "approximate":
+        return t_in
+    if rec_kind == "bounded":
+        return jnp.clip(t_in, 0.0, kin["r_max"])
+    if rec_kind == "destexhe":
+        return r + (kin["alpha"] * t_in * (1.0 - r)
+                    - kin["beta"] * r) * dt[None]
+    # exponential_decay: r + exp_decay(r, decay, dt) + t, clipped
+    new_r = r + (-r * jnp.exp(dt[None] / -kin["decay_constant"])) + t_in
+    return jnp.clip(new_r, 0.0, kin["r_max"])
+
+
+def _nt_release(nt_kind, ntt, v_new, spk_prev_f, p, dt):
+    """NT_KINETICS[nt_kind] on (K, R, C) planes (ops/kinetics.py:36-87).
+    ``spk_prev_f`` is the PREVIOUS step's spike flag as f32 (apply_t_changes
+    runs before handle_spiking, models/base.py:199-203); ``v_new`` is the
+    freshly updated pre-reset voltage (destexhe only)."""
+    if nt_kind in ("approximate", "bounded"):
+        new_t = ntt + dt[None] * -p["nt$clearance_constant"] * ntt \
+            + spk_prev_f[None] * p["nt$t_max"]
+        return jnp.clip(new_t, 0.0, p["nt$t_max"])
+    if nt_kind == "discrete":
+        return p["nt$t_max"] * spk_prev_f[None]
+    if nt_kind == "exponential_decay":
+        new_t = ntt + (-ntt * jnp.exp(dt[None] / -p["nt$decay_constant"])) \
+            + spk_prev_f[None] * p["nt$t_max"]
+        return jnp.clip(new_t, 0.0, p["nt$t_max"])
+    # destexhe: t_max / (1 + exp(-(v - v_p) / k_p))
+    return p["nt$t_max"] / (1.0 + jnp.exp(-(v_new[None] - p["nt$v_p"])
+                                          / p["nt$k_p"]))
+
+
 def _make_kernel(spec, n_steps, env=None):
     """Build the fused kernel.  Ref order must match `_flat_inputs` /
     `_out_shapes` exactly (inputs then outputs, cursor style).
@@ -283,20 +375,50 @@ def _make_kernel(spec, n_steps, env=None):
 
         lats = []
         for ls in spec.lattices:
-            d = dict(v=take()[:, :], w=take()[:, :], lft=take()[:, :],
-                     wst=take()[:, :, :], in_deg=take()[:, :])
-            if env is not None:
-                d["spk0"] = take()[:, :]    # prev-step spike plane (f32)
+            d = dict(v=take()[:, :], w=take()[:, :], lft=take()[:, :])
+            if ls.graph == "dense":
+                d["wst"] = take()[:, :]     # (N, N) intra weight matrix
+            elif ls.graph == "stencil":
+                d["wst"] = take()[:, :, :]
+            d["in_deg"] = take()[:, :]
+            if env is not None or spec.chem:
+                # prev-step spike plane (f32): env callbacks read it; NT
+                # release uses the PREVIOUS spike flag across chunks
+                d["spk0"] = take()[:, :]
             if ls.model in REFRACTORY_MODELS:
                 d["refr"] = take()[:, :]
-            if ls.kind in ("plastic", "mod"):
-                d["mask"] = take()[:, :, :]
+            if _needs_mask(spec, ls):
+                d["mask"] = take()[:, :] if ls.graph == "dense" \
+                    else take()[:, :, :]
             for p in MODEL_PARAM_KEYS[ls.model]:
                 d[p] = take()[:, :]
             if ls.kind == "mod":
                 d["tc"] = take()[:, :, :]
                 d["tdw"] = take()[:, :, :]
                 d["tct"] = take()[:, :, :]
+            if spec.chem:
+                fam, rec_kind, nt_kind = spec.chem
+                c = dict(ntt=take()[:, :, :], ntm=take()[:, :, :])
+                c["ntp"] = {k: take()[:, :, :]
+                            for k in _nt_param_keys(nt_kind)}
+                c["recr"] = take()[:, :, :]
+                if fam == "dopaglugaba":
+                    c["recr2"] = take()[:, :, :]
+                c["recm"] = take()[:, :, :]
+                c["kin"] = {k: take()[:, :, :]
+                            for k in _rec_kin_keys(rec_kind)}
+                if fam == "dopaglugaba":
+                    c["kin2"] = {k: take()[:, :, :]
+                                 for k in _rec_kin_keys(rec_kind)}
+                    c["inh"] = take()[:, :]
+                    c["nmda"] = take()[:, :]
+                    for pk in DOPA_PLANES:
+                        c[pk] = take()[:, :]
+                else:
+                    c["g"] = take()[:, :, :]
+                    c["e"] = take()[:, :, :]
+                    c["mg"] = take()[:, :, :]
+                d["chem"] = c
             lats.append(d)
 
         trains = []
@@ -310,6 +432,11 @@ def _make_kernel(spec, n_steps, env=None):
             else:
                 d["rate"] = take()[:, :]
                 d["step"] = take()[:, :]
+            if ts.nt:
+                d["ntt0"] = take()[:, :, :]
+                d["ntm"] = take()[:, :, :]
+                d["ntp"] = {k: take()[:, :, :]
+                            for k in _nt_param_keys(ts.nt)}
             trains.append(d)
 
         conns = []
@@ -356,8 +483,13 @@ def _make_kernel(spec, n_steps, env=None):
             for ci, cs in enumerate(spec.conns):
                 if cs.post == i:
                     m = conns[ci]["mask"]
-                    cnt = cnt + (jnp.sum(m, axis=0)
-                                 if cs.op[0] == "resample" else m)
+                    if cs.op[0] == "resample":
+                        cnt = cnt + jnp.sum(m, axis=0)
+                    elif cs.op[0] == "dense":
+                        # DenseBlock.aux["in_deg"]: mask column sums
+                        cnt = cnt + jnp.sum(m, axis=0, keepdims=True)
+                    else:
+                        cnt = cnt + m
             cnts.append(jnp.maximum(cnt, 1.0))
             dt_cm.append(lats[i]["dt"] / lats[i]["c_m"]
                          if "c_m" in MODEL_PARAM_KEYS[ls.model] else None)
@@ -376,18 +508,32 @@ def _make_kernel(spec, n_steps, env=None):
                                   conns[ci]["sel_c"], ones, t)
                     for t in range(len(cs.op[7]))]
 
+        def chem0_of(i):
+            if not spec.chem:
+                return ()
+            c = lats[i]["chem"]
+            zero3 = jnp.zeros_like(c["ntt"])   # rec$current rewritten /step
+            if spec.chem[0] == "dopaglugaba":
+                return (c["ntt"], c["recr"], c["recr2"], zero3,
+                        c["inh"], c["nmda"])
+            return (c["ntt"], c["recr"], zero3)
+
         lat0 = tuple(
-            (lats[i]["v"], lats[i]["w"], lats[i]["lft"], lats[i]["wst"],
+            (lats[i]["v"], lats[i]["w"], lats[i]["lft"],
+             lats[i].get("wst", ()),
              (lats[i]["tc"], lats[i]["tdw"], lats[i]["tct"])
              if ls.kind == "mod" else (),
-             lats[i]["spk0"] if env is not None else zero_of(ls.shape),
+             lats[i]["spk0"] if (env is not None or spec.chem)
+             else zero_of(ls.shape),
              lats[i]["refr"] if ls.model in REFRACTORY_MODELS
-             else zero_of(ls.shape))
+             else zero_of(ls.shape),
+             chem0_of(i))
             for i, ls in enumerate(spec.lattices))
         tr0 = tuple(
             (trains[j]["lft"],
              trains[j]["step"] if ts.kind == "rate" else zero_of(ts.shape),
-             zero_of(ts.shape))
+             zero_of(ts.shape),
+             trains[j]["ntt0"] if ts.nt else ())
             for j, ts in enumerate(spec.trains))
         cn0 = tuple(
             (conns[ci]["w"],
@@ -405,7 +551,7 @@ def _make_kernel(spec, n_steps, env=None):
             kinds that actually carry it (LIF has none — exposing the
             kernel's dummy zero plane would hand a w-reading callback
             zeros where every other tier raises KeyError)."""
-            v, w, lft, _, _, spk, refr = lat_entry
+            v, w, lft, _, _, spk, refr = lat_entry[:7]
             d = {"v": v, "last_firing_time": lft,
                  "is_spiking": spk > 0.0}
             if spec.lattices[i].model in W_MODELS:
@@ -444,13 +590,26 @@ def _make_kernel(spec, n_steps, env=None):
             # ---- phase A: electrical inputs ----
             inputs = []
             for i, ls in enumerate(spec.lattices):
+                if not spec.electrical:
+                    inputs.append(zero_of(ls.shape))
+                    continue
                 v, w, lft, wst = lat_c[i][:4]
-                acc = zero_of(ls.shape)
-                wsum = zero_of(ls.shape)
-                for o, (dr, dc) in enumerate(ls.offsets):
-                    acc = acc + wst[o] * _shift(v, dr, dc)
-                    wsum = wsum + wst[o]
-                total = acc - v * wsum
+                if ls.graph == "dense":
+                    # DenseGraph.gather_electrical mirrored, including
+                    # _phase_a's divide-then-remultiply re-expansion
+                    # (core/structured.py:688-691)
+                    Wm = jnp.where(lats[i]["mask"] > 0.0, wst, 0.0)
+                    wa = _hi_dot(v, Wm)
+                    wsub = _hi_dot(jnp.ones_like(v), Wm)
+                    ind = jnp.maximum(lats[i]["in_deg"], 1.0)
+                    total = (wa - v * wsub) / ind * ind
+                else:
+                    acc = zero_of(ls.shape)
+                    wsum = zero_of(ls.shape)
+                    for o, (dr, dc) in enumerate(ls.offsets):
+                        acc = acc + wst[o] * _shift(v, dr, dc)
+                        wsum = wsum + wst[o]
+                    total = acc - v * wsum
                 for ci, cs in enumerate(spec.conns):
                     if cs.post != i:
                         continue
@@ -458,7 +617,15 @@ def _make_kernel(spec, n_steps, env=None):
                     cmask = conns[ci]["mask"]
                     a_src = effects[cs.pre] if cs.pre_is_st \
                         else lat_c[cs.pre][0]
-                    if cs.op[0] == "resample":
+                    if cs.op[0] == "dense":
+                        # _conn_gather dense: a@w - v*(sub@w); sub is ones
+                        # for lattice sources, zeros for spike trains (w0
+                        # zeroes off-edge entries by construction)
+                        sub = jnp.zeros_like(a_src) if cs.pre_is_st \
+                            else jnp.ones_like(a_src)
+                        total = total + (_hi_dot(a_src, cw)
+                                         - v * _hi_dot(sub, cw))
+                    elif cs.op[0] == "resample":
                         # mirror `_conn_gather`'s resample branch bitwise:
                         # per-tap w*(a - sub*v) stacked then summed over the
                         # tap axis (sub is the resampled ones plane for
@@ -480,6 +647,71 @@ def _make_kernel(spec, n_steps, env=None):
                         total = total + cmask * cw * (a_src - v)
                 inputs.append(lats[i]["gap_conductance"] * total / cnts[i])
 
+            # ---- phase A: chemical neurotransmitter gather (mirrors
+            # structured._phase_a chemical arm: per-type sums/counts from
+            # the intra graph's gather_chemical, re-expanded, plus every
+            # incoming connection's _conn_gather_chemical) ----
+            t_ins, t_valids = [], []
+            if spec.chem:
+                for i, ls in enumerate(spec.lattices):
+                    c = lats[i]["chem"]
+                    ntt_i = lat_c[i][7][0]
+                    csum = jnp.zeros_like(ntt_i)
+                    ccnt = jnp.zeros_like(ntt_i)
+                    if ls.graph == "stencil" and ls.offsets:
+                        wst = lat_c[i][3]
+                        em = lats[i]["mask"]
+                        tm = ntt_i * c["ntm"]
+                        sums = jnp.zeros_like(ntt_i)
+                        gcnt = jnp.zeros_like(ntt_i)
+                        for o, (dr, dc) in enumerate(ls.offsets):
+                            sums = sums + wst[o][None] * _shift3(tm, dr, dc)
+                            gcnt = gcnt + em[o][None] * _shift3(c["ntm"],
+                                                                dr, dc)
+                        t_in_g = sums / jnp.maximum(gcnt, 1.0)
+                        csum = csum + t_in_g * jnp.maximum(gcnt, 1.0) \
+                            * (gcnt > 0.0).astype(jnp.float32)
+                        ccnt = ccnt + gcnt
+                    elif ls.graph == "dense":
+                        Wm = jnp.where(lats[i]["mask"] > 0.0,
+                                       lat_c[i][3], 0.0)
+                        mf = lats[i]["mask"]
+                        tm = ntt_i * c["ntm"]
+                        sums = jnp.stack([_hi_dot(tm[k], Wm)
+                                          for k in range(3)])
+                        gcnt = jnp.stack([_hi_dot(c["ntm"][k], mf)
+                                          for k in range(3)])
+                        t_in_g = sums / jnp.maximum(gcnt, 1.0)
+                        csum = csum + t_in_g * jnp.maximum(gcnt, 1.0) \
+                            * (gcnt > 0.0).astype(jnp.float32)
+                        ccnt = ccnt + gcnt
+                    for ci, cs in enumerate(spec.conns):
+                        if cs.post != i:
+                            continue
+                        if cs.pre_is_st:
+                            if not spec.trains[cs.pre].nt:
+                                continue    # NT-less train: zero masks
+                            t_src = tr_c[cs.pre][3]
+                            m_src = trains[cs.pre]["ntm"]
+                        else:
+                            t_src = lat_c[cs.pre][7][0]
+                            m_src = lats[cs.pre]["chem"]["ntm"]
+                        cw = cn_c[ci][0]
+                        cmask = conns[ci]["mask"]
+                        if cs.op[0] == "dense":
+                            tm = t_src * m_src
+                            csum = csum + jnp.stack(
+                                [_hi_dot(tm[k], cw) for k in range(3)])
+                            ccnt = ccnt + jnp.stack(
+                                [_hi_dot(m_src[k], cmask) for k in range(3)])
+                        else:               # one2one
+                            gate = cmask[None] > 0.0
+                            csum = csum + jnp.where(
+                                gate, cw[None] * t_src * m_src, 0.0)
+                            ccnt = ccnt + jnp.where(gate, m_src, 0.0)
+                    t_ins.append(csum / jnp.maximum(ccnt, 1.0))
+                    t_valids.append(ccnt > 0.0)
+
             # ---- dopamine decays with the reward before the visits ----
             if spec.with_reward:
                 if env is not None:
@@ -499,13 +731,60 @@ def _make_kernel(spec, n_steps, env=None):
             # ---- phase B: neuron-model step, deferred firing times ----
             new_lat = []
             for i, ls in enumerate(spec.lattices):
-                v, w, lft, wst, traces, _, refr = lat_c[i]
+                v, w, lft, wst, traces, spk_prev, refr, chem_c = lat_c[i]
                 p = lats[i]
+                chem_new = chem_c
+                rec_dv = 0.0
+                if spec.chem:
+                    # receptor kinetics + currents at the PRE-update
+                    # voltage, then receptor_dv (models/base.step:185-197)
+                    fam, rec_kind, nt_kind = spec.chem
+                    c = p["chem"]
+                    upd = jnp.logical_and(t_valids[i], c["recm"] > 0.0)
+                    recr = jnp.where(upd, _rec_kinetics_update(
+                        rec_kind, chem_c[1], t_ins[i], c["kin"], p["dt"]),
+                        chem_c[1])
+                    if fam == "dopaglugaba":
+                        recr2 = jnp.where(upd, _rec_kinetics_update(
+                            rec_kind, chem_c[2], t_ins[i], c["kin2"],
+                            p["dt"]), chem_c[2])
+                        # DopaGluGABAReceptors.set_currents: currents use
+                        # the PREVIOUS step's modifiers, then the dopamine
+                        # group rewrites them (ops/receptors.py:213-243)
+                        inh, nmda_m = chem_c[4], chem_c[5]
+                        block = 1.0 / (1.0 + jnp.exp(-0.062 * v)
+                                       * c["rec$mg"] / 3.57)
+                        glu = inh * c["rec$g_ampa"] * recr[0] \
+                            * (v - c["rec$e_ampa"]) \
+                            + block * inh * c["rec$g_nmda"] \
+                            * (recr2[0] ** nmda_m) * (v - c["rec$e_nmda"])
+                        glu = jnp.where(c["recm"][0] > 0.0, glu, 0.0)
+                        gaba = c["rec$g_gaba"] * recr[1] \
+                            * (v - c["rec$e_gaba"])
+                        gaba = jnp.where(c["recm"][1] > 0.0, gaba, 0.0)
+                        dmask = c["recm"][2] > 0.0
+                        inh = jnp.where(dmask,
+                                        1.0 - recr2[2] * c["rec$s_d2"], inh)
+                        nmda_m = jnp.where(dmask,
+                                           1.0 - recr[2] * c["rec$s_d1"],
+                                           nmda_m)
+                        reccur = jnp.stack([glu, gaba, jnp.zeros_like(glu)])
+                        rec_dv = (glu + gaba) * (p["dt"] / p["c_m"])
+                    else:
+                        # IonotropicReceptors.set_currents: NMDA Mg block
+                        # at 3.75 (iterate_and_spike/mod.rs:1259-1284)
+                        base = c["g"] * recr * (v[None] - c["e"])
+                        block = 1.0 / (1.0 + jnp.exp(-0.062 * v)
+                                       * c["mg"][1] / 3.75)
+                        cur = jnp.stack([base[0], base[1] * block, base[2]])
+                        reccur = jnp.where(c["recm"] > 0.0, cur, 0.0)
+                        rec_dv = (reccur[0] + reccur[1] + reccur[2]) \
+                            * (p["dt"] / p["c_m"])
                 if ls.model == "izhikevich":
                     dv = (0.04 * v * v + 5.0 * v + 140.0 - w + inputs[i]) \
                         * dt_cm[i]
                     dw_ = (p["a"] * (p["b"] * v - w)) * dt_tau[i]
-                    v_pre = v + dv
+                    v_pre = v + dv - rec_dv
                     w_new = w + dw_
                     if ls.emit:
                         # static-index history store (k is a Python int on
@@ -515,6 +794,13 @@ def _make_kernel(spec, n_steps, env=None):
                         e = emit_lats.index(i)
                         Ri = ls.shape[0]
                         emit_refs[e][k * Ri:(k + 1) * Ri, :] = v_pre
+                    if spec.chem:
+                        # NT release: fresh pre-reset voltage, PREVIOUS
+                        # spike flag (apply_t_changes before handle_spiking)
+                        c = p["chem"]
+                        ntt_new = jnp.where(c["ntm"] > 0.0, _nt_release(
+                            spec.chem[2], chem_c[0], v_pre, spk_prev,
+                            c["ntp"], p["dt"]), 0.0)
                     spk = v_pre >= p["v_th"]
                     v_new = jnp.where(spk, p["c"], v_pre)
                     w_new = jnp.where(spk, w_new + p["d"], w_new)
@@ -528,8 +814,13 @@ def _make_kernel(spec, n_steps, env=None):
                     else:                       # lif
                         dv = (leak + drive) * dt_tau[i]
                         dw_ = 0.0
-                    v_new = v + dv
+                    v_new = v + dv - rec_dv
                     w_new = w + dw_
+                    if spec.chem:
+                        c = p["chem"]
+                        ntt_new = jnp.where(c["ntm"] > 0.0, _nt_release(
+                            spec.chem[2], chem_c[0], v_new, spk_prev,
+                            c["ntp"], p["dt"]), 0.0)
                     # refractory handler (models/base._handle_refractory_
                     # reset / _handle_adaptive)
                     in_ref = refr > 0.0
@@ -542,9 +833,13 @@ def _make_kernel(spec, n_steps, env=None):
                     refr = jnp.where(
                         in_ref, refr - 1.0,
                         jnp.where(spk, p["tref"] / p["dt"], refr))
+                if spec.chem:
+                    chem_new = (ntt_new, recr, recr2, reccur, inh, nmda_m) \
+                        if spec.chem[0] == "dopaglugaba" \
+                        else (ntt_new, recr, reccur)
                 lft = jnp.where(spk, step_clock, lft)
                 new_lat.append([v_new, w_new, lft, wst, traces,
-                                spk.astype(jnp.float32), refr])
+                                spk.astype(jnp.float32), refr, chem_new])
             lat_c = new_lat
 
             def trig_of(idx, is_st):
@@ -686,10 +981,18 @@ def _make_kernel(spec, n_steps, env=None):
             new_tr = []
             for j, ts in enumerate(spec.trains):
                 t = trains[j]
-                lft_t, step_t, _ = tr_c[j]
+                lft_t, step_t, _, ntt_t = tr_c[j]
                 if ts.kind == "poisson":
+                    # in the unrolled forms k is a Python int and the row
+                    # slice is STATIC; the fori_loop form needs pl.ds —
+                    # dynamic row slices of unblocked refs miscompile when
+                    # the lane dim exceeds 128 (pallas_stencil gotcha), so
+                    # flat-layout (1, N>128) poisson trains force the
+                    # unrolled form (see the loop-mode selection below)
                     Rt = ts.shape[0]
-                    u = t["uniforms"][pl.ds(k * Rt, Rt), :]
+                    idx = (slice(k * Rt, (k + 1) * Rt)
+                           if isinstance(k, int) else pl.ds(k * Rt, Rt))
+                    u = t["uniforms"][idx, :]
                     spk_t = u <= t["chance"]
                 else:
                     stepped = step_t + t["dt"]
@@ -697,7 +1000,16 @@ def _make_kernel(spec, n_steps, env=None):
                                             stepped >= t["rate"])
                     step_t = jnp.where(spk_t, 0.0, stepped)
                 lft_t = jnp.where(spk_t, step_clock, lft_t)
-                new_tr.append((lft_t, step_t, spk_t.astype(jnp.float32)))
+                if ts.nt:
+                    # SpikeTrainModel._finish: NT released AFTER the new
+                    # spike flag is set, with the new voltage
+                    # (spike_train/mod.rs:353-368)
+                    v_t = jnp.where(spk_t, t["v_th"], t["v_resting"])
+                    ntt_t = jnp.where(t["ntm"] > 0.0, _nt_release(
+                        ts.nt, ntt_t, v_t, spk_t.astype(jnp.float32),
+                        t["ntp"], t["dt"]), 0.0)
+                new_tr.append((lft_t, step_t, spk_t.astype(jnp.float32),
+                               ntt_t))
 
             if env is not None:
                 # env state update + cue encoding on the POST-update state
@@ -729,9 +1041,11 @@ def _make_kernel(spec, n_steps, env=None):
             for k in range(n_steps):
                 carry = body(k, carry)
             lat_f, tr_f, cn_f, dop_f, env_f = carry
-        elif emit_lats:
-            # history stores need STATIC slice indices: unroll the step
-            # loop (k becomes a Python int), matching the emit form of
+        elif emit_lats or any(ts.kind == "poisson" and ts.shape[1] > 128
+                              for ts in spec.trains):
+            # history stores (and wide flat-train uniform reads) need
+            # STATIC slice indices: unroll the step loop (k becomes a
+            # Python int), matching the emit form of
             # ops/pallas_stencil._kernel_multi
             carry = (lat0, tr0, cn0, dop0)
             for k in range(n_steps):
@@ -749,7 +1063,7 @@ def _make_kernel(spec, n_steps, env=None):
             oc[0] += 1
 
         for i, ls in enumerate(spec.lattices):
-            v, w, lft, wst, traces, spk, refr = lat_f[i]
+            v, w, lft, wst, traces, spk, refr, chem_f = lat_f[i]
             put(v)
             put(w)
             put(lft)
@@ -762,12 +1076,17 @@ def _make_kernel(spec, n_steps, env=None):
                 put(traces[0])
                 put(traces[1])
                 put(traces[2])
+            if spec.chem:
+                for x in chem_f:    # ntt, recr[, recr2], reccur[, inh, nmda]
+                    put(x)
         for j, ts in enumerate(spec.trains):
-            lft_t, step_t, spk_t = tr_f[j]
+            lft_t, step_t, spk_t, ntt_t = tr_f[j]
             put(lft_t)
             put(spk_t)
             if ts.kind == "rate":
                 put(step_t)
+            if ts.nt:
+                put(ntt_t)
         for ci, cs in enumerate(spec.conns):
             put(cn_f[ci][0])
             if cs.reward:
@@ -793,6 +1112,7 @@ def _out_shapes(spec, n_steps, env=None):
         n_off = len(ls.offsets)
         p = jax.ShapeDtypeStruct((n_off, R, C), jnp.float32)
         pi = jax.ShapeDtypeStruct((n_off, R, C), jnp.int32)
+        f3 = jax.ShapeDtypeStruct((3, R, C), jnp.float32)
         out += [f, f, i, f]              # v, w, lft, spk
         if ls.model in REFRACTORY_MODELS:
             out.append(f)                # refractory_count
@@ -800,16 +1120,28 @@ def _out_shapes(spec, n_steps, env=None):
             out.append(p)                # wst
         if ls.kind == "mod":
             out += [p, p, pi]            # tc, tdw, tct
+        if spec.chem:
+            if spec.chem[0] == "dopaglugaba":
+                out += [f3, f3, f3, f3, f, f]  # ntt, r, r2, cur, inh, nmda
+            else:
+                out += [f3, f3, f3]            # ntt, recr, reccur
     for ts in spec.trains:
         R, C = ts.shape
         out += [jax.ShapeDtypeStruct((R, C), jnp.int32),
                 jax.ShapeDtypeStruct((R, C), jnp.float32)]     # lft, spk
         if ts.kind == "rate":
             out.append(jax.ShapeDtypeStruct((R, C), jnp.float32))  # step
+        if ts.nt:
+            out.append(jax.ShapeDtypeStruct((3, R, C), jnp.float32))  # ntt
     for cs in spec.conns:
         R2, C2 = spec.lattices[cs.post].shape
         if cs.op[0] == "resample":
             w = jax.ShapeDtypeStruct((len(cs.op[7]), R2, C2), jnp.float32)
+        elif cs.op[0] == "dense":
+            pre = spec.trains[cs.pre] if cs.pre_is_st \
+                else spec.lattices[cs.pre]
+            w = jax.ShapeDtypeStruct(
+                (pre.shape[0] * pre.shape[1], R2 * C2), jnp.float32)
         else:
             w = jax.ShapeDtypeStruct((R2, C2), jnp.float32)
         out.append(w)                    # w
@@ -854,11 +1186,21 @@ class _LatData(NamedTuple):
     v: jnp.ndarray
     w: jnp.ndarray
     lft: jnp.ndarray
-    wst: jnp.ndarray
+    wst: jnp.ndarray           # stencil planes / dense (N, N) / () for none
     mask: jnp.ndarray          # () placeholder when unused
     params: tuple              # planes, MODEL_PARAM_KEYS[model] order
     traces: tuple              # (tc, tdw, tct) or ()
     refr: jnp.ndarray = ()     # refractory_count plane (alif/lif only)
+    spk: jnp.ndarray = ()      # prev-step spike plane f32 (chem only)
+    # chemical carries (all (3, R, C) except the (R, C) modifiers)
+    ntt: jnp.ndarray = ()
+    recr: jnp.ndarray = ()
+    recr2: jnp.ndarray = ()    # dopaglugaba only
+    reccur: jnp.ndarray = ()
+    inh: jnp.ndarray = ()      # dopaglugaba inh_modifier
+    nmda: jnp.ndarray = ()     # dopaglugaba nmda_modifier
+    chem_static: tuple = ()    # static chem refs: (ntm, *ntp, recm, *kin
+                               # [, *kin2][, dopa planes | g, e, mg])
 
 
 class _TrainData(NamedTuple):
@@ -870,6 +1212,8 @@ class _TrainData(NamedTuple):
     chance: jnp.ndarray        # poisson only ((),) otherwise
     rate: jnp.ndarray
     step: jnp.ndarray
+    ntt: jnp.ndarray = ()      # NT carry (trains with ts.nt)
+    chem_static: tuple = ()    # (ntm, *ntp)
 
 
 class _ConnData(NamedTuple):
@@ -880,36 +1224,64 @@ class _ConnData(NamedTuple):
     sel_c: jnp.ndarray = ()
 
 
+def _chem_flat(spec, d):
+    """Per-lattice chemical refs in the exact kernel take order."""
+    fam, rec_kind, nt_kind = spec.chem
+    n_a = 1 + len(_nt_param_keys(nt_kind))       # ntm + nt params
+    n_b = 1 + len(_rec_kin_keys(rec_kind))       # recm + kinetics params
+    st = d.chem_static
+    flat = [d.ntt] + list(st[:n_a]) + [d.recr]
+    if fam == "dopaglugaba":
+        n_c = len(_rec_kin_keys(rec_kind))       # kin2
+        flat += [d.recr2] + list(st[n_a:n_a + n_b + n_c])
+        flat += [d.inh, d.nmda] + list(st[n_a + n_b + n_c:])
+    else:
+        flat += list(st[n_a:])                   # recm, kin, g, e, mg
+    return flat
+
+
 def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
                  rewards, uniforms, pp_vec, rp_vec, env_vec=None, spk0=()):
     """Flatten in the exact cursor order `_make_kernel` reads.  With
     ``env_vec`` (the flattened f32 env scalars), it replaces the
-    precomputed rewards SMEM slot and ``spk0`` carries the previous
-    step's spike planes (one per lattice)."""
+    precomputed rewards SMEM slot.  ``spk0`` carries the previous step's
+    spike planes (one per lattice) — consumed by the env form and by
+    chemical specs (NT release reads the previous spike flag)."""
     flat = [jnp.asarray(clock, jnp.int32).reshape(1), pp_vec, rp_vec,
             jnp.asarray(dop, jnp.float32).reshape(1),
             env_vec if env_vec is not None
             else jnp.asarray(rewards, jnp.float32).reshape(n_steps)]
     for li, (ls, d) in enumerate(zip(spec.lattices, lat_data)):
-        flat += [d.v, d.w, d.lft, d.wst]
+        flat += [d.v, d.w, d.lft]
+        if ls.graph != "none":
+            flat.append(d.wst)
         # in_deg derives from the (static) f32 mask planes, matching
-        # StencilGraph's mask.sum(axis=0) construction
-        flat.append(jnp.sum(d.mask, axis=0))
-        if env_vec is not None:
+        # StencilGraph's mask.sum(axis=0) / DenseGraph's column sums
+        if ls.graph == "stencil":
+            flat.append(jnp.sum(d.mask, axis=0))
+        elif ls.graph == "dense":
+            flat.append(jnp.sum(d.mask, axis=0, keepdims=True))
+        else:
+            flat.append(jnp.zeros(ls.shape, jnp.float32))
+        if env_vec is not None or spec.chem:
             flat.append(spk0[li])
         if ls.model in REFRACTORY_MODELS:
             flat.append(d.refr)
-        if ls.kind in ("plastic", "mod"):
+        if _needs_mask(spec, ls):
             flat.append(d.mask)
         flat += list(d.params)
         if ls.kind == "mod":
             flat += list(d.traces)
+        if spec.chem:
+            flat += _chem_flat(spec, d)
     for ts, d, u in zip(spec.trains, tr_data, uniforms):
         flat += [d.lft, d.v_th, d.v_resting, d.refr_k, d.dt]
         if ts.kind == "poisson":
             flat += [d.chance, u]
         else:
             flat += [d.rate, d.step]
+        if ts.nt:
+            flat += [d.ntt] + list(d.chem_static)
     for cs, d in zip(spec.conns, cn_data):
         flat += [d.w, d.mask]
         if cs.op[0] == "resample":
@@ -920,7 +1292,7 @@ def _flat_inputs(spec, n_steps, lat_data, tr_data, cn_data, dop, clock,
 
 
 def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
-               keys, pp_vec, rp_vec, chunk_i0=0):
+               keys, pp_vec, rp_vec, chunk_i0=0, spk0=None):
     """Scan ``n_steps // chunk`` kernel launches of ``chunk`` steps each.
     Traced — called inside the cached jitted runners.
 
@@ -929,14 +1301,16 @@ def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
     ((n_steps*R, C) per train) costs O(run length) HBM — ~4 GB for a 1e6-
     step 32x32 run — where the streamed draw is O(chunk*R*C).  ``chunk_i0``
     offsets the fold-in index so a remainder launch never reuses the main
-    scan's stream."""
+    scan's stream.  ``spk0`` (chemical specs) seeds the previous-step spike
+    planes the kernel's NT release reads; subsequent chunks use the scan
+    carry's spike outputs."""
     n_steps = rewards.shape[0]
     q = n_steps // chunk
     assert q * chunk == n_steps
 
     rew_chunks = rewards.reshape(q, chunk)
-    lat_spk0 = tuple(jnp.zeros(ls.shape, jnp.float32)
-                     for ls in spec.lattices)
+    lat_spk0 = tuple(spk0) if spk0 is not None else tuple(
+        jnp.zeros(ls.shape, jnp.float32) for ls in spec.lattices)
     tr_spk0 = tuple(jnp.zeros(ts.shape, jnp.float32) for ts in spec.trains)
 
     def draw(i):
@@ -953,11 +1327,12 @@ def _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock, rewards,
         return tuple(us)
 
     def step(carry, xs):
-        lat_data, tr_data, cn_data, dop, clock, _, _ = carry
+        lat_data, tr_data, cn_data, dop, clock, lat_spk, _ = carry
         rew_k, i = xs
         outs = _fused_chunk(spec, chunk, _flat_inputs(
             spec, chunk, lat_data, tr_data, cn_data, dop, clock, rew_k,
-            draw(i), pp_vec, rp_vec))
+            draw(i), pp_vec, rp_vec,
+            spk0=lat_spk if spec.chem else ()))
         lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits = \
             _unflatten(spec, outs, lat_data, tr_data, cn_data)
         return (lat_data, tr_data, cn_data, dop, clock + chunk,
@@ -986,25 +1361,35 @@ def _unflatten(spec, outs, lat_data, tr_data, cn_data, env=None):
     new_lat, lat_spk = [], []
     for ls, d in zip(spec.lattices, lat_data):
         v, w, lft, spk = take(), take(), take(), take()
-        wst = d.wst
-        traces = d.traces
-        refr = d.refr
+        repl = dict(v=v, w=w, lft=lft)
         if ls.model in REFRACTORY_MODELS:
-            refr = take()
+            repl["refr"] = take()
         if ls.kind in ("plastic", "mod"):
-            wst = take()
+            repl["wst"] = take()
         if ls.kind == "mod":
-            traces = (take(), take(), take())
-        new_lat.append(d._replace(v=v, w=w, lft=lft, wst=wst,
-                                  traces=traces, refr=refr))
+            repl["traces"] = (take(), take(), take())
+        if spec.chem:
+            repl["ntt"] = take()
+            repl["recr"] = take()
+            if spec.chem[0] == "dopaglugaba":
+                repl["recr2"] = take()
+                repl["reccur"] = take()
+                repl["inh"] = take()
+                repl["nmda"] = take()
+            else:
+                repl["reccur"] = take()
+            repl["spk"] = spk
+        new_lat.append(d._replace(**repl))
         lat_spk.append(spk)
     new_tr, tr_spk = [], []
     for ts, d in zip(spec.trains, tr_data):
         lft, spk = take(), take()
-        step = d.step
+        repl = dict(lft=lft)
         if ts.kind == "rate":
-            step = take()
-        new_tr.append(d._replace(lft=lft, step=step))
+            repl["step"] = take()
+        if ts.nt:
+            repl["ntt"] = take()
+        new_tr.append(d._replace(**repl))
         tr_spk.append(spk)
     new_cn = []
     for cs, d in zip(spec.conns, cn_data):
@@ -1052,16 +1437,18 @@ def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
     dop = jnp.asarray(dop, jnp.float32)
     lat_spk = tr_spk = None
     emits = emits_rem = None
+    spk0 = tuple(d.spk for d in lat_data) if spec.chem else None
     if done:
         lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits = \
             _run_fused(spec, chunk, lat_data, tr_data, cn_data, dop, clock,
-                       rewards[:done], keys, pp_vec, rp_vec)
+                       rewards[:done], keys, pp_vec, rp_vec, spk0=spk0)
+        spk0 = lat_spk if spec.chem else None
     rem = n_steps - done
     if rem:
         lat_data, tr_data, cn_data, dop, lat_spk, tr_spk, emits_rem = \
             _run_fused(spec, rem, lat_data, tr_data, cn_data, dop,
                        clock + done, rewards[done:], keys, pp_vec, rp_vec,
-                       chunk_i0=n_steps // chunk)
+                       chunk_i0=n_steps // chunk, spk0=spk0)
     if emits is None:
         emits = emits_rem
     elif emits_rem is not None:
@@ -1073,6 +1460,15 @@ def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
 def estimate_vmem(spec, chunk=DEFAULT_CHUNK):
     """Rough VMEM requirement: all input planes + the uniforms chunk + a
     small multiplier for loop-carried temporaries."""
+    chem_planes = 0
+    if spec.chem:
+        fam, rec_kind, nt_kind = spec.chem
+        a, b = len(_nt_param_keys(nt_kind)), len(_rec_kin_keys(rec_kind))
+        # spk0 + (3,R,C) carries + (3,R,C) statics (+ dopa modifier planes)
+        if fam == "dopaglugaba":
+            chem_planes = 1 + 3 * 4 + 2 + 3 * 2 + 3 * a + 6 * b + 9
+        else:
+            chem_planes = 1 + 3 * 3 + 3 * 2 + 3 * a + 3 * b + 9
     total = 0
     for ls in spec.lattices:
         n = ls.shape[0] * ls.shape[1]
@@ -1084,9 +1480,13 @@ def estimate_vmem(spec, chunk=DEFAULT_CHUNK):
             planes += n_off * 3
         if ls.emit:
             planes += chunk          # the (chunk*R, C) v_pre output
+        planes += chem_planes
         total += planes * n
+        if ls.graph == "dense":
+            total += 2 * n * n       # (N, N) intra weights + mask
     for ts in spec.trains:
-        total += (6 + chunk) * ts.shape[0] * ts.shape[1]
+        nt = (3 * (2 + len(_nt_param_keys(ts.nt))) if ts.nt else 0)
+        total += (6 + chunk + nt) * ts.shape[0] * ts.shape[1]
     for cs in spec.conns:
         n_post = (spec.lattices[cs.post].shape[0]
                   * spec.lattices[cs.post].shape[1])
@@ -1095,15 +1495,29 @@ def estimate_vmem(spec, chunk=DEFAULT_CHUNK):
             _, R1, C1, R2, C2, _, _, taps = cs.op
             total += 2 * len(taps) * n_post
             total += len(taps) * (R2 * R1 + C2 * C1)
+        elif cs.op[0] == "dense":
+            pre = spec.trains[cs.pre] if cs.pre_is_st \
+                else spec.lattices[cs.pre]
+            total += 2 * pre.shape[0] * pre.shape[1] * n_post
         else:
             total += (2 + (3 if cs.reward else 0)) * n_post
     return total * 4 * 3
 
 
 def supports_shapes(spec, chunk=DEFAULT_CHUNK):
-    cols = [ls.shape[1] for ls in spec.lattices] \
-        + [ts.shape[1] for ts in spec.trains]
-    return max(cols) <= 128 and estimate_vmem(spec, chunk) < VMEM_BUDGET
+    # grid-layout planes are bound by the proven 128-lane limit; FLAT
+    # (1, N) layouts (dense/edgeless graphs, no stencil rolls) are pure
+    # elementwise/MXU programs whose refs are indexed statically, safe up
+    # to DENSE_N_MAX lanes (verified on hardware, tests/test_pallas_chem)
+    for ls in spec.lattices:
+        lim = DENSE_N_MAX if ls.shape[0] == 1 and ls.graph != "stencil" \
+            else 128
+        if ls.shape[1] > lim:
+            return False
+    for ts in spec.trains:
+        if ts.shape[1] > (DENSE_N_MAX if ts.shape[0] == 1 else 128):
+            return False
+    return estimate_vmem(spec, chunk) < VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
@@ -1111,36 +1525,77 @@ def supports_shapes(spec, chunk=DEFAULT_CHUNK):
 # ---------------------------------------------------------------------------
 
 
-def _lat_data(state, graph, kind, trace, model="izhikevich"):
-    R, C = graph.shape
+def _lat_data(spec, i, state, graph, trace):
+    ls = spec.lattices[i]
+    R, C = ls.shape
+    kind, model = ls.kind, ls.model
 
     def g(n):
         return state[n].reshape(R, C)
+
+    def g3(n, cast=False):
+        x = state[n]
+        if cast:
+            x = x.astype(jnp.float32)
+        return jnp.moveaxis(x.reshape(R, C, 3), -1, 0)
 
     traces = ()
     if kind == "mod":
         traces = (trace["c"], trace["dw"], trace["counter"])
+    wst = mask = ()
+    if ls.graph != "none":
+        wst = graph.weights
+        mask = graph.mask.astype(jnp.float32)
+    chem = {}
+    if spec.chem:
+        fam, rec_kind, nt_kind = spec.chem
+        ntp = tuple(g3(k) for k in _nt_param_keys(nt_kind))
+        kin = tuple(g3("rec$" + k) for k in _rec_kin_keys(rec_kind))
+        chem = dict(ntt=g3("nt$t"), recr=g3("rec$r"),
+                    reccur=g3("rec$current"),
+                    spk=g("is_spiking").astype(jnp.float32))
+        if fam == "dopaglugaba":
+            kin2 = tuple(g3("rec$r2$" + k) for k in _rec_kin_keys(rec_kind))
+            chem.update(
+                recr2=g3("rec$r2"), inh=g("rec$inh_modifier"),
+                nmda=g("rec$nmda_modifier"),
+                chem_static=(g3("nt$mask", cast=True),) + ntp
+                + (g3("rec$mask", cast=True),) + kin + kin2
+                + tuple(g(k) for k in DOPA_PLANES))
+        else:
+            chem["chem_static"] = (g3("nt$mask", cast=True),) + ntp \
+                + (g3("rec$mask", cast=True),) + kin \
+                + (g3("rec$g"), g3("rec$e"), g3("rec$mg"))
     return _LatData(
         v=g("v"),
         w=g("w") if "w" in state else jnp.zeros((R, C), jnp.float32),
         lft=state["last_firing_time"].reshape(R, C),
-        wst=graph.weights, mask=graph.mask.astype(jnp.float32),
+        wst=wst, mask=mask,
         params=tuple(g(p) for p in MODEL_PARAM_KEYS[model]), traces=traces,
-        refr=(g("refractory_count") if model in REFRACTORY_MODELS else ()))
+        refr=(g("refractory_count") if model in REFRACTORY_MODELS else ()),
+        **chem)
 
 
-def _train_data(state, R, C):
+def _train_data(state, R, C, ts=None):
     def g(n):
         return state[n].reshape(R, C)
 
     zero = jnp.zeros((R, C), jnp.float32)
+    chem = {}
+    if ts is not None and ts.nt:
+        ntm = jnp.moveaxis(
+            state["nt$mask"].astype(jnp.float32).reshape(R, C, 3), -1, 0)
+        ntp = tuple(jnp.moveaxis(state[k].reshape(R, C, 3), -1, 0)
+                    for k in _nt_param_keys(ts.nt))
+        chem = dict(ntt=jnp.moveaxis(state["nt$t"].reshape(R, C, 3), -1, 0),
+                    chem_static=(ntm,) + ntp)
     return _TrainData(
         lft=state["last_firing_time"].reshape(R, C),
         v_th=g("v_th"), v_resting=g("v_resting"),
         refr_k=g("refractoriness$k"), dt=g("dt"),
         chance=g("chance_of_firing") if "chance_of_firing" in state else zero,
         rate=g("rate") if "rate" in state else zero,
-        step=g("step") if "step" in state else zero)
+        step=g("step") if "step" in state else zero, **chem)
 
 
 def _conn_data(w, aux, R, C, trace0, op=("one2one",)):
@@ -1155,9 +1610,29 @@ def _conn_data(w, aux, R, C, trace0, op=("one2one",)):
         return _ConnData(w=w, mask=aux["mask"].astype(jnp.float32),
                          traces=traces, sel_r=jnp.asarray(sel_r),
                          sel_c=jnp.asarray(sel_c))
+    if op[0] == "dense":
+        # DenseBlock: (n_pre, n_post) matrix layout kept as-is
+        return _ConnData(w=w, mask=aux["mask"].astype(jnp.float32),
+                         traces=traces)
     return _ConnData(w=w.reshape(R, C),
                      mask=aux["mask"].astype(jnp.float32).reshape(R, C),
                      traces=traces)
+
+
+def _back3(x):
+    """(3, R, C) kernel plane stack -> flat (N, 3) state layout."""
+    return jnp.moveaxis(x, 0, -1).reshape(-1, 3)
+
+
+def _chem_writeback(spec, s, d):
+    """Install a lattice's chemical kernel outputs into its state dict."""
+    s["nt$t"] = _back3(d.ntt)
+    s["rec$r"] = _back3(d.recr)
+    s["rec$current"] = _back3(d.reccur)
+    if spec.chem[0] == "dopaglugaba":
+        s["rec$r2"] = _back3(d.recr2)
+        s["rec$inh_modifier"] = d.inh.reshape(-1)
+        s["rec$nmda_modifier"] = d.nmda.reshape(-1)
 
 
 def _stencil_ok(graph, shape):
@@ -1192,6 +1667,31 @@ def supports_lattice(lat):
             and not bool(_mask_any(lat.state["nt$mask"])))
 
 
+def plain_stdp_lattice_spec(lat):
+    """Single-lattice NetSpec for a PLAIN ``Lattice`` with STDP plasticity
+    (BASELINE's "STDP exc/inh lattice" config; VERDICT r04 task 6), or
+    None when outside the fused class.  The kernel's 'plastic' lattice
+    kind already implements intra-stencil STDP for networks — this routes
+    the standalone runtime through the same machinery.  Emission (grid
+    histories) follows the plain-network rules: izhikevich only."""
+    from ..core.plasticity import STDP
+    mk = _model_kind(lat.model)
+    if (mk is None or not lat.electrical_synapse or lat.chemical_synapse
+            or getattr(lat, "mesh", None) is not None
+            or not _stencil_ok(lat.graph, (lat.rows, lat.cols))
+            or type(lat.plasticity) is not STDP):
+        return None
+    emit = bool(lat.update_grid_history)
+    if emit and (mk != "izhikevich"
+                 or lat.grid_history.kind not in ("grid", "average",
+                                                  "eeg", "spikes")):
+        return None
+    spec = NetSpec((LatSpec("plastic", lat.graph.offsets, mk,
+                            (lat.rows, lat.cols), emit=emit),),
+                   (), (), False)
+    return spec if supports_shapes(spec) else None
+
+
 @functools.lru_cache(maxsize=None)
 def _build_fused_lattice_runner(spec):
     """Jitted standalone-lattice runner (everything — marshalling, uniform
@@ -1202,7 +1702,7 @@ def _build_fused_lattice_runner(spec):
 
     def impl(state, graph, trace, dopamine, key, clock, rewards, rp):
         ls = spec.lattices[0]
-        lat_data = (_lat_data(state, graph, ls.kind, trace, ls.model),)
+        lat_data = (_lat_data(spec, 0, state, graph, trace),)
         lat_data, _, _, dop, lat_spk, _, key, _ = _advance(
             spec, rewards.shape[0], lat_data, (), (), dopamine, clock,
             rewards, key, rp, rp)
@@ -1398,10 +1898,10 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
              rconn_ws, rconn_traces, rconn_aux, dopamine, key, clock,
              rewards, pparams, rparams):
         lat_data = tuple(
-            _lat_data(states[k], graphs[k], spec.lattices[k].kind,
-                      traces[k], spec.lattices[k].model)
+            _lat_data(spec, k, states[k], graphs[k], traces[k])
             for k in range(len(spec.lattices)))
-        tr_data = tuple(_train_data(st_states[k], *spec.trains[k].shape)
+        tr_data = tuple(_train_data(st_states[k], *spec.trains[k].shape,
+                                    ts=spec.trains[k])
                         for k in range(len(spec.trains)))
         cn_data = tuple(
             _conn_data(conn_ws[ci], conn_aux[ci],
@@ -1428,6 +1928,8 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
             s["is_spiking"] = lat_spk[k].reshape(-1) > 0.0
             if ls.model in REFRACTORY_MODELS:
                 s["refractory_count"] = d.refr.reshape(-1)
+            if spec.chem:
+                _chem_writeback(spec, s, d)
             new_states.append(s)
             if ls.kind in ("plastic", "mod"):
                 new_graphs[k] = graphs[k].replace_weights(d.wst)
@@ -1444,6 +1946,8 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
             s["last_firing_time"] = d.lft.reshape(-1)
             if ts.kind == "rate":
                 s["step"] = d.step.reshape(-1)
+            if ts.nt:
+                s["nt$t"] = _back3(d.ntt)
             new_st.append(s)
         new_conn_ws = tuple(cn_data[ci].w.reshape(-1)
                             for ci in range(n_plain))
@@ -1461,16 +1965,63 @@ def _build_fused_network_runner(spec, n_plain, n_reward):
     return jax.jit(impl)
 
 
-def plain_network_runner(net, plan, skip_nt, length, hist=()):
+DENSE_N_MAX = 512      # dense intra/conn matrices: N^2 VMEM entries
+
+
+def _chem_spec(model):
+    """(family, rec_kind, nt_kind) for a supported chemical model config,
+    else None (unsupported receptor system / kinetics)."""
+    from .receptors import IonotropicReceptors, DopaGluGABAReceptors
+    fam = {IonotropicReceptors: "ionotropic",
+           DopaGluGABAReceptors: "dopaglugaba"}.get(type(model.receptors))
+    if fam is None:
+        return None
+    rec_kind = model.receptors.kinetics
+    nt_kind = model.nt_kinetics
+    if rec_kind not in REC_KINDS or nt_kind not in NT_KINDS:
+        return None
+    return (fam, rec_kind, nt_kind)
+
+
+def _graph_kind(lat):
+    """Kernel intra-graph class for a lattice, else None."""
+    from .graph import StencilGraph, DenseGraph, SparseGraph
+    g = lat.graph
+    if isinstance(g, StencilGraph) and tuple(g.shape) == (lat.rows,
+                                                          lat.cols):
+        return "stencil"
+    if isinstance(g, DenseGraph) and g.n_pre == g.n_post == lat.n \
+            and lat.n <= DENSE_N_MAX:
+        return "dense"
+    if isinstance(g, SparseGraph) and int(g.src.shape[0]) == 0:
+        return "none"
+    return None
+
+
+def plain_network_runner(net, plan, skip_nt, length, hist=(), st_nt=()):
     """Fused runner for `core.structured.run_structured` (plain
     LatticeNetwork; same call and return signature as
     `_build_structured_runner`'s runner), or None when unsupported.
 
     Supported class mirrors `network_runner` minus the reward machinery:
-    Izhikevich/ALIF/LIF lattices on StencilGraphs (MIXED grid shapes
-    allowed), electrical synapses only, no neurotransmitters, Poisson/Rate
-    trains, one-to-one and resample (pooling/upsampling, see
-    `core/structured.ResampleBlock`) connections, STDP plasticity.
+    Izhikevich/ALIF/LIF lattices, Poisson/Rate trains, STDP plasticity,
+    with two graph layouts:
+
+    * GRID mode — StencilGraph (or edgeless) intra graphs, MIXED grid
+      shapes, one-to-one and resample connections;
+    * FLAT mode — any lattice with a DENSE intra graph (Hopfield-style
+      `connect`, N <= DENSE_N_MAX) switches the whole network to a (1, N)
+      row layout where intra gathers and dense inter-lattice blocks are
+      HIGHEST-precision MXU matmuls; one-to-one connections stay
+      elementwise.  No plasticity (dense-edge STDP needs transposes that
+      do not lower in Mosaic).
+
+    CHEMICAL networks (``net.chemical_synapse``, the reference's flagship
+    DopaGluGABA-Izhikevich Bayesian/dopamine pipelines — GPU runtime
+    `gpu_lattices/mod.rs:2585+`) are fused too: per-type NT concentration
+    planes, receptor kinetics + ligand currents + NT release in-body
+    (Ionotropic and DopaGluGABA families, all four kinetics).  ``st_nt``
+    carries the per-train NT-presence flags (st_ids order).
 
     ``hist`` carries `run_structured`'s lattice grid-history entries
     ``(lat_id, kind, sig, shape)``: grid/average/eeg/spikes readouts on
@@ -1485,59 +2036,99 @@ def plain_network_runner(net, plan, skip_nt, length, hist=()):
     sts = [net.spike_train_lattices[i] for i in st_ids]
     if not lattices:
         return None
-    if not (net.electrical_synapse and not net.chemical_synapse and skip_nt):
+    chem = ()
+    if net.chemical_synapse:
+        model0 = lattices[0].model
+        chem = _chem_spec(model0)
+        if chem is None:
+            return None
+        # phase B steps every lattice with lattices[0].model (structured
+        # runner semantics); chemical configs must share it exactly
+        if any(lat.model != model0 for lat in lattices):
+            return None
+    elif not (net.electrical_synapse and skip_nt):
         return None
     if getattr(net, "mesh", None) is not None \
             or any(getattr(l, "mesh", None) is not None for l in lattices):
         return None                     # sharded nets stay on GSPMD/XLA
     lat_index = {i: k for k, i in enumerate(lat_ids)}
     st_index = {i: k for k, i in enumerate(st_ids)}
+
+    graph_kinds = [_graph_kind(lat) for lat in lattices]
+    if any(g is None for g in graph_kinds):
+        return None
+    conn_kinds = []
+    for entry in plan["conns"]:
+        ok = entry["op"].kind
+        conn_kinds.append(ok[0] if isinstance(ok, tuple) else ok)
+    flat = "dense" in graph_kinds or "dense" in conn_kinds
+    if flat and ("stencil" in graph_kinds or "resample" in conn_kinds):
+        return None                     # mixed layouts: XLA
+
     emit_ks = set()
     hist_info = []
-    for (i, kind, sig, _shape) in hist:
+    for (i, kind, sig, gshape) in hist:
         if i not in lat_index or kind not in ("grid", "average", "eeg",
                                               "spikes"):
             return None
         emit_ks.add(lat_index[i])
-        hist_info.append((lat_index[i], i, kind, sig))
+        hist_info.append((lat_index[i], i, kind, sig, gshape))
     lat_models, lat_kind, shapes = [], [], []
     for k, lat in enumerate(lattices):
         mk = _model_kind(lat.model)
-        shape_l = (lat.rows, lat.cols)
-        if mk is None or not _stencil_ok(lat.graph, shape_l):
+        if mk is None:
             return None
+        if chem and "c_m" not in MODEL_PARAM_KEYS[mk]:
+            return None     # receptor_dv needs dt / c_m planes
+        shape_l = (1, lat.n) if flat else (lat.rows, lat.cols)
         if k in emit_ks and mk != "izhikevich":
             return None     # v_pre reconstruction is izhikevich-only
         lat_models.append(mk)
         lat_kind.append("plastic" if lat.do_plasticity else "plain")
         shapes.append(shape_l)
-    if any(k == "plastic" for k in lat_kind) \
-            and type(net._plasticity()) is not STDP:
-        return None
+    if any(k == "plastic" for k in lat_kind):
+        if flat:
+            return None     # dense-edge STDP: no Mosaic transpose
+        if type(net._plasticity()) is not STDP:
+            return None
     st_model = sts[0].model if sts else None
     tr_specs = []
-    for s in sts:
-        # spike-train nt masks are covered by the caller's batched check
+    for j, s in enumerate(sts):
         ts = _train_spec(s, st_model)
         if ts is None:
             return None
+        if flat:
+            ts = ts._replace(shape=(1, s.n))
+        if chem and j < len(st_nt) and st_nt[j]:
+            ts = ts._replace(nt=st_model.nt_kinetics)
+            if st_model.nt_kinetics not in NT_KINDS:
+                return None
         tr_specs.append(ts)
     do_plast = [k == "plastic" for k in lat_kind]
-    conn_specs = []
-    for entry in plan["conns"]:
+    conn_specs, keep = [], []
+    for ei, entry in enumerate(plan["conns"]):
         pre_is_st = entry["pre_is_st"]
         pre_k = st_index[entry["pre"]] if pre_is_st \
             else lat_index[entry["pre"]]
         post_k = lat_index[entry["post"]]
         pre_shape = tr_specs[pre_k].shape if pre_is_st else shapes[pre_k]
         op_kind = entry["op"].kind
+        if op_kind == "empty":
+            continue        # zero contribution: drop from the kernel spec
         if op_kind == "one2one":
             if pre_shape != shapes[post_k]:
                 return None     # flat-index identity needs aligned planes
             op = ("one2one",)
+        elif op_kind == "dense":
+            n_pre = entry["op"].w0.shape[0]
+            if n_pre > DENSE_N_MAX:
+                return None
+            op = ("dense",)
         elif isinstance(op_kind, tuple) and op_kind[0] == "resample":
             # static = (R1, C1, R2, C2, fr, fc, taps); plane shapes are
             # guaranteed by ResampleBlock's construction
+            if chem:
+                return None     # resampled chemical gather: not fused yet
             op = op_kind
         else:
             return None
@@ -1545,43 +2136,56 @@ def plain_network_runner(net, plan, skip_nt, length, hist=()):
         # count = pre_spiking * pre_plastic + post_spiking * post_plastic
         pre_plastic = (not pre_is_st) and do_plast[pre_k]
         post_plastic = do_plast[post_k]
+        keep.append(ei)
         conn_specs.append(ConnSpec(
             pre_is_st, pre_k, post_k, False, 0,
             pre_plastic, post_plastic, pre_plastic or post_plastic, op))
-    spec = NetSpec(tuple(LatSpec(k, lat.graph.offsets, mk, sh,
-                                 emit=ki in emit_ks)
-                         for ki, (k, lat, mk, sh) in enumerate(
-                             zip(lat_kind, lattices, lat_models, shapes))),
-                   tuple(tr_specs), tuple(conn_specs), False)
+    spec = NetSpec(tuple(LatSpec(k, lat.graph.offsets if g == "stencil"
+                                 else (), mk, sh, emit=ki in emit_ks,
+                                 graph=g)
+                         for ki, (k, lat, mk, sh, g) in enumerate(
+                             zip(lat_kind, lattices, lat_models, shapes,
+                                 graph_kinds))),
+                   tuple(tr_specs), tuple(conn_specs), False,
+                   electrical=bool(net.electrical_synapse), chem=chem)
     if not supports_shapes(spec):
         return None
-    return _build_fused_plain_runner(spec, int(length), tuple(hist_info))
+    return _build_fused_plain_runner(spec, int(length), tuple(hist_info),
+                                     tuple(keep))
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused_plain_runner(spec, length, hist_info=()):
+def _build_fused_plain_runner(spec, length, hist_info=(), keep=()):
     """Jitted plain-network runner (signature of
     `core.structured._build_structured_runner`'s `run`).
 
-    ``hist_info`` entries (lat_k, lat_id, kind, sig) turn the emitted
-    per-step v_pre planes into the same ys dict the XLA runner returns:
-    spikes/post-reset v are reconstructed with the identical ops the
-    kernel used (spk = v_pre >= v_th; v = where(spk, c, v_pre)) — exact."""
+    ``hist_info`` entries (lat_k, lat_id, kind, sig, gshape) turn the
+    emitted per-step v_pre planes into the same ys dict the XLA runner
+    returns: spikes/post-reset v are reconstructed with the identical ops
+    the kernel used (spk = v_pre >= v_th; v = where(spk, c, v_pre)) —
+    exact.
+
+    ``keep`` maps the spec's conn index -> the caller's plan-order conn
+    index: empty-op connections are dropped from the kernel spec but their
+    ``conn_ws`` slots must pass through the runner unchanged (they are
+    donated jit inputs and the structured writeback re-adopts every slot).
+    """
     import math as _math
 
     n_conns = len(spec.conns)
+    keep = tuple(keep) if keep else tuple(range(n_conns))
     emit_order = [k for k, ls in enumerate(spec.lattices) if ls.emit]
 
     def impl(states, st_states, graphs, conn_ws, conn_aux, key, clock,
              pparams):
         lat_data = tuple(
-            _lat_data(states[k], graphs[k], spec.lattices[k].kind, None,
-                      spec.lattices[k].model)
+            _lat_data(spec, k, states[k], graphs[k], None)
             for k in range(len(spec.lattices)))
-        tr_data = tuple(_train_data(st_states[k], *spec.trains[k].shape)
+        tr_data = tuple(_train_data(st_states[k], *spec.trains[k].shape,
+                                    ts=spec.trains[k])
                         for k in range(len(spec.trains)))
         cn_data = tuple(
-            _conn_data(conn_ws[ci], conn_aux[ci],
+            _conn_data(conn_ws[keep[ci]], conn_aux[keep[ci]],
                        *spec.lattices[spec.conns[ci].post].shape, None,
                        spec.conns[ci].op)
             for ci in range(n_conns))
@@ -1604,6 +2208,8 @@ def _build_fused_plain_runner(spec, length, hist_info=()):
             s["is_spiking"] = lat_spk[k].reshape(-1) > 0.0
             if ls.model in REFRACTORY_MODELS:
                 s["refractory_count"] = d.refr.reshape(-1)
+            if spec.chem:
+                _chem_writeback(spec, s, d)
             new_states.append(s)
             if ls.kind == "plastic":
                 new_graphs[k] = graphs[k].replace_weights(d.wst)
@@ -1617,25 +2223,34 @@ def _build_fused_plain_runner(spec, length, hist_info=()):
             s["last_firing_time"] = d.lft.reshape(-1)
             if ts.kind == "rate":
                 s["step"] = d.step.reshape(-1)
+            if ts.nt:
+                s["nt$t"] = _back3(d.ntt)
             new_st.append(s)
         # resample weights keep their (n_taps, R2, C2) plane layout
-        # (ResampleBlock.w0); one2one weights go back to flat vectors
-        new_conn_ws = tuple(
-            cn_data[ci].w if spec.conns[ci].op[0] == "resample"
-            else cn_data[ci].w.reshape(-1)
-            for ci in range(n_conns))
+        # (ResampleBlock.w0), dense weights their (n_pre, n_post) matrix;
+        # one2one weights go back to flat vectors.  Dropped (empty-op)
+        # plan slots pass through unchanged.
+        new_conn_ws = list(conn_ws)
+        for ci in range(n_conns):
+            w = cn_data[ci].w
+            if spec.conns[ci].op[0] not in ("resample", "dense"):
+                w = w.reshape(-1)
+            new_conn_ws[keep[ci]] = w
+        new_conn_ws = tuple(new_conn_ws)
         ys = {}
-        for (lat_k, lat_id, kind, sig) in hist_info:
+        for (lat_k, lat_id, kind, sig, gshape) in hist_info:
             v_pre = emits[emit_order.index(lat_k)]   # (length, R, C)
             R, C = spec.lattices[lat_k].shape
             spk = v_pre >= states[lat_k]["v_th"].reshape(R, C)[None]
             if kind == "spikes":
-                ys[("lat", lat_id)] = spk
+                # gshape is the lattice's USER-facing grid shape — flat
+                # (1, N) kernel layouts reshape back to (rows, cols)
+                ys[("lat", lat_id)] = spk.reshape((length,) + gshape)
                 continue
             v_post = jnp.where(spk, states[lat_k]["c"].reshape(R, C)[None],
                                v_pre)
             if kind == "grid":
-                ys[("lat", lat_id)] = v_post
+                ys[("lat", lat_id)] = v_post.reshape((length,) + gshape)
             elif kind == "average":
                 ys[("lat", lat_id)] = jnp.mean(v_post.reshape(length, -1),
                                                axis=1)

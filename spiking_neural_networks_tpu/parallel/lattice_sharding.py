@@ -61,9 +61,23 @@ def make_lattice_mesh(n_devices=None, devices=None, axis="tp"):
 
 
 def _put(leaf, sharding):
+    if isinstance(leaf, np.ndarray) and leaf.dtype == np.bool_:
+        # host bool leaves (is_spiking, was_increasing — lazy populate
+        # leaves them host-side) must not ride a direct bool device_put:
+        # bool puts are unreliable over the TPU relay (round-2 fix,
+        # utils/transfer.device_put_bool).  Ship as uint8 and cast on
+        # device; the jitted cast preserves the sharding.
+        out = jax.device_put(np.asarray(leaf.astype(np.uint8)), sharding)
+        out.block_until_ready()
+        return _cast_bool(out)
     out = jax.device_put(leaf, sharding)
     out.block_until_ready()  # sequential synced puts (see utils/transfer)
     return out
+
+
+@jax.jit
+def _cast_bool(x):
+    return x != 0
 
 
 def state_spec(mesh, n, leaf, axis="tp", rows=None):

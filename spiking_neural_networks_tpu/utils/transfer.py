@@ -125,7 +125,14 @@ class HostArray(np.ndarray):
     device ship to the first run entry point) are drop-in for user
     callbacks written against device arrays — e.g.
     ``lat.apply(lambda s: {**s, "v": s["v"].at[i].set(30.0)})``.
-    All updates copy (functional semantics, like jax.Array.at)."""
+    All updates copy (functional semantics, like jax.Array.at).
+
+    Supported subset of ``jax.Array.at``: ``get/set/add/multiply(mul)/
+    divide(div)/min/max``.  Not implemented: ``apply``, ``power``,
+    ``get(fill_value=...)``, and jax's out-of-bounds index clamping —
+    out-of-range indices raise IndexError here (NumPy semantics) where a
+    shipped device leaf would clamp.  Callbacks relying on those should
+    run after the state ships (utils.transfer.ensure_device_state)."""
 
     @property
     def at(self):
@@ -143,6 +150,12 @@ class _HostAt:
 class _HostAtIndex:
     def __init__(self, arr, idx):
         self._arr, self._idx = arr, idx
+
+    def __getattr__(self, name):
+        raise AttributeError(
+            f".at[...].{name} is not implemented on lazy host state leaves "
+            "(supported: get/set/add/multiply/divide/min/max); ship the "
+            "state first with utils.transfer.ensure_device_state")
 
     def _updated(self, op, value):
         out = self._arr.copy()
