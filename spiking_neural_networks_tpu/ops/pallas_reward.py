@@ -1798,10 +1798,17 @@ def _env_advance(spec, env, n_steps, lat_data, spk0, dop, clock, env_vec,
 
 
 def _model_kind(model):
-    """MODEL_PARAM_KEYS key for a supported neuron model, else None."""
+    """MODEL_PARAM_KEYS key for a supported neuron model, else None.
+
+    `DopaIzhikevich` (the lixirnet flagship, models/dopa.py) has deltas and
+    spike handling identical to `Izhikevich` — only its receptor system
+    differs, which `_chem_spec` carries separately — so it shares the
+    izhikevich kernel class."""
     from ..models.integrate_and_fire import (
         Izhikevich, AdaptiveLeakyIntegrateAndFire, LeakyIntegrateAndFire)
+    from ..models.dopa import DopaIzhikevich
     return {Izhikevich: "izhikevich",
+            DopaIzhikevich: "izhikevich",
             AdaptiveLeakyIntegrateAndFire: "alif",
             LeakyIntegrateAndFire: "lif"}.get(type(model))
 

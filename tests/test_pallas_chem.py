@@ -347,3 +347,111 @@ def test_chemical_grid_history_emission():
     assert ha.shape == hb.shape
     np.testing.assert_allclose(hb, ha, rtol=1e-5, atol=1e-4)
     _match(a, b)
+
+
+def _bayesian_net(seed=5):
+    """The flagship Bayesian-pipeline configuration via the lixirnet
+    surface (experiments/bayesian_inference_pipeline.py ==
+    /root/reference/interface_gpu/experiments/bayesian_inference_pipeline.py):
+    DopaIzhikevich (models/dopa.py) lattices — 7x7 exc with Hopfield-dense
+    intra weights + grid history, 3x3 inh — chemically coupled, plus two
+    Poisson cue lattices (glutamate + dopamine NTs).  The cue rates are 0
+    so both arms are deterministic; the chemical cascade is seeded by
+    starting a third of the exc neurons above threshold."""
+    import spiking_neural_networks_tpu.lixirnet as ln
+
+    rng = np.random.default_rng(seed)
+    exc_n, inh_n = 7, 3
+    num = exc_n * exc_n
+    w = rng.normal(0.0, 1.0, (num, num))
+    w[np.abs(w) < 0.8] = 0.0
+    np.fill_diagonal(w, 0.0)
+
+    kin = dict(clearance_constant=0.001)
+    exc_nts = {ln.DopaGluGABANeurotransmitterType.Glutamate:
+               ln.BoundedNeurotransmitterKinetics(**kin)}
+    inh_nts = {ln.DopaGluGABANeurotransmitterType.GABA:
+               ln.BoundedNeurotransmitterKinetics(**kin)}
+    dopa_nts = {ln.DopaGluGABANeurotransmitterType.Dopamine:
+                ln.BoundedNeurotransmitterKinetics(**kin)}
+    receptors = ln.DopaGluGABA()
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.Glutamate,
+                     ln.GlutamateReceptor(
+                         ampa_r=ln.BoundedReceptorKinetics(r_max=10),
+                         nmda_r=ln.BoundedReceptorKinetics(r_max=10)))
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.GABA,
+                     ln.GABAReceptor())
+    receptors.insert(ln.DopaGluGABANeurotransmitterType.Dopamine,
+                     ln.DopamineReceptor(s_d1=0.0, s_d2=0.5))
+    exc_neuron = ln.IzhikevichNeuron()
+    exc_neuron.set_synaptic_neurotransmitters(exc_nts)
+    exc_neuron.set_receptors(receptors)
+    inh_neuron = ln.IzhikevichNeuron()
+    inh_neuron.set_synaptic_neurotransmitters(inh_nts)
+    inh_neuron.set_receptors(receptors)
+    poisson = ln.PoissonNeuron()
+    poisson.set_synaptic_neurotransmitters(exc_nts)
+    poisson_dopa = ln.PoissonNeuron()
+    poisson_dopa.set_synaptic_neurotransmitters(dopa_nts)
+
+    v0 = rng.uniform(-65.0, -45.0, num)
+    v0[rng.permutation(num)[:num // 3]] = 40.0   # above v_th: spike at t=0
+
+    def setup(pos, neuron):
+        neuron.current_voltage = float(v0[pos[0] * exc_n + pos[1]])
+        neuron.c_m = 25.0
+        return neuron
+
+    inh = ln.IzhikevichNeuronLattice(0)
+    inh.populate(inh_neuron, inh_n, inh_n)
+    exc = ln.IzhikevichNeuronLattice(1)
+    exc.populate(exc_neuron, exc_n, exc_n)
+    exc.apply_given_position(setup)
+    p2i = exc.position_to_index
+    exc.connect(lambda x, y: bool(w[p2i[x]][p2i[y]] != 0),
+                lambda x, y: float(w[p2i[x]][p2i[y]]))
+    exc.update_grid_history = True
+    cue_main = ln.PoissonLattice(2)
+    cue_main.populate(poisson, exc_n, exc_n)
+    cue_bayes = ln.PoissonLattice(3)
+    cue_bayes.populate(poisson_dopa, exc_n, exc_n)
+
+    net = ln.IzhikevichNeuronNetwork()
+    net.add_lattice(inh)
+    net.add_lattice(exc)
+    net.add_spike_train_lattice(cue_main)
+    net.add_spike_train_lattice(cue_bayes)
+    net.connect(0, 1, lambda x, y: True, lambda x, y: 0.5)
+    net.connect(1, 0, lambda x, y: (x[0] + y[1]) % 2 == 0,
+                lambda x, y: 1.0)
+    net.connect(2, 1, lambda x, y: x == y, lambda x, y: 5.0)
+    net.connect(3, 1, lambda x, y: x == y, lambda x, y: 2.0)
+    net.set_dt(1.0)
+    net.electrical_synapse = False
+    net.chemical_synapse = True
+    return net
+
+
+def test_lixirnet_bayesian_network_fused_bit_exact():
+    """The flagship DopaGluGABA-Izhikevich Bayesian network must ENGAGE the
+    fused chemical kernel through the lixirnet surface (DopaIzhikevich
+    rides the izhikevich kernel class) and agree with the XLA runner."""
+    def run(use_pallas):
+        net = _bayesian_net()
+        net._inner.use_pallas = use_pallas
+        net.run_lattices(121)
+        return net
+
+    a, b = run(False), run(True)
+    assert not a._inner._last_run_fused and b._inner._last_run_fused
+    # real chemistry: the seeded spikes must cascade (NT release, receptor
+    # gating, downstream firing in the inh pool via the dense inter block)
+    assert (np.asarray(
+        a._inner.lattices[1].state["last_firing_time"]) >= 0).any()
+    assert np.asarray(a._inner.lattices[1].state["nt$t"]).max() > 0.0
+    assert np.asarray(a._inner.lattices[0].state["rec$r"]).max() > 0.0
+    _match(a._inner, b._inner, keys=DOPA_KEYS)
+    ha = np.stack(a.get_lattice(1).history)
+    hb = np.stack(b.get_lattice(1).history)
+    assert ha.shape == hb.shape == (121, 7, 7)
+    np.testing.assert_allclose(hb, ha, rtol=1e-5, atol=1e-4)
