@@ -331,9 +331,24 @@ class Lattice:
             pspec = pallas_reward.plain_stdp_lattice_spec(self)
             if pspec is not None:
                 use_pallas = ("stdp", pspec)
+        if not use_pallas and resolve_pallas(self.use_pallas) \
+                and self.mesh is not None and skip_nt \
+                and not self._history_items() \
+                and not self.update_graph_history \
+                and pallas_stencil.supports(
+                    self.model, self.graph, self.electrical_synapse,
+                    self.chemical_synapse, self.do_plasticity):
+            # SHARDED fused path: the multi-step kernel per row-block
+            # shard inside shard_map, ghost rows via ppermute (relaxes
+            # the historical mesh-is-None gate for this class)
+            cfg = pallas_stencil.sharded_multistep_config(self.graph,
+                                                          self.mesh)
+            if cfg is not None:
+                use_pallas = (("sharded", self.mesh,
+                               self.mesh.axis_names[0]) + cfg)
         # observability (mirrors the structured/reward runners): which
         # backend this chunk ran on — False/True/"hh"/("multi", ...)/
-        # ("tiled", ...)/("model",)/("stdp", spec)
+        # ("tiled", ...)/("model",)/("stdp", spec)/("sharded", ...)
         self._last_run_fused = bool(use_pallas) and use_pallas
         runner = _build_lattice_runner(
             self.model, type(self.graph), self.electrical_synapse,
@@ -508,6 +523,96 @@ def _build_lattice_runner(model, graph_cls, electrical, chemical,
             return st, graph, key, ck, ys
 
         return jax.jit(run_multi, donate_argnums=(0,))
+
+    if isinstance(use_pallas, tuple) and use_pallas[0] == "sharded":
+        # multi-chip fused path (VERDICT r04 task 3): shard_map over the
+        # 1-D row-block mesh; per launch each device ppermutes g ghost
+        # rows from its neighbors and runs the unchanged VMEM-resident
+        # multi-step kernel on its extended block, discarding the ghosts
+        # (overlap-and-discard — bit-exact vs the single-device kernel,
+        # see ops/pallas_stencil.sharded_multistep_config)
+        from ..ops import pallas_stencil
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        _, mesh, ax, K, g = use_pallas
+        n_dev = mesh.shape[ax]
+        rows, cols = shape
+        perm_dn = tuple((i, i + 1) for i in range(n_dev - 1))
+        perm_up = tuple((i + 1, i) for i in range(n_dev - 1))
+        PARAM_KEYS = ("a", "b", "c", "d", "v_th", "gap_conductance",
+                      "tau_m", "c_m", "dt")
+
+        def shard_fn(v, w, lft, spk, wst, ind, params, clock):
+            idx = jax.lax.axis_index(ax)
+
+            def ghost(x):
+                # row-axis ghost exchange from the mesh neighbors.  At the
+                # mesh EDGES the missing slab is filled with the block's
+                # own boundary row: ppermute zero-fill would put zeros in
+                # ghost in_deg / c_m / dt and the ghost-row updates would
+                # produce NaN/inf, which 0-weight reads do NOT nullify
+                # (0 * nan = nan).  Any FINITE fill is correct — boundary
+                # destinations carry zero weights from StencilGraph.build,
+                # so edge-ghost values never influence owned rows.
+                top = jax.lax.ppermute(x[..., -g:, :], ax, perm_dn)
+                bot = jax.lax.ppermute(x[..., :g, :], ax, perm_up)
+                top = jnp.where(idx == 0,
+                                jnp.broadcast_to(x[..., :1, :], top.shape),
+                                top)
+                bot = jnp.where(idx == n_dev - 1,
+                                jnp.broadcast_to(x[..., -1:, :], bot.shape),
+                                bot)
+                return jnp.concatenate([top, x, bot], axis=-2)
+
+            wste, inde = ghost(wst), ghost(ind)
+            pe = tuple(ghost(p) for p in params)
+            sl = slice(g, -g)
+
+            def launch(carry, n_steps):
+                v, w, lft, spk, ck = carry
+                out = pallas_stencil.fused_izhikevich_multistep(
+                    ghost(v), ghost(w), ghost(lft), wste, inde, *pe,
+                    clock=ck, offsets=offsets, n_steps=n_steps)
+                v2, w2, lft2, spk2 = out[:4]
+                return (v2[sl], w2[sl], lft2[sl], spk2[sl],
+                        ck + n_steps), ()
+
+            n_outer, rem = divmod(length, K)
+            carry = (v, w, lft, spk, clock)
+            if n_outer:
+                carry, _ = jax.lax.scan(
+                    lambda c, _: launch(c, K), carry, None, length=n_outer)
+            if rem:  # g >= halo * rem holds since rem < K
+                carry, _ = launch(carry, rem)
+            return carry[:4]
+
+        pspec = P(ax, None)
+        wspec = P(None, ax, None)
+
+        def run_sharded(state, graph, key, clock, pparams):
+            nonlocal offsets
+            offsets = graph.offsets
+            params = tuple(state[k].reshape(rows, cols) for k in PARAM_KEYS)
+            fn = shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(pspec, pspec, pspec, pspec, wspec, pspec,
+                          (pspec,) * len(PARAM_KEYS), P()),
+                out_specs=(pspec, pspec, pspec, pspec), check_rep=False)
+            v, w, lft, spk = fn(
+                state["v"].reshape(rows, cols),
+                state["w"].reshape(rows, cols),
+                state["last_firing_time"].reshape(rows, cols),
+                state["is_spiking"].reshape(rows, cols).astype(jnp.float32),
+                graph.weights, graph.in_deg, params, clock)
+            st = dict(state)
+            st["v"] = v.reshape(-1)
+            st["w"] = w.reshape(-1)
+            st["last_firing_time"] = lft.reshape(-1)
+            st["is_spiking"] = spk.reshape(-1) > 0.0
+            return st, graph, key, clock + length, {}
+
+        offsets = None
+        return jax.jit(run_sharded, donate_argnums=(0,))
 
     if isinstance(use_pallas, tuple) and use_pallas[0] == "stdp":
         # plain STDP lattice through the reward kernel family's 'plastic'

@@ -61,6 +61,13 @@ def make_lattice_mesh(n_devices=None, devices=None, axis="tp"):
 
 
 def _put(leaf, sharding):
+    if not sharding.is_fully_addressable and hasattr(leaf, "__array__"):
+        # Multi-process mesh: `jax.device_put` accepts only HOST inputs for
+        # global (non-fully-addressable) shardings — it assembles the global
+        # array from each process's identical copy.  populate/connect build
+        # every leaf deterministically host-side, so pulling a locally
+        # committed leaf back to NumPy is lossless here.
+        leaf = np.asarray(leaf)
     if isinstance(leaf, np.ndarray) and leaf.dtype == np.bool_:
         # host bool leaves (is_spiking, was_increasing — lazy populate
         # leaves them host-side) must not ride a direct bool device_put:

@@ -550,3 +550,24 @@ def test_fused_plain_stdp_lattice_weights_actually_move():
     assert isinstance(after._last_run_fused, tuple)
     assert np.abs(np.asarray(after.graph.weights)
                   - np.asarray(before.graph.weights)).max() > 1e-3
+
+
+def test_fused_standalone_max_lane_width():
+    """cols == 128 (the full lane width, the 128x128 bench row's class)
+    stays on the fused path and matches XLA.  Fewer rows keep interpret
+    mode cheap; the lane-dim layout is what 128 columns exercises."""
+    a = _standalone(False, 40, rows=4, cols=128)
+    b = _standalone(True, 40, rows=4, cols=128)
+    assert b._last_run_fused and not a._last_run_fused
+    _assert_lattice_match(a, b)
+
+
+@pytest.mark.parametrize("cols", [130, 192])
+def test_fused_wide_cols_fall_back(cols):
+    """Widths past the proven 128-lane layout (non-multiples like 130 and
+    multiples like 192) must DECLINE the kernel and produce the XLA
+    result unchanged."""
+    a = _standalone(False, 25, rows=4, cols=cols)
+    b = _standalone(True, 25, rows=4, cols=cols)
+    assert not b._last_run_fused
+    _assert_lattice_match(a, b)

@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -315,3 +316,65 @@ def test_hybrid_mesh_single_host_and_lattice_shard():
     lat.run_lattice(50)
     np.testing.assert_array_equal(np.asarray(ref.state["v"]),
                                   np.asarray(lat.state["v"]))
+
+
+@pytest.mark.slow
+def test_multihost_two_process():
+    """Execute the DCN path for real: two coordinated `jax.distributed`
+    CPU processes (2 local devices each -> 4 global), asserting the global
+    device set, the (dp=2, tp=2) hybrid mesh, and a 4-way sharded lattice
+    run bit-exact vs a process-local single-device run
+    (tests/_multihost_worker.py)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i}: MULTIHOST_OK" in out
+
+
+@pytest.mark.slow
+def test_sharded_fused_multistep_bit_exact():
+    """The fused multi-step kernel composed with row-block sharding
+    (core/lattice ("sharded",...) runner): shard_map + ppermute ghost
+    exchange, bit-exact vs the SINGLE-DEVICE pallas run."""
+    from spiking_neural_networks_tpu.parallel import shard_lattice
+
+    def build():
+        lat = snn.Lattice(snn.Izhikevich())
+        lat.populate(32, 32, gap_conductance=10.0)
+        lat.connect_stencil(radius=1.5, keep_prob=0.8, seed=3)
+        v0 = np.random.default_rng(0).uniform(-65, 30, 1024)
+        lat.apply(lambda s: {**s, "v": jnp.asarray(v0, jnp.float32)})
+        lat.use_pallas = True
+        return lat
+
+    ref = build()
+    ref.run_lattice(50)
+    assert ref._last_run_fused and ref._last_run_fused[0] == "multi"
+
+    mesh = make_lattice_mesh(8, devices=jax.devices("cpu"))
+    lat = build()
+    shard_lattice(lat, mesh)
+    lat.run_lattice(50)
+    assert lat._last_run_fused and lat._last_run_fused[0] == "sharded"
+    assert lat.state["v"].sharding.num_devices == 8
+    for k in ("v", "w", "last_firing_time", "is_spiking"):
+        np.testing.assert_array_equal(np.asarray(ref.state[k]),
+                                      np.asarray(lat.state[k]), err_msg=k)
+    assert (np.asarray(lat.state["last_firing_time"]) >= 0).any()
