@@ -594,8 +594,13 @@ def main():
                       bench_reward_network),
                      ("reward_network_steps_per_sec_32x32_12800iters",
                       lambda: bench_reward_network(iters=12800)),
+                     # 12800 iters: at 128x128 the ~80-155 ms fixed
+                     # dispatch+pull per call masks the kernel's ~4x
+                     # marginal step-time win at 3000-iter runs (measured
+                     # r05: pallas 27.3k vs xla 14.9k at 3000)
                      ("reward_network_steps_per_sec_128x128",
-                      lambda: bench_reward_network(n_side=128)),
+                      lambda: bench_reward_network(n_side=128,
+                                                   iters=12800)),
                      ("closed_loop_rl_steps_per_sec", bench_closed_loop),
                      ("bayesian_experiment_trial_seconds",
                       bench_experiment_trial)]:

@@ -54,10 +54,13 @@ class STDP:
         t_post = post["last_firing_time"]
         both = jnp.logical_and(t_pre != NEVER, t_post != NEVER)
         diff = jnp.abs((t_pre - t_post).astype(jnp.float32)) * p["dt"]
-        plus = p["a_plus"] * jnp.exp(-diff / p["tau_plus"])
-        minus = -p["a_minus"] * jnp.exp(-diff / p["tau_minus"])
-        dw = jnp.where(t_pre < t_post, plus,
-                       jnp.where(t_pre > t_post, minus, 0.0))
+        # one exp of the selected argument: bitwise identical to the
+        # exp-per-branch form, halves the transcendental count
+        pre_first = t_pre < t_post
+        e = jnp.exp(jnp.where(pre_first, -diff / p["tau_plus"],
+                              -diff / p["tau_minus"]))
+        dw = jnp.where(pre_first, p["a_plus"] * e,
+                       jnp.where(t_pre > t_post, -p["a_minus"] * e, 0.0))
         return jnp.where(both, dw, 0.0)
 
     @staticmethod
@@ -181,8 +184,9 @@ class RewardModulatedSTDP:
         t_post = post["last_firing_time"]
         both = jnp.logical_and(t_pre != NEVER, t_post != NEVER)
         diff = jnp.abs((t_pre - t_post).astype(jnp.float32)) * p["dt"]
-        plus = p["a_plus"] * jnp.exp(-diff / p["tau_plus"])
-        minus = -p["a_minus"] * jnp.exp(-diff / p["tau_minus"])
-        dw = jnp.where(t_pre < t_post, plus,
-                       jnp.where(t_pre > t_post, minus, 0.0))
+        pre_first = t_pre < t_post
+        e = jnp.exp(jnp.where(pre_first, -diff / p["tau_plus"],
+                              -diff / p["tau_minus"]))
+        dw = jnp.where(pre_first, p["a_plus"] * e,
+                       jnp.where(t_pre > t_post, -p["a_minus"] * e, 0.0))
         return jnp.where(both, dw, 0.0)

@@ -57,10 +57,13 @@ def rstdp_visit(w, c, dw, counter, delta, dopamine, p):
 def stdp_delta_arrays(lft_pre, lft_post, p):
     both = jnp.logical_and(lft_pre != NEVER, lft_post != NEVER)
     diff = jnp.abs((lft_pre - lft_post).astype(jnp.float32)) * p["dt"]
-    plus = p["a_plus"] * jnp.exp(-diff / p["tau_plus"])
-    minus = -p["a_minus"] * jnp.exp(-diff / p["tau_minus"])
-    dw = jnp.where(lft_pre < lft_post, plus,
-                   jnp.where(lft_pre > lft_post, minus, 0.0))
+    # one exp of the selected argument (bitwise identical; see
+    # core/plasticity.STDP.edge_delta)
+    pre_first = lft_pre < lft_post
+    e = jnp.exp(jnp.where(pre_first, -diff / p["tau_plus"],
+                          -diff / p["tau_minus"]))
+    dw = jnp.where(pre_first, p["a_plus"] * e,
+                   jnp.where(lft_pre > lft_post, -p["a_minus"] * e, 0.0))
     return jnp.where(both, dw, 0.0)
 
 

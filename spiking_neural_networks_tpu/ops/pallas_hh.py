@@ -217,10 +217,12 @@ def _kernel(offsets, n_off, n_steps, electrical, plastic, nt_kind, rec_kind,
                 pre_spk = _roll2(spk_f, dr, dc)
                 both = jnp.logical_and(pre_lft != NEVER, post_has)
                 diff = jnp.abs((pre_lft - lft).astype(jnp.float32)) * p_dt
-                plus = a_plus * jnp.exp(-diff / tau_plus)
-                minus = -a_minus * jnp.exp(-diff / tau_minus)
-                dw = jnp.where(pre_lft < lft, plus,
-                               jnp.where(pre_lft > lft, minus, 0.0))
+                # one exp of the selected argument (bitwise identical)
+                pre_first = pre_lft < lft
+                e = jnp.exp(jnp.where(pre_first, -diff / tau_plus,
+                                      -diff / tau_minus))
+                dw = jnp.where(pre_first, a_plus * e,
+                               jnp.where(pre_lft > lft, -a_minus * e, 0.0))
                 dw = jnp.where(both, dw, 0.0) * (pre_spk + spk_f)
                 new_w.append(jnp.where(em[o] > 0.0,
                                        wst_l[o] + dw, wst_l[o]))

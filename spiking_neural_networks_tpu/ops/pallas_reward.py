@@ -270,10 +270,13 @@ def _stdp_delta(lft_pre, lft_post, a_plus, a_minus, tau_plus, tau_minus, dt):
     """`stdp_delta_arrays` (core/reward.py) on int32 firing-time planes."""
     both = jnp.logical_and(lft_pre != NEVER, lft_post != NEVER)
     diff = jnp.abs((lft_pre - lft_post).astype(jnp.float32)) * dt
-    plus = a_plus * jnp.exp(-diff / tau_plus)
-    minus = -a_minus * jnp.exp(-diff / tau_minus)
-    dw = jnp.where(lft_pre < lft_post, plus,
-                   jnp.where(lft_pre > lft_post, minus, 0.0))
+    # ONE exp of the selected argument instead of exp-per-branch: bitwise
+    # identical per element (exp of the same input bits), ~1 VPU
+    # transcendental saved per offset per step in the fused kernels
+    pre_first = lft_pre < lft_post
+    e = jnp.exp(jnp.where(pre_first, -diff / tau_plus, -diff / tau_minus))
+    dw = jnp.where(pre_first, a_plus * e,
+                   jnp.where(lft_pre > lft_post, -a_minus * e, 0.0))
     return jnp.where(both, dw, 0.0)
 
 
@@ -787,13 +790,19 @@ def _make_kernel(spec, n_steps, env=None):
                     v_pre = v + dv - rec_dv
                     w_new = w + dw_
                     if ls.emit:
-                        # static-index history store (k is a Python int on
-                        # the unrolled emit path); only the PRE-RESET
+                        # per-step history store; only the PRE-RESET
                         # voltage — select-chain stores blow up XLA:CPU
-                        # compile (ops/pallas_stencil._kernel_multi)
+                        # compile (ops/pallas_stencil._kernel_multi).  In
+                        # the fori_loop form k is a tracer and the row
+                        # slice is a pl.ds — safe because the engagement
+                        # keeps emit lattices at <= 128 lanes (dynamic row
+                        # slices of unblocked refs miscompile past 128;
+                        # wider emit configs take the unrolled form below)
                         e = emit_lats.index(i)
                         Ri = ls.shape[0]
-                        emit_refs[e][k * Ri:(k + 1) * Ri, :] = v_pre
+                        idx = (slice(k * Ri, (k + 1) * Ri)
+                               if isinstance(k, int) else pl.ds(k * Ri, Ri))
+                        emit_refs[e][idx, :] = v_pre
                     if spec.chem:
                         # NT release: fresh pre-reset voltage, PREVIOUS
                         # spike flag (apply_t_changes before handle_spiking)
@@ -1041,12 +1050,16 @@ def _make_kernel(spec, n_steps, env=None):
             for k in range(n_steps):
                 carry = body(k, carry)
             lat_f, tr_f, cn_f, dop_f, env_f = carry
-        elif emit_lats or any(ts.kind == "poisson" and ts.shape[1] > 128
-                              for ts in spec.trains):
-            # history stores (and wide flat-train uniform reads) need
-            # STATIC slice indices: unroll the step loop (k becomes a
-            # Python int), matching the emit form of
-            # ops/pallas_stencil._kernel_multi
+        elif any(ts.kind == "poisson" and ts.shape[1] > 128
+                 for ts in spec.trains) \
+                or any(spec.lattices[i].shape[1] > 128 for i in emit_lats):
+            # wide (>128-lane) flat-train uniform reads and history
+            # stores need STATIC slice indices: unroll the step loop
+            # (k becomes a Python int), matching the emit form of
+            # ops/pallas_stencil._kernel_multi.  <=128-lane emits ride
+            # the fori_loop form with pl.ds stores (measured r05: the
+            # unrolled 16-step emit body cost ~8 us/step on the 64x64
+            # EEG+STDP network row)
             carry = (lat0, tr0, cn0, dop0)
             for k in range(n_steps):
                 carry = body(k, carry)
@@ -1412,14 +1425,17 @@ def _unflatten(spec, outs, lat_data, tr_data, cn_data, env=None):
 
 
 def _advance(spec, n_steps, lat_data, tr_data, cn_data, dop, clock, rewards,
-             key, pp, rp, chunk=DEFAULT_CHUNK):
+             key, pp, rp, chunk=None):
     """Advance ``n_steps`` fused steps (traced; one jit contains the chunked
     scan AND the remainder launch — a run is a single device program).
 
     Returns (lat_data, tr_data, cn_data, dopamine, lat_spk, tr_spk, key,
     emits) where ``emits`` holds one (n_steps, R, C) v_pre sequence per
-    emitting lattice (LatSpec.emit), in lattice order.
+    emitting lattice (LatSpec.emit), in lattice order.  ``chunk=None``
+    resolves via `pick_chunk`.
     """
+    if chunk is None:
+        chunk = pick_chunk(spec)
     pp_vec = jnp.stack([jnp.float32(pp[k]) for k in PP_KEYS])
     rp_vec = jnp.stack([jnp.float32(rp[k]) for k in RP_KEYS])
 
@@ -1502,6 +1518,23 @@ def estimate_vmem(spec, chunk=DEFAULT_CHUNK):
         else:
             total += (2 + (3 if cs.reward else 0)) * n_post
     return total * 4 * 3
+
+
+def pick_chunk(spec):
+    """Steps per kernel launch for `_advance`.
+
+    32 when the config rides the fori_loop kernel body (trip count is
+    free; the >128-lane emit/flat-train forms unroll the body, where a
+    bigger chunk doubles Mosaic program size) and the VMEM estimate
+    allows; else DEFAULT_CHUNK.  Launch + per-chunk glue cost ~12-14 us,
+    so doubling the chunk shaves ~0.4-0.8 us/step at 64x64 sizes
+    (measured r05, EEG+STDP network row)."""
+    unrolled = any(ts.kind == "poisson" and ts.shape[1] > 128
+                   for ts in spec.trains) \
+        or any(ls.shape[1] > 128 for ls in spec.lattices if ls.emit)
+    if not unrolled and estimate_vmem(spec, 32) < VMEM_BUDGET:
+        return 32
+    return DEFAULT_CHUNK
 
 
 def supports_shapes(spec, chunk=DEFAULT_CHUNK):

@@ -590,10 +590,13 @@ def sharded_multistep_config(graph, mesh):
     same temporal-blocking argument as `multistep_tiled_config`, with the
     tile boundary placed on the shard boundary).  Influence propagates at
     most ``halo`` rows/step, so ``g = halo * K`` ghost rows make the owned
-    block BIT-EXACT vs the single-device kernel after K steps; `ppermute`
-    zero-fills the missing neighbor at the mesh edges, which reproduces
-    the kernel's zero-pad boundary exactly (boundary destinations already
-    carry zero weights from `StencilGraph.build`).
+    block BIT-EXACT vs the single-device kernel after K steps.  At the
+    mesh edges the missing ghost slab is filled with the block's own
+    boundary row (any FINITE fill is correct: boundary destinations carry
+    zero weights from `StencilGraph.build`, but a `ppermute` zero-fill
+    would zero ghost in_deg/c_m/dt and make the ghost-row update NaN,
+    which 0-weight reads do NOT nullify — see the runner in
+    core/lattice.py).
 
     Requirements: 1-D mesh, rows divisible by mesh size, ghost reach
     within ONE neighbor (g <= block), extended block + weight planes
