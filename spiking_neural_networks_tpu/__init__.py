@@ -58,3 +58,4 @@ from .core import history
 from .ops.graph import DenseGraph, SparseGraph, StencilGraph, radius_offsets
 from .ops.receptors import IonotropicReceptors, DopaGluGABAReceptors
 from . import attractors, analysis, fitting
+from .diagnostics import why_not_fused

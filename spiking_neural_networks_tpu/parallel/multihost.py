@@ -23,6 +23,12 @@ ICI and the low-communication axis on DCN —
 
 On a single host everything degrades gracefully: `initialize` is a no-op
 without a coordinator, and the hybrid mesh is (1, n_local).
+
+The multi-process path executes for real in
+`tests/test_parallel.py::test_multihost_two_process`: two coordinated
+`jax.distributed` CPU processes build the (dp=2, tp=2) hybrid mesh and
+run a 4-way sharded lattice bit-exact vs a process-local run
+(tests/_multihost_worker.py).
 """
 
 from __future__ import annotations
