@@ -671,17 +671,26 @@ class LatticeNetwork:
             return
         self._ship_states()
         if self.structured and self._structured_supported():
-            from .structured import run_structured
+            from .structured import (run_structured, structured_nt_flags,
+                                     flush_structured_sink)
             any_history = any(l.update_grid_history or l.update_graph_history
                               for l in self.lattices.values()) \
                 or any(s.update_grid_history
                        for s in self.spike_train_lattices.values())
+            # relay round-trip discipline: the nt-mask flags are pulled
+            # ONCE (invariant across chunks) and every per-chunk host pull
+            # (history ys, plastic-weight mirrors) is deferred into one
+            # batched device_get after the loop — each separate pull paid
+            # a measured ~21 ms tunnel round trip
+            nt_flags = structured_nt_flags(self)
+            sink = {"hist": [], "last": None}
             remaining = iterations
             while remaining > 0:
                 chunk = min(remaining, self.history_chunk) if any_history \
                     else remaining
-                run_structured(self, chunk)
+                run_structured(self, chunk, nt_flags=nt_flags, sink=sink)
                 remaining -= chunk
+            flush_structured_sink(self, sink)
             return
         plan = self._compile()
         any_history = any(l.update_grid_history or l.update_graph_history

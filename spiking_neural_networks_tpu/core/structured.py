@@ -442,21 +442,23 @@ def compile_structured(net):
     return dict(lat_ids=lat_ids, st_ids=st_ids, conns=conns)
 
 
-def run_structured(net, iterations):
+def run_structured(net, iterations, nt_flags=None, sink=None):
     # the compiled plan (connection ops with device-resident aux + weights)
     # is cached against the network's connection version: repeated
     # run_lattices calls skip host-side op construction AND the
     # host<->device weight round trip (which costs ~0.6s/call for
     # dense-block matrices)
-    plast_key = tuple(bool(net.lattices[i].do_plasticity)
-                      for i in sorted(net.lattices))
-    version = (getattr(net, "_conn_version", None), plast_key)
-    cached = getattr(net, "_structured_plan", None)
-    if cached is not None and cached[0] == version:
-        plan = cached[1]
-    else:
-        plan = compile_structured(net)
-        net._structured_plan = (version, plan)
+    #
+    # ``nt_flags`` / ``sink``: relay round-trip discipline for CHUNKED
+    # runs (network.run_lattices).  The nt-mask pull is invariant across
+    # chunks (the step never writes nt$mask), so the caller pulls it once
+    # and passes it in; with ``sink`` (a dict) the per-chunk host pulls —
+    # history ys, plastic-weight mirrors — are DEFERRED: device handles
+    # are appended to the sink and `flush_structured_sink` makes ONE
+    # jax.device_get for the whole run.  Each skipped pull saved a
+    # measured ~21 ms tunnel round trip (the r05 Bayesian-trial profile:
+    # 54 pulls x 21.5 ms over 9 chunks = most of the trial wall).
+    plan = resolve_structured_plan(net)
     lat_ids, st_ids, conns = plan["lat_ids"], plan["st_ids"], plan["conns"]
     lattices = [net.lattices[i] for i in lat_ids]
     sts = [net.spike_train_lattices[i] for i in st_ids]
@@ -465,10 +467,11 @@ def run_structured(net, iterations):
     st_model = sts[0].model if sts else None
     plasticity = net._plasticity()
     do_plast = tuple(bool(l.do_plasticity) for l in lattices)
-    # one batched pull (per-array bool() pays a relay round trip each)
-    nt_flags = jax.device_get(
-        [_mask_any(l.state["nt$mask"]) for l in lattices]
-        + [_mask_any(s.state["nt$mask"]) for s in sts])
+    if nt_flags is None:
+        # one batched pull (per-array bool() pays a relay round trip each)
+        nt_flags = jax.device_get(
+            [_mask_any(l.state["nt$mask"]) for l in lattices]
+            + [_mask_any(s.state["nt$mask"]) for s in sts])
     skip_nt = not lattices or not any(
         bool(f) for f in nt_flags[:len(lattices)])
     st_nt_clean = not any(bool(f) for f in nt_flags[len(lattices):])
@@ -525,16 +528,23 @@ def run_structured(net, iterations):
     for st, state in zip(sts, st_states):
         st.state = dict(state)
         st.internal_clock = net.internal_clock
+    for c, w in zip(conns, conn_ws):
+        # keep the weights device-resident for the next run — conn_ws is a
+        # DONATED argument, so the previous array is invalidated and the
+        # returned buffer must replace it even when the values are unchanged
+        c["op"].w0 = w
+    if sink is not None:
+        # defer every host pull of this chunk; the host weight mirror only
+        # needs the LAST chunk's values, so overwrite rather than append
+        sink["hist"].append((hist, st_hist, ghist, ys))
+        sink["last"] = (conns, conn_ws)
+        return
     # batch the plastic-weight host pulls into one transfer (per-array
     # np.asarray pays a tunnel round trip each)
     pulled = jax.device_get([w for c, w in zip(conns, conn_ws)
                              if c["plastic"]])
     pi = 0
     for c, w in zip(conns, conn_ws):
-        # keep the weights device-resident for the next run — conn_ws is a
-        # DONATED argument, so the previous array is invalidated and the
-        # returned buffer must replace it even when the values are unchanged
-        c["op"].w0 = w
         if not c["plastic"]:
             continue                     # weights unchanged: no host pull
         src, dst, _old = net.connections[c["key"]]
@@ -548,6 +558,70 @@ def run_structured(net, iterations):
         net.spike_train_lattices[i].grid_history.extend(ys[("st", i)])
     for i in ghist:
         net.lattices[i].graph_history.extend(np.asarray(ys[("gw", i)]))
+
+
+def resolve_structured_plan(net):
+    """The cached compiled plan, rebuilt when the connection version or
+    the per-lattice plasticity flags changed."""
+    plast_key = tuple(bool(net.lattices[i].do_plasticity)
+                      for i in sorted(net.lattices))
+    version = (getattr(net, "_conn_version", None), plast_key)
+    cached = getattr(net, "_structured_plan", None)
+    if cached is not None and cached[0] == version:
+        return cached[1]
+    plan = compile_structured(net)
+    net._structured_plan = (version, plan)
+    return plan
+
+
+def structured_nt_flags(net):
+    """One batched pull of every lattice/train nt-mask flag, for chunked
+    callers to pass into `run_structured` (invariant across chunks)."""
+    plan = resolve_structured_plan(net)
+    return jax.device_get(
+        [_mask_any(net.lattices[i].state["nt$mask"])
+         for i in plan["lat_ids"]]
+        + [_mask_any(net.spike_train_lattices[i].state["nt$mask"])
+           for i in plan["st_ids"]])
+
+
+def flush_structured_sink(net, sink):
+    """ONE jax.device_get for every deferred per-chunk host pull of a
+    chunked `run_structured` run: all chunks' history ys plus the last
+    chunk's plastic-weight mirrors, then the same extends/updates the
+    eager path does."""
+    if not sink["hist"] and sink["last"] is None:
+        return
+    handles = []
+    for (hist, st_hist, ghist, ys) in sink["hist"]:
+        for (i, kind, sig, shape) in hist:
+            handles.append(ys[("lat", i)])
+        for (i, kind, sig, shape) in st_hist:
+            handles.append(ys[("st", i)])
+        for i in ghist:
+            handles.append(ys[("gw", i)])
+    conns, conn_ws = sink["last"]
+    n_hist = len(handles)
+    handles += [w for c, w in zip(conns, conn_ws) if c["plastic"]]
+    pulled = jax.device_get(handles)
+    hi = 0
+    for (hist, st_hist, ghist, ys) in sink["hist"]:
+        for (i, kind, sig, shape) in hist:
+            net.lattices[i].grid_history.extend(pulled[hi])
+            hi += 1
+        for (i, kind, sig, shape) in st_hist:
+            net.spike_train_lattices[i].grid_history.extend(pulled[hi])
+            hi += 1
+        for i in ghist:
+            net.lattices[i].graph_history.extend(pulled[hi])
+            hi += 1
+    pi = n_hist
+    for c in conns:
+        if not c["plastic"]:
+            continue
+        src, dst, _old = net.connections[c["key"]]
+        net.connections[c["key"]] = (src, dst, c["op"].extract(pulled[pi]))
+        pi += 1
 
 
 @functools.lru_cache(maxsize=None)
