@@ -151,11 +151,11 @@ class Lattice:
 
         Radius-style predicates (small offset support) are decomposed into
         a StencilGraph automatically — shifted adds instead of an (N, N)
-        matvec."""
-        dense = connect_dense(self.rows, self.cols,
-                              connecting_conditional, weight_logic)
-        stencil = dense_to_stencil(dense, self.rows, self.cols)
-        self.graph = stencil if stencil is not None else dense
+        matvec.  Evaluation AND decomposition run host-side; only the
+        final representation ships (one packed transfer)."""
+        from ..ops.graph import connect_auto
+        self.graph = connect_auto(self.rows, self.cols,
+                                  connecting_conditional, weight_logic)
 
     def falliable_connect(self, connecting_conditional, weight_logic=None):
         """`falliable_connect` (neuron/mod.rs:1165-1196): same as `connect`;

@@ -124,14 +124,14 @@ class RewardModulatedLattice:
                           counter=jnp.zeros(shape, jnp.int32))
 
     def connect(self, connecting_conditional, weight_logic=None):
-        dense = connect_dense(self.rows, self.cols,
-                              connecting_conditional, weight_logic)
         # R-STDP carries THREE trace planes shaped like the weights, so the
         # dense layout moves 4x (N, N) per step (measured 1.3ms/step at
         # 64x64 vs 27us as a stencil).  Radius-style predicates decompose
         # into offset planes; wide-support graphs stay dense (matvec).
-        stencil = dense_to_stencil(dense, self.rows, self.cols)
-        self.graph = stencil if stencil is not None else dense
+        # connect_auto decomposes host-side and ships ONCE.
+        from ..ops.graph import connect_auto
+        self.graph = connect_auto(self.rows, self.cols,
+                                  connecting_conditional, weight_logic)
         self._reset_trace()
 
     def connect_stencil(self, radius=None, offsets=None, weight_fn=None,

@@ -604,13 +604,12 @@ def positions(rows, cols):
     return np.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)
 
 
-def connect_dense(rows, cols, connecting_conditional, weight_logic=None):
-    """Evaluate a pairwise predicate over all position pairs -> DenseGraph.
-
-    The predicate / weight function take ((r1, c1), (r2, c2)) like the
-    reference's `connect`.  O(N^2) host work — use for small lattices only;
-    large lattices should use `StencilGraph.build` or explicit edge lists.
-    """
+def connect_dense_host(rows, cols, connecting_conditional, weight_logic=None):
+    """`connect_dense`'s host half: the (w, mask) NumPy pair, no device
+    traffic.  Callers that may re-represent the graph (stencil
+    decomposition) stay host-side until the final form is known and ship
+    ONCE — each separate device put/pull over the TPU relay costs a
+    ~21 ms round trip (core/structured.py round-trip discipline)."""
     pos = positions(rows, cols)
     n = len(pos)
     mask = np.zeros((n, n), bool)
@@ -622,8 +621,21 @@ def connect_dense(rows, cols, connecting_conditional, weight_logic=None):
             if connecting_conditional(pi, pj):
                 mask[i, j] = True
                 w[i, j] = 1.0 if weight_logic is None else weight_logic(pi, pj)
-    from ..utils.transfer import device_put_bool
-    return DenseGraph(jnp.asarray(w), device_put_bool(mask))
+    return w, mask
+
+
+def connect_dense(rows, cols, connecting_conditional, weight_logic=None):
+    """Evaluate a pairwise predicate over all position pairs -> DenseGraph.
+
+    The predicate / weight function take ((r1, c1), (r2, c2)) like the
+    reference's `connect`.  O(N^2) host work — use for small lattices only;
+    large lattices should use `StencilGraph.build` or explicit edge lists.
+    """
+    w, mask = connect_dense_host(rows, cols, connecting_conditional,
+                                 weight_logic)
+    from ..utils.transfer import device_put_state
+    d = device_put_state({"w": w, "m": mask})
+    return DenseGraph(d["w"], d["m"])
 
 
 def dense_to_sparse(graph):
@@ -634,17 +646,12 @@ def dense_to_sparse(graph):
                                    graph.n_pre, graph.n_post)
 
 
-def dense_to_stencil(graph, rows, cols, max_offsets=128):
-    """Decompose a square dense graph into per-offset planes when its edge
-    set has small offset support (any radius-style predicate, including
-    randomly-dropped edges).  The stencil gather is shifted multiply-adds —
-    no gather/scatter, no (N, N) memory traffic — so this is the fastest
-    backend whenever it applies.  Returns None if the support is too wide.
-    """
-    if graph.n_pre != rows * cols or graph.n_post != rows * cols:
+def stencil_planes_host(w, mask, rows, cols, max_offsets=128):
+    """`dense_to_stencil`'s host half on NumPy (w, mask): the
+    (offsets, weight_planes, mask_planes) triple, or None when the offset
+    support is too wide.  No device traffic."""
+    if w.shape != (rows * cols, rows * cols):
         return None
-    mask = np.asarray(graph.mask)
-    w = np.asarray(graph.weights)
     src, dst = np.nonzero(mask)
     if len(src) == 0:
         return None
@@ -661,9 +668,46 @@ def dense_to_stencil(graph, rows, cols, max_offsets=128):
     o_idx = np.array([index[(int(a), int(b))] for a, b in zip(dr, dc)])
     wp[o_idx, dst // cols, dst % cols] = w[src, dst]
     mp[o_idx, dst // cols, dst % cols] = True
-    from ..utils.transfer import device_put_bool
-    return StencilGraph(tuple(map(tuple, offsets)), jnp.asarray(wp),
-                        device_put_bool(mp))
+    return tuple(map(tuple, offsets)), wp, mp
+
+
+def connect_auto(rows, cols, connecting_conditional, weight_logic=None):
+    """`connect`'s full pipeline with ONE device transfer: evaluate the
+    pairwise predicate host-side, decompose into stencil planes host-side
+    when the offset support is small, and ship only the final
+    representation as one packed transfer (the old
+    connect_dense -> dense_to_stencil chain paid ~4-6 relay round trips:
+    dense put, pull-back, plane puts)."""
+    from ..utils.transfer import device_put_state
+    w, mask = connect_dense_host(rows, cols, connecting_conditional,
+                                 weight_logic)
+    st = stencil_planes_host(w, mask, rows, cols)
+    if st is None:
+        d = device_put_state({"w": w, "m": mask})
+        return DenseGraph(d["w"], d["m"])
+    offsets, wp, mp = st
+    d = device_put_state({"w": wp, "m": mp})
+    return StencilGraph(offsets, d["w"], d["m"])
+
+
+def dense_to_stencil(graph, rows, cols, max_offsets=128):
+    """Decompose a square dense graph into per-offset planes when its edge
+    set has small offset support (any radius-style predicate, including
+    randomly-dropped edges).  The stencil gather is shifted multiply-adds —
+    no gather/scatter, no (N, N) memory traffic — so this is the fastest
+    backend whenever it applies.  Returns None if the support is too wide.
+    """
+    if graph.n_pre != rows * cols or graph.n_post != rows * cols:
+        return None
+    st = stencil_planes_host(np.asarray(graph.weights),
+                             np.asarray(graph.mask), rows, cols,
+                             max_offsets)
+    if st is None:
+        return None
+    offsets, wp, mp = st
+    from ..utils.transfer import device_put_state
+    d = device_put_state({"w": wp, "m": mp})
+    return StencilGraph(offsets, d["w"], d["m"])
 
 
 def sparse_radius_graph(rows, cols, radius, keep_prob=1.0, seed=0,
