@@ -110,3 +110,24 @@ HISTORY_KINDS = {
     "eeg": EEGHistory,
     "spikes": SpikeHistory,
 }
+
+
+def history_step_bytes(kind, n):
+    """Per-step bytes a history readout adds to the scan ys (f32)."""
+    return 4 * n if kind in ("grid", "spikes") else 4
+
+
+def resolve_history_chunk(setting, bytes_per_step, budget=64 << 20):
+    """Resolve a ``history_chunk`` setting.
+
+    None = auto (the default): size the chunk so the on-device (T, ...)
+    history ys buffer stays under ``budget`` (~64 MB), clamped to
+    [1024, 65536].  Small-history runs (a 7x7 science trial, an EEG
+    scalar readout) then run as ONE chunk — every extra chunk costs a
+    dispatch (~21 ms over the TPU relay) plus a separate remainder-length
+    program compile.  Explicit ints are respected exactly."""
+    if setting is not None:
+        return setting
+    if bytes_per_step <= 0:
+        return 65536
+    return max(1024, min(65536, int(budget) // int(bytes_per_step)))

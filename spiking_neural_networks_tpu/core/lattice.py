@@ -99,7 +99,9 @@ class Lattice:
         self.graph_history = []
         self.internal_clock = 0
         self.key = jax.random.PRNGKey(0)
-        self.history_chunk = 1024
+        # None = auto (core/history.resolve_history_chunk): one chunk
+        # whenever the history ys buffer fits ~64 MB on device
+        self.history_chunk = None
         self.in_network = False
         self.mesh = None  # set by shard(); informational
         # lax.scan unroll factor for the step loop: >1 replicates the step
@@ -257,9 +259,16 @@ class Lattice:
             return
         from ..utils.transfer import ensure_device_state
         self.state = ensure_device_state(self.state)  # lazy-populate ship
+        from .history import history_step_bytes, resolve_history_chunk
+        bps = 0
+        if self.update_grid_history:
+            bps += history_step_bytes(self.grid_history.kind, self.n)
+        if self.update_graph_history:
+            bps += 4 * int(self.graph.weights.size)
+        hchunk = resolve_history_chunk(self.history_chunk, bps)
         remaining = iterations
         while remaining > 0:
-            chunk = min(remaining, self.history_chunk) \
+            chunk = min(remaining, hchunk) \
                 if (self.update_grid_history or self.update_graph_history) \
                 else remaining
             self._run_chunk(chunk)

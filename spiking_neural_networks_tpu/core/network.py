@@ -55,7 +55,7 @@ class SpikeTrainLattice:
         self.grid_history = GridVoltageHistory()
         self.internal_clock = 0
         self.key = jax.random.PRNGKey(0)
-        self.history_chunk = 1024
+        self.history_chunk = None  # None = auto (core/history)
         self.in_network = False
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
 
@@ -111,9 +111,14 @@ class SpikeTrainLattice:
         """Standalone run (`RunSpikeTrainLattice`, neuron/mod.rs:1419-1428)."""
         from ..utils.transfer import ensure_device_state
         self.state = ensure_device_state(self.state)  # lazy-populate ship
+        from .history import history_step_bytes, resolve_history_chunk
+        hchunk = resolve_history_chunk(
+            self.history_chunk,
+            history_step_bytes(self.grid_history.kind, self.n)
+            if self.update_grid_history else 0)
         remaining = iterations
         while remaining > 0:
-            chunk = min(remaining, self.history_chunk) \
+            chunk = min(remaining, hchunk) \
                 if self.update_grid_history else remaining
             self._run_chunk(chunk)
             remaining -= chunk
@@ -260,7 +265,7 @@ class LatticeNetwork:
         self.update_connecting_graph_history = False
         self.connecting_graph_history = []
         self.internal_clock = 0
-        self.history_chunk = 1024
+        self.history_chunk = None  # None = auto (core/history)
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
         # fused whole-network Pallas kernel for small networks
         # (ops/pallas_reward.py; engages for electrical Izhikevich/ALIF/
@@ -684,9 +689,10 @@ class LatticeNetwork:
             # a measured ~21 ms tunnel round trip
             nt_flags = structured_nt_flags(self)
             sink = {"hist": [], "last": None}
+            hchunk = self._history_chunk()
             remaining = iterations
             while remaining > 0:
-                chunk = min(remaining, self.history_chunk) if any_history \
+                chunk = min(remaining, hchunk) if any_history \
                     else remaining
                 run_structured(self, chunk, nt_flags=nt_flags, sink=sink)
                 remaining -= chunk
@@ -698,12 +704,33 @@ class LatticeNetwork:
             or any(s.update_grid_history
                    for s in self.spike_train_lattices.values()) \
             or self.update_connecting_graph_history
+        hchunk = self._history_chunk()
         remaining = iterations
         while remaining > 0:
-            chunk = min(remaining, self.history_chunk) if any_history else remaining
+            chunk = min(remaining, hchunk) if any_history else remaining
             plan = self._run_chunk(plan, chunk)
             remaining -= chunk
         self._write_back(plan)
+
+    def _history_chunk(self):
+        """Resolved history chunk (core/history.resolve_history_chunk):
+        bytes/step summed over every recorded readout in the network."""
+        from .history import history_step_bytes, resolve_history_chunk
+        bps = 0
+        lats = self._neuron_lattices() if hasattr(
+            self, "_neuron_lattices") else self.lattices
+        for l in lats.values():
+            if l.update_grid_history:
+                bps += history_step_bytes(l.grid_history.kind, l.n)
+            if getattr(l, "update_graph_history", False):
+                bps += 4 * int(l.graph.weights.size)
+        for s in self.spike_train_lattices.values():
+            if s.update_grid_history:
+                bps += history_step_bytes(s.grid_history.kind, s.n)
+        if getattr(self, "update_connecting_graph_history", False):
+            bps += 4 * sum(len(src) for (src, dst, w)
+                           in self.connections.values())
+        return resolve_history_chunk(self.history_chunk, bps)
 
     def _ship_states(self):
         """ONE packed transfer for every lattice still holding lazy host

@@ -94,7 +94,7 @@ class RewardModulatedLattice:
         self.graph_history = []
         self.internal_clock = 0
         self.key = jax.random.PRNGKey(0)
-        self.history_chunk = 1024
+        self.history_chunk = None  # None = auto (core/history)
         self.in_network = False
         self.scan_unroll = None  # step-loop unroll (None=auto; see Lattice)
         # fused whole-step Pallas kernel (ops/pallas_reward.py).
@@ -257,10 +257,17 @@ class RewardModulatedLattice:
         # update_graph_history scan would stack per-step full weight
         # arrays for the whole run on device
         any_hist = self.update_grid_history or self.update_graph_history
-        if any_hist and iterations > self.history_chunk:
+        from .history import history_step_bytes, resolve_history_chunk
+        hchunk = resolve_history_chunk(
+            self.history_chunk,
+            (history_step_bytes(self.grid_history.kind, self.n)
+             if self.update_grid_history else 0)
+            + (4 * int(self.graph.weights.size)
+               if self.update_graph_history else 0))
+        if any_hist and iterations > hchunk:
             off = 0
             while off < iterations:
-                length = min(self.history_chunk, iterations - off)
+                length = min(hchunk, iterations - off)
                 self._run(rewards[off:off + length], with_reward)
                 off += length
             return

@@ -279,7 +279,7 @@ class RewardModulatedLatticeNetwork(LatticeNetwork):
             or any(s.update_grid_history
                    for s in self.spike_train_lattices.values()) \
             or self.update_connecting_graph_history
-        chunk = self.history_chunk if any_hist else int(iterations)
+        chunk = self._history_chunk() if any_hist else int(iterations)
         if self.structured and self._structured_supported():
             from .reward_structured import run_structured_reward
             off = 0

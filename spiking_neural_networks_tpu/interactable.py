@@ -9,6 +9,18 @@ implement the unsupervised protocol (`update == run 1 step`).
 from __future__ import annotations
 
 
+def _agent_history_chunk(agent):
+    """Resolved history chunk for a JitEnvironment agent
+    (core/history.resolve_history_chunk; None = auto)."""
+    from .core.history import history_step_bytes, resolve_history_chunk
+    bps = 0
+    if agent.update_grid_history:
+        bps += history_step_bytes(agent.grid_history.kind, agent.n)
+    if getattr(agent, "update_graph_history", False):
+        bps += 4 * int(agent.graph.weights.size)
+    return resolve_history_chunk(agent.history_chunk, bps)
+
+
 class Environment:
     """`Environment` (interactable/mod.rs:21-60): agent + state + encoders.
 
@@ -443,7 +455,7 @@ class JitEnvironment:
         agent.state = ensure_device_state(agent.state)  # lazy-populate ship
         hist_sig = self._hist_sig()
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
-        chunk = agent.history_chunk if hist_sig is not None \
+        chunk = _agent_history_chunk(agent) if hist_sig is not None \
             else int(iterations)
         rewards_all = []
         remaining = int(iterations)
@@ -573,7 +585,7 @@ class JitEnvironment:
         agent.state = ensure_device_state(agent.state)  # lazy-populate ship
         hist_sig = self._hist_sig()
         skip_nt = not bool(_mask_any(agent.state["nt$mask"]))
-        chunk = agent.history_chunk if hist_sig is not None \
+        chunk = _agent_history_chunk(agent) if hist_sig is not None \
             else int(iterations)
         remaining = int(iterations)
         while remaining > 0:

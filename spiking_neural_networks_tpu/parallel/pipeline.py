@@ -366,7 +366,8 @@ def run_pipelined(net, iterations, mesh=None, order=None, axis="pp"):
     # history runs are chunked like run_lattices (core/network.py:619-624):
     # an unchunked 100k-step grid-history scan would materialize the whole
     # (T, S, rows, cols) ys buffer on device
-    chunk_len = net.history_chunk if hist_sig is not None else int(iterations)
+    chunk_len = net._history_chunk() if hist_sig is not None \
+        else int(iterations)
     remaining = int(iterations)
     hist_parts = []
     while remaining > 0:
@@ -780,7 +781,7 @@ def run_pipelined_with_reward(net, reward, iterations, mesh=None,
         jnp.asarray(reward, jnp.float32), (int(iterations),))
     dopamine = jnp.float32(net.dopamine)
 
-    chunk_len = net.history_chunk if hist_sig is not None \
+    chunk_len = net._history_chunk() if hist_sig is not None \
         else int(iterations)
     off = 0
     hist_parts = []
