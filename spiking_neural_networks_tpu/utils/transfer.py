@@ -99,7 +99,12 @@ def device_put_state(state):
     clean).  If transfers ever hang inside populate()/write-backs, set
     the variable."""
     import os
-    if not os.environ.get("SNN_TPU_SEQUENTIAL_TRANSFER"):
+    if not os.environ.get("SNN_TPU_SEQUENTIAL_TRANSFER") \
+            and len(state) > 3:
+        # the packed scheme costs ~5 relay round trips regardless of leaf
+        # count (2 puts + unpack dispatch + checksum pull); below ~4
+        # leaves the per-leaf synced path is the cheaper one (~1 round
+        # trip per leaf) — e.g. a freshly connected graph's (w, mask)
         try:
             return _device_put_state_packed(state)
         except Exception:

@@ -86,12 +86,26 @@ def test_sharded_step_matches_unsharded(mesh):
 
 @pytest.mark.slow
 def test_dryrun_multichip_entry():
+    """The driver's 8-device dryrun, in a FRESH subprocess like the driver
+    runs it.  In-process it compiles ~20 sharded programs on top of the
+    whole suite's accumulated XLA:CPU compiler state, which segfaults
+    backend_compile non-deterministically late in full-suite runs (r05:
+    twice at the tp-reward pjit, both times fine in a fresh process) —
+    process isolation removes the suite-order fragility without losing
+    any coverage."""
+    import subprocess
     import sys
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as g
-    if jax.device_count("cpu") < 8:
-        pytest.skip("needs 8 cpu devices")
-    g.dryrun_multichip(8)
+
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-3000:]
+    assert "dryrun_multichip ok" in proc.stdout + proc.stderr
 
 
 # ---------------------------------------------------------------------------
